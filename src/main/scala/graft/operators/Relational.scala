@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational / OLAP query suite over the warehouse tables.
+  *
+  * Design rules (see SURVEY.md §5-§6):
+  *  - declarative DataFrame plans only — Catalyst pushes filters and
+  *    projections into the parquet scans and picks join strategies;
+  *  - small dimensions are broadcast explicitly;
+  *  - money aggregates snap per-row double expressions to DECIMAL
+  *    (exact, order-independent) and cast the final sum to DOUBLE, so
+  *    results hash-match the DuckDB oracle bit-for-bit;
+  *  - every result ends in a deterministic ORDER BY.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+
+  /** Pricing summary: wide aggregation over lineitem (TPC-H Q1 shape). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("2000-01-01 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Shipping-priority top-k: selective dim filter (broadcast) →
+    * fact join → agg → top-k (TPC-H Q3 shape).
+    */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10"""
+
+  /** Local-supplier volume: 6-table star join with broadcast dims
+    * (TPC-H Q5 shape). The fact-fact join (orders ⋈ lineitem) shuffles
+    * on orderkey; all dimension joins broadcast.
+    */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val li = Tables.lineitem(spark, dir)
+
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultijoinSql: String = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name"""
+
+  /** Semi + anti join: EXISTS / NOT EXISTS re-expressed as left_semi /
+    * left_anti (no row duplication, no distinct needed).
+    */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > lit(400000.0)).select("o_custkey")
+    val semi = Tables.customer(spark, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("big_order_cust").as("kind"), col("c_custkey").as("key"))
+    val anti = Tables.part(spark, dir)
+      .join(Tables.lineitem(spark, dir).select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(lit("never_shipped_part").as("kind"), col("p_partkey").as("key"))
+    semi.unionAll(anti).orderBy(col("kind"), col("key"))
+  }
+
+  val qSemiAntiSql: String = """
+    SELECT * FROM (
+      SELECT 'big_order_cust' AS kind, c_custkey AS key FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+      UNION ALL
+      SELECT 'never_shipped_part' AS kind, p_partkey AS key FROM part
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    ) ORDER BY kind, key"""
+
+  /** Window functions: per-customer order sequence + exact running
+    * total (explicit ROWS frame; unique sort key so the frame is
+    * deterministic).
+    */
+  def qWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("run_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val qWindowSql: String = """
+    SELECT o_custkey, o_orderkey,
+      ROW_NUMBER() OVER w AS rn,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn"""
+
+  /** Per-group top-k via row_number (the scalable top-k idiom: no
+    * global sort; partial top-k per partition then per-group).
+    */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  val qTopkPerGroupSql: String = """
+    SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+        ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+    WHERE rn <= 3
+    ORDER BY p_brand, rn"""
+
+  /** Hierarchical aggregation (rollup region → nation); NULL group
+    * markers coalesced to 'ALL' so NULL-ordering dialect differences
+    * can't bite.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cna = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+    cna.rollup(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
+        count(lit(1)).as("n_customers"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("total_acctbal"), col("n_customers"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  val qRollupSql: String = """
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name, nation_name"""
+
+  def ops: Seq[Op] = Seq(
+    Op("q1_agg", q1Agg, Some(q1AggSql)),
+    Op("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
+    Op("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),
+    Op("q_semi_anti", qSemiAnti, Some(qSemiAntiSql)),
+    Op("q_window", qWindow, Some(qWindowSql)),
+    Op("q_topk_pergroup", qTopkPerGroup, Some(qTopkPerGroupSql)),
+    Op("q_rollup", qRollup, Some(qRollupSql)),
+  )
+}

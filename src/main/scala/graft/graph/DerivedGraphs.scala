@@ -1,0 +1,87 @@
+package graft.graph
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic graphs derived from the warehouse tables (SURVEY §4),
+  * with the exact same definitions mirrored as DuckDB CTE fragments so
+  * graph queries are oracle-checkable.
+  */
+object DerivedGraphs {
+
+  /** Supply graph: customer → (offset + supplier) for every
+    * customer/supplier pair connected through an order. Bipartite,
+    * ~|customers|+|suppliers| vertices. Supplier ids are offset so the
+    * two key spaces can share one vertex domain.
+    */
+  val SupplierOffset = 1000000L
+
+  def supplyEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
+      .distinct()
+
+  val supplyEdgesSql: String =
+    """se AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+      |       FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""".stripMargin
+
+  def undirect(edges: DataFrame): DataFrame =
+    edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+
+  /** Hash graph: a sparse deterministic digraph over residues of
+    * o_orderkey mod M, out-degree ≤ 2 (two affine maps). Gives deep
+    * BFS trees (depth ~17 at M=2048) — the traversal stress-test the
+    * shallow warehouse joins can't provide.
+    */
+  def hashEdges(spark: SparkSession, dir: String, m: Long = 2048L): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select((col("o_orderkey") % m).as("v")).distinct()
+    val e1 = base.select(col("v").as("src"), ((col("v") * 31 + 7) % m).as("dst"))
+    val e2 = base.select(col("v").as("src"), ((col("v") * 17 + 3) % m).as("dst"))
+    e1.unionAll(e2).where(col("src") =!= col("dst")).distinct()
+  }
+
+  def hashEdgesSql(m: Long = 2048L): String =
+    s"""base AS (SELECT DISTINCT o_orderkey % $m AS v FROM orders),
+       |he AS (
+       |  SELECT src, dst FROM (
+       |    SELECT v AS src, (v*31+7) % $m AS dst FROM base
+       |    UNION
+       |    SELECT v AS src, (v*17+3) % $m AS dst FROM base
+       |  ) WHERE src != dst)""".stripMargin
+
+  /** Nation trade graph: nation A → nation B iff customers of A bought
+    * from suppliers of B markedly more often than average (weight >
+    * 1.3 × mean weight). 25 vertices, sparse enough to have structure
+    * (triangles, non-trivial components) and small enough for
+    * transitive-closure oracles.
+    */
+  def nationEdges(spark: SparkSession, dir: String): DataFrame = {
+    val w = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("s_suppkey") === col("l_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val avgW = w.agg(avg("w").as("aw"))
+    w.crossJoin(broadcast(avgW)).where(col("w") > lit(1.3) * col("aw"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+  }
+
+  val nationEdgesSql: String =
+    """nw AS (SELECT c_nationkey AS src, s_nationkey AS dst, count(*) AS w
+      |       FROM orders JOIN customer ON o_custkey = c_custkey
+      |       JOIN lineitem ON l_orderkey = o_orderkey
+      |       JOIN supplier ON s_suppkey = l_suppkey
+      |       WHERE c_nationkey != s_nationkey GROUP BY 1, 2),
+      |ne AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |       FROM nw WHERE w > 1.3 * (SELECT AVG(w) FROM nw))""".stripMargin
+}

@@ -1,0 +1,221 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph algorithms over edge-list DataFrames.
+  *
+  * The graph model re-expresses the reference's adjacency-matrix files
+  * (/root/reference/utilities.h + G*.txt: n, then n×n 0/1 rows) as a
+  * distributed edge list `(src BIGINT, dst BIGINT)` — the only
+  * representation that survives 100 TB (an n×n matrix is O(n²)).
+  *
+  * Traversals are level-synchronous: the reference's thread-per-vertex
+  * BFS with a pthread_join barrier per level (dfs_bfs.h:111-172)
+  * becomes a frontier-join per level with a Spark stage boundary as
+  * the barrier. Scale notes:
+  *  - the frontier is broadcast while small (the common case), so the
+  *    per-level join is shuffle-free against a cached edge table;
+  *  - `localCheckpoint` after each level truncates lineage — iterative
+  *    plans otherwise grow unboundedly and overwhelm the optimizer;
+  *  - `visited` stays distributed; nothing is collected to the driver.
+  */
+object GraphOps {
+
+  /** Frontiers below this row count are broadcast to the edge join. */
+  private val BroadcastFrontier = 4 * 1000 * 1000
+
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+
+  /** Multi-source, tagged BFS. `sources` has columns (vertex[, tag]);
+    * result is (tag, vertex, level) with level = min-hop distance from
+    * the tag's source set. Untagged callers get a constant tag they
+    * can drop. This is the deterministic contract of the reference's
+    * BFS (dfs_bfs.h:111-172): levels are well-defined, intra-level
+    * order is not.
+    */
+  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int = Int.MaxValue): DataFrame = {
+    val e = canonEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val tagged =
+      if (sources.columns.contains("tag")) sources.select(col("tag").cast("long"), col("vertex").cast("long"))
+      else sources.select(lit(0L).as("tag"), col("vertex").cast("long"))
+    var visited = tagged.distinct().withColumn("level", lit(0)).localCheckpoint()
+    var frontier = visited
+    var frontierRows = frontier.count()
+    var level = 0
+    while (frontierRows > 0 && level < maxDepth) {
+      level += 1
+      val f = if (frontierRows <= BroadcastFrontier) broadcast(frontier) else frontier
+      val next = e.join(f, e("src") === f("vertex"))
+        .select(col("tag"), col("dst").as("vertex")).distinct()
+        .join(visited, Seq("tag", "vertex"), "left_anti")
+        .withColumn("level", lit(level))
+        .localCheckpoint()
+      frontierRows = next.count()
+      frontier = next
+      visited = visited.unionAll(next).localCheckpoint()
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Single-source BFS: (vertex, level). */
+  def bfsFrom(edges: DataFrame, source: DataFrame, maxDepth: Int = Int.MaxValue): DataFrame =
+    bfs(edges, source, maxDepth).select("vertex", "level")
+
+  /** Reachable-vertex set from a source — the deterministic contract
+    * of the reference's DFS op (secondary_server.c:190-227: output
+    * order is thread-race dependent; the reachable SET is not).
+    */
+  def reach(edges: DataFrame, source: DataFrame): DataFrame =
+    bfs(edges, source, maxDepth = 100000).select("vertex")
+
+  /** Deterministic lexicographic DFS preorder: (pos, vertex).
+    *
+    * DFS is inherently sequential (each step depends on the full
+    * visited state); the reference likewise materializes the whole
+    * adjacency matrix per query (secondary_server.c:126-137). We
+    * collect the edge list to the driver — guarded — and recurse with
+    * neighbors in ascending order. For scale-path traversal use
+    * `bfs`/`reach`; this op exists for reference parity.
+    */
+  def dfsPreorder(edges: DataFrame, source: Long, maxEdges: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
+    val es = canonEdges(edges).distinct()
+    val cnt = es.count()
+    require(cnt <= maxEdges, s"dfsPreorder is a driver-side op; $cnt edges > $maxEdges")
+    val adj = es.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val seen = scala.collection.mutable.HashSet[Long]()
+    val order = scala.collection.mutable.ArrayBuffer[Long]()
+    // explicit stack (no JVM recursion limit); push children reversed
+    // so the smallest neighbor is explored first
+    val stack = scala.collection.mutable.Stack[Long](source)
+    while (stack.nonEmpty) {
+      val v = stack.pop()
+      if (!seen(v)) {
+        seen += v
+        order += v
+        adj.getOrElse(v, Array.empty[Long]).reverseIterator.foreach { w =>
+          if (!seen(w)) stack.push(w)
+        }
+      }
+    }
+    import spark.implicits._
+    order.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("pos", "vertex")
+  }
+
+  /** Per-vertex in/out/total degree — one shuffle via tagged union. */
+  def degrees(edges: DataFrame): DataFrame =
+    canonEdges(edges)
+      .select(col("src").as("vertex"), lit(1L).as("o"), lit(0L).as("i"))
+      .unionAll(canonEdges(edges).select(col("dst"), lit(0L), lit(1L)))
+      .groupBy("vertex")
+      .agg(sum("o").as("out_deg"), sum("i").as("in_deg"),
+        (sum("o") + sum("i")).as("total_deg"))
+
+  /** Undirected connected components via the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014): O(log n) rounds,
+    * pure shuffle ops, no driver state — unlike label propagation,
+    * which needs O(diameter) rounds. Returns (vertex, component) with
+    * component = min vertex id of the component.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val allVerts = canonEdges(edges).select(col("src").as("vertex"))
+      .unionAll(canonEdges(edges).select(col("dst").as("vertex")))
+      .distinct().localCheckpoint()
+    var e = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var converged = false
+    var rounds = 0
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = checksum(e)
+    while (!converged && rounds < 64) {
+      rounds += 1
+      // large-star: every neighbor larger than u links to u's min
+      val bi = e.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(e.select(col("v").as("s"), col("u").as("d")))
+      val mins = bi.groupBy("s").agg(min("d").as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      val ls = bi.join(mins, "s").where(col("d") > col("s"))
+        .select(least(col("d"), col("m")).as("u"), greatest(col("d"), col("m")).as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: every neighbor ≤ s (and s itself) links to the min
+      val bi2 = ls.select(col("u").as("s"), col("v").as("d"))
+        .unionAll(ls.select(col("v").as("s"), col("u").as("d")))
+      val low = bi2.where(col("d") <= col("s"))
+      val mins2 = low.groupBy("s").agg(min("d").as("mn"))
+        .select(col("s"), least(col("s"), col("mn")).as("m"))
+      val ss = low.join(mins2, "s").select(col("d").as("x"), col("m"))
+        .unionAll(mins2.select(col("s").as("x"), col("m")))
+        .where(col("x") =!= col("m"))
+        .select(col("m").as("u"), col("x").as("v"))
+        .distinct().localCheckpoint()
+      val nsig = checksum(ss)
+      converged = nsig == sig
+      sig = nsig
+      e = ss
+    }
+    val labels = e.select(col("v").as("vertex"), col("u").as("component"))
+      .unionAll(e.select(col("u").as("vertex"), col("u").as("component")))
+      .distinct()
+    allVerts.join(labels, Seq("vertex"), "left")
+      .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** Damped PageRank, fixed iteration count. Dangling-vertex mass is
+    * dropped (both the engine and the oracle use the same convention).
+    * All vertices (src ∪ dst) receive the (1-d)/N base term.
+    */
+  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val n = verts.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.withColumn("r", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("r") / col("od")).as("c"))
+      ranks = verts.join(contribs.groupBy("v").agg(sum("c").as("s")), Seq("v"), "left")
+        .select(col("v"),
+          (lit((1.0 - d) / n) + lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist(); outdeg.unpersist()
+    ranks.select(col("v").as("vertex"), col("r").as("rank"))
+  }
+
+  /** Per-vertex triangle participation counts over the undirected
+    * simple graph. Edges are oriented low→high so each triangle is
+    * enumerated exactly once (a<b<c) — the standard shuffle-minimal
+    * formulation; the wedge join is the only heavy stage.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val u = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tri = u.as("x")
+      .join(u.as("y"), col("y.a") === col("x.b"))
+      .join(u.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts = tri.select(col("a").as("vertex"))
+      .unionAll(tri.select(col("b")))
+      .unionAll(tri.select(col("c")))
+      .groupBy("vertex").agg(count(lit(1)).as("n_tri"))
+    val out = counts.localCheckpoint()
+    tri.unpersist(); u.unpersist()
+    out
+  }
+}

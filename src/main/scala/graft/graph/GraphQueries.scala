@@ -1,0 +1,232 @@
+package graft.graph
+
+import graft.Op
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Driver-contract entries for the graph database surface (reference
+  * ops 1-4 re-expressed + the standard analytics suite). Every oracle
+  * mirrors the exact derived-graph definition from DerivedGraphs.
+  */
+object GraphQueries {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-graphstore").toString
+
+  private def affine(spark: SparkSession, dir: String, m: Long, mult: Long, add: Long): DataFrame = {
+    val base = graft.Tables.orders(spark, dir).select((col("o_orderkey") % m).as("v")).distinct()
+    base.select(col("v").as("src"), ((col("v") * mult + add) % m).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+  }
+
+  /** Reference op 1: create a named graph, read it back. */
+  def graphLoad(spark: SparkSession, dir: String): DataFrame = {
+    val work = tmpDir()
+    GraphStore.save(spark, work, "supply", DerivedGraphs.supplyEdges(spark, dir))
+    GraphStore.load(spark, work, "supply").orderBy("src", "dst")
+  }
+
+  val graphLoadSql: String =
+    s"""WITH ${DerivedGraphs.supplyEdgesSql}
+       |SELECT src, dst FROM se ORDER BY src, dst""".stripMargin
+
+  /** Reference op 2: modify a named graph (upsert merge), read back. */
+  def graphModify(spark: SparkSession, dir: String): DataFrame = {
+    val work = tmpDir()
+    GraphStore.save(spark, work, "hash", affine(spark, dir, 2048, 31, 7))
+    GraphStore.upsert(spark, work, "hash", affine(spark, dir, 2048, 17, 3))
+    GraphStore.load(spark, work, "hash").orderBy("src", "dst")
+  }
+
+  val graphModifySql: String =
+    s"""WITH ${DerivedGraphs.hashEdgesSql(2048)}
+       |SELECT src, dst FROM he ORDER BY src, dst""".stripMargin
+
+  /** Reference op 4: BFS levels on the (undirected) supply graph. */
+  def graphBfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.undirect(DerivedGraphs.supplyEdges(spark, dir))
+    val src = e.agg(min(col("src")).as("vertex"))
+    GraphOps.bfsFrom(e, src, maxDepth = 6)
+      .select(col("vertex"), col("level").cast("long").as("level"))
+      .orderBy("vertex")
+  }
+
+  val graphBfsSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.supplyEdgesSql},
+       |su AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+       |s0 AS (SELECT MIN(src) AS v FROM se),
+       |b AS (
+       |  SELECT v, 0 AS level FROM s0
+       |  UNION
+       |  SELECT su.dst, b.level + 1 FROM b JOIN su ON su.src = b.v WHERE b.level < 6
+       |)
+       |SELECT v AS vertex, CAST(MIN(level) AS BIGINT) AS level
+       |FROM b GROUP BY v ORDER BY vertex""".stripMargin
+
+  /** BFS on the deep hash graph (depth ~17): the traversal stress test. */
+  def graphBfsDeep(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val src = e.agg(min(col("src")).as("vertex"))
+    GraphOps.bfsFrom(e, src, maxDepth = 30)
+      .select(col("vertex"), col("level").cast("long").as("level"))
+      .orderBy("vertex")
+  }
+
+  val graphBfsDeepSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.hashEdgesSql(2048)},
+       |s0 AS (SELECT MIN(src) AS v FROM he),
+       |b AS (
+       |  SELECT v, 0 AS level FROM s0
+       |  UNION
+       |  SELECT he.dst, b.level + 1 FROM b JOIN he ON he.src = b.v WHERE b.level < 30
+       |)
+       |SELECT v AS vertex, CAST(MIN(level) AS BIGINT) AS level
+       |FROM b GROUP BY v ORDER BY vertex""".stripMargin
+
+  /** Reference op 3 (deterministic contract): reachable set from source. */
+  def graphDfsReach(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val src = e.agg(min(col("src")).as("vertex"))
+    GraphOps.reach(e, src).orderBy("vertex")
+  }
+
+  val graphDfsReachSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.hashEdgesSql(2048)},
+       |s0 AS (SELECT MIN(src) AS v FROM he),
+       |r AS (
+       |  SELECT v FROM s0
+       |  UNION
+       |  SELECT he.dst FROM r JOIN he ON he.src = r.v
+       |)
+       |SELECT v AS vertex FROM r ORDER BY vertex""".stripMargin
+
+  /** Reference op 3 (ordering parity): lexicographic DFS preorder,
+    * driver-side on a small graph. rows-only in the driver gate.
+    */
+  def graphDfsPreorder(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 512)
+    val src = e.agg(min(col("src"))).head().getLong(0)
+    GraphOps.dfsPreorder(e, src).orderBy("pos")
+  }
+
+  def graphDegrees(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.degrees(DerivedGraphs.supplyEdges(spark, dir)).orderBy("vertex")
+
+  val graphDegreesSql: String =
+    s"""WITH ${DerivedGraphs.supplyEdgesSql}
+       |SELECT vertex, SUM(o) AS out_deg, SUM(i) AS in_deg,
+       |       SUM(o) + SUM(i) AS total_deg
+       |FROM (SELECT src AS vertex, 1 AS o, 0 AS i FROM se
+       |      UNION ALL SELECT dst, 0, 1 FROM se)
+       |GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** Connected components (alternating star) on the nation graph. */
+  def graphCc(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  val graphCcSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
+       |u AS (SELECT src, dst FROM ne UNION SELECT dst, src FROM ne),
+       |verts AS (SELECT src AS v FROM ne UNION SELECT dst FROM ne),
+       |r AS (
+       |  SELECT v AS start, v AS reach FROM verts
+       |  UNION
+       |  SELECT r.start, u.dst FROM r JOIN u ON u.src = r.reach
+       |)
+       |SELECT start AS vertex, MIN(reach) AS component
+       |FROM r GROUP BY start ORDER BY vertex""".stripMargin
+
+  /** CC at scale (supply graph) — rows-only; spec checks invariants. */
+  def graphCcLarge(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.connectedComponents(DerivedGraphs.supplyEdges(spark, dir))
+      .orderBy("vertex")
+
+  /** Damped PageRank, 3 iterations, on the hash graph. */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.pagerank(DerivedGraphs.hashEdges(spark, dir, 2048), iters = 3)
+      .select(col("vertex"), round(col("rank"), 6).as("rank"))
+      .orderBy("vertex")
+
+  val graphPagerankSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT verts.v, (1.0 - 0.85)/(SELECT n FROM nn)
+         |         + 0.85 * COALESCE(SUM($prev.r / od.od), 0.0) AS r
+         |  FROM verts
+         |  LEFT JOIN he ON he.dst = verts.v
+         |  LEFT JOIN od ON od.src = he.src
+         |  LEFT JOIN $prev ON $prev.v = he.src
+         |  GROUP BY verts.v)""".stripMargin
+    s"""WITH ${DerivedGraphs.hashEdgesSql(2048)},
+       |verts AS (SELECT src AS v FROM he UNION SELECT dst FROM he),
+       |nn AS (SELECT COUNT(*) AS n FROM verts),
+       |od AS (SELECT src, COUNT(*) AS od FROM he GROUP BY src),
+       |p0 AS (SELECT v, 1.0/(SELECT n FROM nn) AS r FROM verts),
+       |${iter("p0", "p1")},
+       |${iter("p1", "p2")},
+       |${iter("p2", "p3")}
+       |SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""".stripMargin
+  }
+
+  /** Per-vertex triangle counts on the nation graph. */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  val graphTrianglesSql: String =
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM ne WHERE src != dst),
+       |tri AS (SELECT x.a AS a, x.b AS b, y.b AS c
+       |        FROM u x JOIN u y ON y.a = x.b
+       |        JOIN u z ON z.a = x.a AND z.b = y.b)
+       |SELECT vertex, COUNT(*) AS n_tri
+       |FROM (SELECT a AS vertex FROM tri
+       |      UNION ALL SELECT b FROM tri
+       |      UNION ALL SELECT c FROM tri)
+       |GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** Hop distance to each of the 3 smallest landmark vertices
+    * (multi-source tagged BFS over reversed edges).
+    */
+  def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val landmarks = e.select(col("src")).distinct().orderBy("src").limit(3)
+      .select(col("src").as("vertex"), col("src").as("tag"))
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    GraphOps.bfs(rev, landmarks, maxDepth = 30)
+      .select(col("vertex"), col("tag").as("landmark"),
+        col("level").cast("long").as("dist"))
+      .orderBy("vertex", "landmark")
+  }
+
+  val graphShortestPathsSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.hashEdgesSql(2048)},
+       |lm AS (SELECT DISTINCT src AS l FROM he ORDER BY src LIMIT 3),
+       |rev AS (SELECT dst AS src, src AS dst FROM he),
+       |sp AS (
+       |  SELECT l AS landmark, l AS v, 0 AS dist FROM lm
+       |  UNION
+       |  SELECT sp.landmark, rev.dst, sp.dist + 1
+       |  FROM sp JOIN rev ON rev.src = sp.v WHERE sp.dist < 30
+       |)
+       |SELECT v AS vertex, landmark, CAST(MIN(dist) AS BIGINT) AS dist
+       |FROM sp GROUP BY v, landmark ORDER BY vertex, landmark""".stripMargin
+
+  def ops: Seq[Op] = Seq(
+    Op("graph_load", graphLoad, Some(graphLoadSql)),
+    Op("graph_modify", graphModify, Some(graphModifySql)),
+    Op("graph_bfs", graphBfs, Some(graphBfsSql)),
+    Op("graph_bfs_deep", graphBfsDeep, Some(graphBfsDeepSql)),
+    Op("graph_dfs_reach", graphDfsReach, Some(graphDfsReachSql)),
+    Op("graph_dfs_preorder", graphDfsPreorder, None),
+    Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
+    Op("graph_cc", graphCc, Some(graphCcSql)),
+    Op("graph_cc_large", graphCcLarge, None),
+    Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
+  )
+}

@@ -170,7 +170,7 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast(LongType).as("rn"),
         sum(dec2(col("o_totalprice")))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast(DoubleType).as("run_total"))
@@ -194,7 +194,7 @@ object Relational {
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables.part(spark, dir)
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-        row_number().over(w).as("rn"))
+        row_number().over(w).cast(LongType).as("rn"))
       .filter(col("rn") <= 3)
       .orderBy(col("p_brand"), col("rn"))
   }

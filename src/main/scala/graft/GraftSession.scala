@@ -21,6 +21,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // events.ts is parquet TIMESTAMP(NANOS) (written by pandas);
+      // read it as raw nanosecond longs — exact, no truncation surprises.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests and ad-hoc runs. */

@@ -7,7 +7,7 @@ object SparkEntry {
 
   /** All registered operators, by module. */
   def ops: Seq[Op] =
-    operators.Relational.ops ++ graph.GraphQueries.ops
+    operators.Relational.ops ++ operators.Events.ops ++ graph.GraphQueries.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

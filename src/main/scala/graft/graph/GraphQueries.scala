@@ -113,10 +113,13 @@ object GraphQueries {
   def graphDegrees(spark: SparkSession, dir: String): DataFrame =
     GraphOps.degrees(DerivedGraphs.supplyEdges(spark, dir)).orderBy("vertex")
 
+  // SUM over INTEGER is HUGEINT in DuckDB — cast back to BIGINT so the
+  // serialized type matches Spark's LongType sums.
   val graphDegreesSql: String =
     s"""WITH ${DerivedGraphs.supplyEdgesSql}
-       |SELECT vertex, SUM(o) AS out_deg, SUM(i) AS in_deg,
-       |       SUM(o) + SUM(i) AS total_deg
+       |SELECT vertex, CAST(SUM(o) AS BIGINT) AS out_deg,
+       |       CAST(SUM(i) AS BIGINT) AS in_deg,
+       |       CAST(SUM(o) + SUM(i) AS BIGINT) AS total_deg
        |FROM (SELECT src AS vertex, 1 AS o, 0 AS i FROM se
        |      UNION ALL SELECT dst, 0, 1 FROM se)
        |GROUP BY vertex ORDER BY vertex""".stripMargin

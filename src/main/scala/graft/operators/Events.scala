@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Event-log analytics over the `events` table: sessionization and
+  * tumbling-window aggregation — the batch twins of the streaming
+  * pipelines in [[graft.streaming.Streaming]].
+  *
+  * Event time: `events.ts` is parquet TIMESTAMP(NANOS); the session
+  * reads it as raw nanosecond longs (`nanosAsLong`), and all logic
+  * runs on integer epoch *seconds* (`ts div 1e9`). Integer seconds are
+  * bit-identical between Spark and the DuckDB oracle, so gap and
+  * window boundaries can never drift between engines; sub-second
+  * precision is irrelevant at session/window granularity.
+  */
+object Events {
+
+  /** Session gap: a pause > 30 minutes starts a new session. */
+  val GapSec = 1800L
+
+  /** Tumbling window width for the hourly rollup. */
+  val WindowSec = 3600L
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** events + `ts_sec` (epoch seconds, exact integer division of the
+    * raw nanosecond value — `div`, not `/`, so no double rounding).
+    */
+  def eventsSec(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val sec = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000")
+      case _        => unix_timestamp(col("ts").cast(TimestampType))
+    }
+    ev.withColumn("ts_sec", sec.cast(LongType))
+  }
+
+  /** Gap-based sessionization: pure window functions (lag → new-session
+    * flag → running sum = session id), then one aggregation per
+    * session. Scales as two shuffles on user_id — no driver state, no
+    * iteration; AQE handles skewed users.
+    */
+  def qEventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    eventsSec(spark, dir)
+      .withColumn("new_sess",
+        when(col("ts_sec") - lag(col("ts_sec"), 1).over(w) > GapSec, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) + 1L)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val qEventsSessionizeSql: String = s"""
+    WITH es AS (
+      SELECT user_id, event_id, value, epoch_ns(ts)//1000000000 AS ts_sec
+      FROM events),
+    tagged AS (
+      SELECT user_id, ts_sec, value,
+        CASE WHEN ts_sec - LAG(ts_sec) OVER w > $GapSec THEN 1 ELSE 0 END AS new_sess
+      FROM es
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+    sess AS (
+      SELECT user_id, ts_sec, value,
+        CAST(1 + SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM tagged)
+    SELECT user_id, session_id,
+      MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
+  /** Tumbling-window rollup: single groupBy on (hour bucket, type) —
+    * one shuffle, map-side partial aggregation by construction.
+    */
+  def qEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    eventsSec(spark, dir)
+      .groupBy(expr(s"(ts_sec div $WindowSec) * $WindowSec").as("window_start"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val qEventsWindowSql: String = s"""
+    SELECT ((epoch_ns(ts)//1000000000) // $WindowSec) * $WindowSec AS window_start,
+      event_type, COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  def ops: Seq[Op] = Seq(
+    Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+  )
+}

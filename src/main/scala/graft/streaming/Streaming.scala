@@ -1,0 +1,164 @@
+package graft.streaming
+
+import graft.{Op, Tables}
+import graft.operators.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Structured Streaming pipelines over the events table, run
+  * synchronously to completion so they are gate-checkable against the
+  * same DuckDB oracles as their batch twins in
+  * [[graft.operators.Events]].
+  *
+  * The file stream reads the real events parquet; event time is the
+  * exact integer-second column used by the batch ops. On a cluster
+  * the same code runs open-ended — the synchronous drain (and the
+  * watermark-advancing sentinel rows in the sessionizer) are how a
+  * bounded test run flushes all state.
+  */
+object Streaming {
+
+  // Public: Catalyst's generated encoder code cannot access private types.
+  case class Ev(
+      user_id: Long, ts_sec: Long, cents: Long, ts_ev: java.sql.Timestamp)
+  case class Sess(
+      sessionId: Long, start: Long, end: Long, n: Long, cents: Long)
+  case class SessOut(
+      user_id: Long, session_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, total_value: Double)
+
+  /** Far-future sentinel timestamps (ns) that push the watermark past
+    * every real session's timeout. After each data batch Spark runs an
+    * empty batch that applies the newly-advanced watermark, so one
+    * sentinel suffices; the second is safety margin.
+    */
+  private val SentinelNs =
+    Array(1900000000000000000L, 1901000000000000000L)
+  private val SentinelUser = -1L
+
+  private def stagingDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Streamed tumbling-window aggregation (complete mode): same
+    * result as the batch `q_events_window`, minus the distinct-user
+    * count (DISTINCT aggregates are unsupported in streaming aggs).
+    */
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    // File sources need a directory: stage the single parquet file.
+    val inDir = stagingDir("graft-stream-win")
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val src = spark.readStream.schema(schema).parquet(inDir)
+    val agg = src
+      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .groupBy(expr(s"(ts_sec div ${Events.WindowSec}) * ${Events.WindowSec}").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+    val name = "graft_stream_window_agg"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  val streamWindowAggSql: String = s"""
+    SELECT ((epoch_ns(ts)//1000000000) // ${Events.WindowSec}) * ${Events.WindowSec} AS window_start,
+      event_type, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** Stateful streaming sessionization via flatMapGroupsWithState
+    * with event-time timeout: per user, an open session lives in
+    * state; a gap > GapSec closes it; the watermark passing
+    * (session_end + gap) emits it. Value sums are kept in exact
+    * integer cents so state-order summation matches the decimal
+    * oracle bit-for-bit.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gap = Events.GapSec
+    val schema = Tables.events(spark, dir).schema
+
+    // Stage the real file plus room for sentinel batches.
+    val inDir = stagingDir("graft-stream-in")
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "0 seconds")
+      .select(col("user_id").cast(LongType).as("user_id"), col("ts_sec"),
+        col("cents"), col("ts_ev")) // ts_ev kept: the watermark column must survive
+      .as[Ev]
+
+    def close(uid: Long, s: Sess): SessOut =
+      SessOut(uid, s.sessionId, s.start, s.end, s.n, s.cents / 100.0)
+
+    val sessions = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Sess, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[Sess]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            var cur = state.getOption
+            rows.toArray.sortBy(_.ts_sec).foreach { e =>
+              cur match {
+                case None =>
+                  cur = Some(Sess(1L, e.ts_sec, e.ts_sec, 1L, e.cents))
+                case Some(s) if e.ts_sec - s.end > gap =>
+                  out += close(uid, s)
+                  cur = Some(Sess(s.sessionId + 1, e.ts_sec, e.ts_sec, 1L, e.cents))
+                case Some(s) =>
+                  cur = Some(s.copy(end = e.ts_sec, n = s.n + 1, cents = s.cents + e.cents))
+              }
+            }
+            val s = cur.get
+            state.update(s)
+            state.setTimeoutTimestamp((s.end + gap) * 1000L + 1000L)
+            out.iterator
+          }
+      }
+
+    val name = "graft_stream_sessionize"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // Sentinel batches: advance the watermark, then fire timeouts.
+      // The file source lists only top-level files, so the sentinel is
+      // written to a scratch dir and its part-file moved in flat.
+      SentinelNs.zipWithIndex.foreach { case (ns, i) =>
+        val scratch = stagingDir(s"graft-sentinel$i")
+        spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](
+            org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
+          schema
+        ).coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
+          .findFirst.get
+        Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+      .where(col("user_id") =!= SentinelUser)
+      .orderBy("user_id", "session_id")
+  }
+
+  def ops: Seq[Op] = Seq(
+    Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
+    Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
+  )
+}

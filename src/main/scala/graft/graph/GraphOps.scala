@@ -41,12 +41,19 @@ object GraphOps {
     val tagged =
       if (sources.columns.contains("tag")) sources.select(col("tag").cast("long"), col("vertex").cast("long"))
       else sources.select(lit(0L).as("tag"), col("vertex").cast("long"))
-    var visited = tagged.distinct().withColumn("level", lit(0)).localCheckpoint()
-    var frontier = visited
+    var frontier = tagged.distinct().withColumn("level", lit(0)).localCheckpoint()
     var frontierRows = frontier.count()
+    // One eagerly-checkpointed job per level is the whole cost model:
+    // `visited` is the *lazy* union of the per-level checkpointed
+    // frames (levels are disjoint by construction), so no re-unioned
+    // visited set is ever materialized, and the post-checkpoint
+    // count() is a cached scan. Levels are bounded, so the union stays
+    // shallow and lineage never grows.
+    val frames = scala.collection.mutable.ArrayBuffer(frontier)
     var level = 0
     while (frontierRows > 0 && level < maxDepth) {
       level += 1
+      val visited = frames.reduce(_ unionAll _).select("tag", "vertex")
       val f = if (frontierRows <= BroadcastFrontier) broadcast(frontier) else frontier
       val next = e.join(f, e("src") === f("vertex"))
         .select(col("tag"), col("dst").as("vertex")).distinct()
@@ -54,11 +61,11 @@ object GraphOps {
         .withColumn("level", lit(level))
         .localCheckpoint()
       frontierRows = next.count()
+      if (frontierRows > 0) frames += next
       frontier = next
-      visited = visited.unionAll(next).localCheckpoint()
     }
     e.unpersist()
-    visited
+    frames.reduce(_ unionAll _)
   }
 
   /** Single-source BFS: (vertex, level). */

@@ -1,0 +1,69 @@
+package graft
+
+import graft.similarity.Ann
+
+/** ANN guarantees: IVF with full probing degenerates to exact brute
+  * force; LSH recall against brute force is bounded below; ranking is
+  * deterministic.
+  */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  private def neighborSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+
+  test("ivfTopK with nprobe = all cells is exactly brute force") {
+    val bf = Ann.bruteForceTopK(emb)
+    val ivfAll = Ann.ivfTopK(emb, nprobe = Ann.IvfCells)
+    assert(rowsOf(ivfAll) === rowsOf(bf))
+  }
+
+  test("ivfTopK at nprobe=4 keeps recall ≥ 0.6") {
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val ivf = neighborSets(Ann.ivfTopK(emb))
+    val recalls = bf.map { case (q, s) =>
+      ivf.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean IVF recall ${recalls.sum / recalls.size}")
+  }
+
+  test("lshTopK recall vs brute force ≥ 0.5 and scores are correct") {
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val lshDf = Ann.lshTopK(emb)
+    val lsh = neighborSets(lshDf)
+    val recalls = bf.map { case (q, s) =>
+      lsh.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean LSH recall ${recalls.sum / recalls.size}")
+    // every LSH hit carries the same rounded score brute force computes
+    val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lshDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
+  test("bruteForceTopK pins known neighbors on a synthetic set") {
+    val s = spark
+    import s.implicits._
+    // qid 0 along e0; vec 20 = same direction, vec 21 = opposite,
+    // vec 22 orthogonal-ish.
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val data = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (20L, v(2, 0, 0, 0)),
+      (21L, v(-1, 0, 0, 0)),
+      (22L, v(0, 1, 0, 0)),
+      (23L, v(1, 1, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(data, k = 4).where($"qid" === 0L)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.map(_._1).toSeq === Seq(20L, 23L, 22L, 21L))
+    assert(top.head._2 === 1.0)
+    assert(top.last._2 === -1.0)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Plants synthetic duplicates to prove each dedup path *detects*
+  * (the driver gate runs on the real corpus, where near-dup density
+  * is whatever the generator planted), and cross-checks the
+  * probabilistic paths against their exact counterparts.
+  */
+class DedupSpec extends SparkSpec {
+
+  // Long enough that a one-word edit stays in the high-similarity
+  // regime (Jaccard ≈ 0.76) where 32×4 MinHash banding has
+  // P(miss) < 1e-5 — banding recall is only guaranteed well above τ.
+  private lazy val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu " +
+      "nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+  private lazy val planted = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, base),
+      (1L, base),                                      // exact dup of 0
+      (2L, base.replace("delta", "DELTA")),            // near dup of 0
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactGroups keeps min doc_id with group size") {
+    val g = Dedup.exactGroups(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(0L) === 2L) // docs 0 and 1 collapse
+    assert(!g.contains(1L))
+    assert(g(2L) === 1L && g(3L) === 1L && g(4L) === 1L)
+  }
+
+  test("ngramJaccardPairs finds planted near-dups and nothing else") {
+    val pairs = Dedup.ngramJaccardPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) >= 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.size === 3) // no cross-pairs with docs 3/4
+  }
+
+  test("minhashLshPairs equals ngramJaccardPairs on planted and real data") {
+    assert(rowsOf(Dedup.minhashLshPairs(planted)) === rowsOf(Dedup.ngramJaccardPairs(planted)))
+    val docs = Tables.documents(spark, sfDir)
+    assert(rowsOf(Dedup.minhashLshPairs(docs)) === rowsOf(Dedup.ngramJaccardPairs(docs)))
+  }
+
+  test("simhashPairs detects identical and near-identical docs") {
+    val pairs = Dedup.simhashPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L) // identical text → identical simhash
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || b == 4L || a == 3L })
+  }
+
+  test("simhash near-dup pairs are a subset of jaccard near-dups on real data") {
+    val docs = Tables.documents(spark, sfDir)
+    val sim = Dedup.simhashPairs(docs).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jac = Dedup.ngramJaccardPairs(docs, tau = 0.3).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    assert(sim.subsetOf(jac))
+  }
+
+  test("embeddingDupSummary flags planted near-identical vectors") {
+    val s = spark
+    import s.implicits._
+    val v0 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v0eps = v0.clone(); v0eps(0) = v0eps(0) + 1e-4f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val emb = Seq(
+      (0L, v0.toSeq), (1L, v0eps.toSeq), (2L, other.toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDupSummary(emb).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) === ((0L, true)))
+    assert(out(1L)._1 >= 1L && !out(1L)._2) // near-identical to vec 0 → dropped
+    assert(out(2L) === ((0L, true)))
+  }
+
+  test("embeddingDupSummary keeps everything on the real corpus (no planted dups)") {
+    val out = Dedup.embeddingDupSummary(Tables.embeddings(spark, sfDir))
+    assert(out.where(!col("kept")).count() === 0L)
+    assert(out.count() === Tables.embeddings(spark, sfDir).count())
+  }
+}

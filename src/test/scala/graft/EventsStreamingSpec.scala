@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Events
+import graft.streaming.Streaming
+import org.apache.spark.sql.functions._
+
+/** Sessionization invariants + batch/stream agreement. */
+class EventsStreamingSpec extends SparkSpec {
+
+  test("batch sessionize: sessions partition the events, gaps respect the threshold") {
+    val sess = Events.qEventsSessionize(spark, sfDir).localCheckpoint()
+    val nEvents = Events.eventsSec(spark, sfDir).count()
+    val sums = sess.agg(sum("n_events")).head().getLong(0)
+    assert(sums === nEvents)
+    // within a user, consecutive sessions are separated by > GapSec
+    // and each session's span only contains gaps ≤ GapSec (span check:
+    // start ≤ end always; adjacency check via lead)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val bad = sess
+      .withColumn("next_start", lead(col("session_start"), 1).over(w))
+      .where(col("next_start").isNotNull &&
+        col("next_start") - col("session_end") <= Events.GapSec)
+      .count()
+    assert(bad === 0L)
+    assert(sess.where(col("session_start") > col("session_end")).count() === 0L)
+  }
+
+  test("stream_sessionize equals batch sessionize") {
+    val batch = Events.qEventsSessionize(spark, sfDir)
+    val stream = Streaming.streamSessionize(spark, sfDir)
+    assert(rowsOf(stream) === rowsOf(batch))
+  }
+
+  test("stream_window_agg equals the batch window agg (sans distinct users)") {
+    val batch = Events.qEventsWindow(spark, sfDir)
+      .select("window_start", "event_type", "n_events", "total_value")
+    val stream = Streaming.streamWindowAgg(spark, sfDir)
+    assert(rowsOf(stream) === rowsOf(batch))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.graph.{DerivedGraphs, GraphOps, GraphStore}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Pins the graph ops the driver gate checks rows-only:
+  * reference-format parsing, DFS preorder, CC invariants.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def edgeDf(edges: (Long, Long)*) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "dst")
+  }
+
+  test("fromAdjacencyText parses the reference G*.txt format 1-based") {
+    // Reference format (utilities.h + G1..G6.txt): first line n, then
+    // n rows of n 0/1 cells; vertex ids are 1-based (client.c).
+    val f = Files.createTempFile("graft-g1", ".txt")
+    Files.writeString(f,
+      """4
+        |0 1 0 0
+        |0 0 1 0
+        |0 0 0 1
+        |1 0 1 0
+        |""".stripMargin)
+    val edges = GraphStore.fromAdjacencyText(spark, f.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges === Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (4L, 3L)))
+  }
+
+  test("dfsPreorder is the lexicographic preorder") {
+    // 1 -> {2,5}, 2 -> {3}, 5 -> {6}, plus a back edge 3 -> 1.
+    val e = edgeDf((1L, 5L), (1L, 2L), (2L, 3L), (5L, 6L), (3L, 1L))
+    val order = GraphOps.dfsPreorder(e, source = 1L)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    assert(order === Seq(1L, 2L, 3L, 5L, 6L))
+  }
+
+  test("bfs levels are min-hop distances") {
+    // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3.
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+    val s = spark
+    import s.implicits._
+    val src = Seq(1L).toDF("vertex")
+    val levels = GraphOps.bfsFrom(e, src)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(levels === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("connectedComponents labels by component minimum") {
+    val e = edgeDf((1L, 2L), (2L, 3L), (10L, 11L))
+    val cc = GraphOps.connectedComponents(e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: edge endpoints share a component (hash graph)") {
+    val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
+    val cc = GraphOps.connectedComponents(e)
+    val viol = e
+      .join(cc.withColumnRenamed("vertex", "src").withColumnRenamed("component", "ca"), "src")
+      .join(cc.withColumnRenamed("vertex", "dst").withColumnRenamed("component", "cb"), "dst")
+      .where(col("ca") =!= col("cb")).count()
+    assert(viol === 0L)
+    // every vertex labeled, label ≤ vertex id
+    val bad = cc.where(col("component") > col("vertex")).count()
+    assert(bad === 0L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+
+  test("langid accuracy ≥ 0.9 against the labeled corpus") {
+    val out = TextAnalysis.textLangid(spark, sfDir)
+    val n = out.count().toDouble
+    val correct = out.where(col("pred_lang") === col("lang")).count().toDouble
+    assert(correct / n >= 0.9, s"accuracy ${correct / n}")
+  }
+
+  test("token counts and quality features on a pinned document") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((7L, "the cat sat on a mat!", "en", "src0", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // ws tokens: the|cat|sat|on|a|mat! = 6; regex tokens: 6 words + '!' = 7
+    val t = docs.select(
+      size(split(col("text"), " ")).as("ws"),
+      regexp_count(col("text"), lit(TextAnalysis.TokenPattern)).as("bpe")).head()
+    assert(t.getInt(0) === 6 && t.getInt(1) === 7)
+  }
+
+  test("textQuality pinned values") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((7L, "the cat sat on a mat!", "en", "src0", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // char_len=21, ws_tokens=6, stop=('the','a')=2, punct=('!')=1
+    val q = withFakeTable(docs) { dir => TextAnalysis.textQuality(spark, dir) }.head
+    assert(q.getLong(1) === 21L)
+    assert(q.getLong(2) === 6L)
+    assert(q.getDouble(3) === math.rint(2.0 / 6.0 * 1e6) / 1e6) // stop_ratio ≈ 0.333333
+    assert(q.getDouble(4) === math.rint(1.0 / 21.0 * 1e6) / 1e6) // punct_ratio
+  }
+
+  test("textFingerprint is the md5 of the text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abc", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fp = withFakeTable(docs) { dir => TextAnalysis.textFingerprint(spark, dir) }.head
+    assert(fp.getString(1) === "900150983cd24fb0d6963f7d28e17f72")
+    assert(fp.getLong(2) === 0L)
+  }
+
+  /** Writes `docs` as a documents table in a temp sf dir and runs `f`. */
+  private def withFakeTable(docs: org.apache.spark.sql.DataFrame)(
+      f: String => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    f(dir).collect()
+  }
+}

@@ -40,10 +40,24 @@ object Dedup {
   val RowsPerBand = 4
   private val MersenneP = 2147483647L // 2^31-1, prime; products stay < 2^63
 
-  /** (doc_id, s): distinct word n-gram shingles per document. */
-  def docShingles(docs: DataFrame, n: Int = NgramN): DataFrame =
-    docs.withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(TextAnalysis.shingleExpr(n))).as("s"))
+  /** (doc_id, s): distinct word n-gram shingles per document —
+    * per-doc dedup happens in the flatMap (no global shuffle).
+    */
+  def docShingles(docs: DataFrame, n: Int = NgramN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < n) Iterator.empty
+        else {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+          w.iterator.sliding(n).withPartial(false).foreach(g => seen += g.mkString(" "))
+          seen.iterator.map(s => (id, s))
+        }
+      }.toDF("doc_id", "s")
+  }
 
   /** Exact dedup: group by content hash, keep the lowest doc_id.
     * Output: one row per distinct content, (kept doc_id, group_size).
@@ -82,13 +96,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ τ via inverted-index
-    * join (shingle → docs posting join), never all-pairs.
+  /** Near-dup pairs by exact n-gram Jaccard ≥ τ via a prefix-filtered
+    * inverted-index join (AllPairs/PPJoin): each doc indexes only its
+    * `n - ⌈τ·n⌉ + 1` globally-rarest shingles — if J(A,B) ≥ τ those
+    * prefixes must share a shingle, so recall is exact while the
+    * posting join runs over rare shingles only (the frequent-shingle
+    * quadratic blowup never happens). Exact verification then computes
+    * true Jaccard over the full shingle sets.
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docShingles(docs)
-    val cand = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val wn = Window.partitionBy("doc_id")
+    val tauEff = tau - 1e-6 // margin for the 6-dp-rounded threshold
+    val prefix = sh.join(broadcast(dfreq), "s")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_sh", count(lit(1)).over(wn))
+      .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
+      .select("doc_id", "s")
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("s"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, sh, tau)
@@ -156,9 +185,8 @@ object Dedup {
   val SimhashMaxHamming = 3
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val wts = docs.withColumn("w", split(col("text"), " "))
-      .select(col("doc_id"), explode(TextAnalysis.shingleExpr(NgramN)).as("s"))
-      .groupBy("doc_id", "s").agg(count(lit(1)).as("wt"))
+    val wts = TextAnalysis.shingleRows(docs, NgramN)
+      .groupBy(col("doc_id"), col("g").as("s")).agg(count(lit(1)).as("wt"))
       .withColumn("h", xxhash64(col("s")))
     val bitSums = (0 until 64).map { j =>
       sum(col("wt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L)).as(s"b$j")

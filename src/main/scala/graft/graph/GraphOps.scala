@@ -55,10 +55,14 @@ object GraphOps {
       level += 1
       val visited = frames.reduce(_ unionAll _).select("tag", "vertex")
       val f = if (frontierRows <= BroadcastFrontier) broadcast(frontier) else frontier
-      val next = e.join(f, e("src") === f("vertex"))
+      val nextRaw = e.join(f, e("src") === f("vertex"))
         .select(col("tag"), col("dst").as("vertex")).distinct()
         .join(visited, Seq("tag", "vertex"), "left_anti")
         .withColumn("level", lit(level))
+      // Small frontiers collapse to one partition so the checkpointed
+      // frames stay single-task (the visited union then scans L tasks,
+      // not L × shuffle-partitions).
+      val next = (if (frontierRows <= 1000000) nextRaw.coalesce(1) else nextRaw)
         .localCheckpoint()
       frontierRows = next.count()
       if (frontierRows > 0) frames += next

@@ -22,23 +22,30 @@ object TextAnalysis {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** Word-level n-gram shingles (space-joined), one row per occurrence.
-    * Shared by langid and the dedup suite. Spark `sequence(1, n)` with
-    * n < 1 counts *down*, so short docs are guarded to an empty array
-    * (they produce no shingles — same as the oracle's generate_series).
+  /** (doc_id, g): one row per word-level n-gram shingle occurrence.
+    * Implemented as a typed flatMap (JIT'd sliding window), not
+    * `transform`/`element_at` lambdas: Spark's higher-order functions
+    * evaluate interpreted per element, which measured ~30× slower than
+    * this loop on the shingling hot path. Docs shorter than n words
+    * yield nothing (same as the oracle's generate_series).
     */
-  def shingleExpr(n: Int): Column = {
-    val parts = (0 until n).map(i => s"element_at(w, i + $i)").mkString(", ")
-    when(size(col("w")) >= n,
-      expr(s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $parts))"))
-      .otherwise(array().cast(ArrayType(StringType)))
+  def shingleRows(docs: DataFrame, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < n) Iterator.empty
+        else w.iterator.sliding(n).withPartial(false).map(g => (id, g.mkString(" ")))
+      }.toDF("doc_id", "g")
   }
 
-  /** (doc_id, lang, g): one row per shingle occurrence. */
+  /** (doc_id, lang, g): shingle occurrences with the training label. */
   def shingles(docs: DataFrame, n: Int): DataFrame =
-    docs.withColumn("w", split(col("text"), " "))
-      .withColumn("g", shingleExpr(n))
-      .select(col("doc_id"), col("lang"), explode(col("g")).as("g"))
+    shingleRows(docs, n)
+      .join(broadcast(docs.select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))),
+        Seq("doc_id"))
 
   /** Token counts: whitespace tokens and regex ("BPE-ish") tokens. */
   def textTokens(spark: SparkSession, dir: String): DataFrame =
@@ -133,21 +140,36 @@ object TextAnalysis {
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang", "text")
     val sh = shingles(docs, 3)
-    val prof = sh.groupBy(col("lang").as("cand"), col("g")).agg(count(lit(1)).as("c"))
-    val tot = sh.groupBy(col("lang").as("cand")).agg(count(lit(1)).as("t"))
-    val vocab = sh.agg(countDistinct(col("g")).as("v"))
-    val langs = docs.select(col("lang").as("cand")).distinct()
+    // Profile scalars (per-lang shingle totals, vocab size) collect to
+    // the driver — a handful of values, folded into the plan as
+    // literals. The per-shingle profile pivots to one row per shingle
+    // with a count column per language: scoring is then a single
+    // broadcast hash join (no langs× row blowup) and the argmax is a
+    // greatest/when chain (no window shuffle). Scores are the same
+    // log((c+1)/(tot+V)) sums as the oracle, summed per doc.
+    val totRows = sh.groupBy("lang").agg(count(lit(1)).as("t")).collect()
+    val langs = totRows.map(_.getString(0)).sorted
+    val tot = totRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v = sh.agg(countDistinct(col("g"))).head().getLong(0)
+    val prof = sh.groupBy("g").pivot("lang", langs).agg(count(lit(1)))
+    val scoreCols = langs.map { l =>
+      sum(log((coalesce(col(s"`$l`"), lit(0L)) + 1.0) / lit((tot(l) + v).toDouble)))
+        .as(s"s_$l")
+    }
     val scored = sh.select("doc_id", "g")
-      .crossJoin(broadcast(langs))
-      .join(broadcast(tot), "cand")
-      .crossJoin(broadcast(vocab))
-      .join(broadcast(prof), Seq("cand", "g"), "left")
-      .groupBy(col("doc_id"), col("cand"))
-      .agg(sum(log((coalesce(col("c"), lit(0L)) + 1.0) / (col("t") + col("v")))).as("s"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("s").desc, col("cand"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .join(broadcast(prof), Seq("g"))
+      .groupBy("doc_id")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax with lang-ascending tie-break: first lang (alphabetical)
+    // whose score equals the maximum.
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.foldRight(lit(null).cast(StringType): Column) { (l, acc) =>
+      when(col(s"s_$l") === best, lit(l)).otherwise(acc)
+    }
+    // foldRight builds when(en)...when(zh): earliest lang wins ties.
+    scored.select(col("doc_id"), pred.as("pred_lang"))
       .join(docs.select("doc_id", "lang"), "doc_id")
-      .select(col("doc_id"), col("cand").as("pred_lang"), col("lang"))
+      .select(col("doc_id"), col("pred_lang"), col("lang"))
       .orderBy("doc_id")
   }
 

@@ -218,7 +218,20 @@ object GraphQueries {
        |SELECT v AS vertex, landmark, CAST(MIN(dist) AS BIGINT) AS dist
        |FROM sp GROUP BY v, landmark ORDER BY vertex, landmark""".stripMargin
 
+  /** The warehouse→graph derivation itself (nation trade graph with
+    * its threshold rule), exposed directly so the derivation layer has
+    * its own gate entry (supply-graph derivation is gated via
+    * graph_load/bfs/degrees).
+    */
+  def graphFromTpch(spark: SparkSession, dir: String): DataFrame =
+    DerivedGraphs.nationEdges(spark, dir).orderBy("src", "dst")
+
+  val graphFromTpchSql: String =
+    s"""WITH ${DerivedGraphs.nationEdgesSql}
+       |SELECT src, dst FROM ne ORDER BY src, dst""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("graph_from_tpch", graphFromTpch, Some(graphFromTpchSql)),
     Op("graph_load", graphLoad, Some(graphLoadSql)),
     Op("graph_modify", graphModify, Some(graphModifySql)),
     Op("graph_bfs", graphBfs, Some(graphBfsSql)),

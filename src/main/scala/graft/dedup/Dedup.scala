@@ -239,9 +239,7 @@ object Dedup {
     val dups = cand
       .join(vecs.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")), "ia")
       .join(vecs.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")), "ib")
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-          / (col("na") * col("nb")))
+      .withColumn("cos", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
       .where(col("cos") >= tau)
       .groupBy(col("ib").as("vec_id")).agg(count(lit(1)).as("n_prior_dups"))
     emb.select(col("vec_id"))

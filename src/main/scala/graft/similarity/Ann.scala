@@ -57,12 +57,14 @@ object Ann {
     s
   }
 
-  /** (vec_id, v double[], nrm): codegen'd projection + L2 norm. */
+  /** (vec_id, v double[], nrm): codegen'd projection + native L2 norm
+    * ([[graft.functions.L2Norm]] — the float array implicit-casts to
+    * double inside the generated loop's input).
+    */
   def withNorm(emb: DataFrame): DataFrame =
     emb.select(col("vec_id").cast(LongType).as("vec_id"),
-      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      .withColumn("nrm",
-        sqrt(expr("aggregate(v, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)")))
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+      .withColumn("nrm", expr("graft_norm(v)"))
 
   /** 64-bit random-hyperplane signature per vector (used by
     * [[graft.dedup.Dedup.embeddingDupSummary]] block-join).
@@ -298,9 +300,7 @@ object Ann {
       .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
       .join(vecs, "vec_id")
       .withColumn("score",
-        round(
-          expr("aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
-            / (col("qn") * col("nrm")), 6) + 0.0)
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
       .select("qid", "vec_id", "score")
     globalTopK(scored, k)
   }

@@ -157,8 +157,33 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** Streaming exact dedup: first-seen (user_id, event_type) keys via
+    * the state-store `dropDuplicates`. Keys here are bounded; an
+    * unbounded-key production stream would use
+    * `dropDuplicatesWithinWatermark` to cap state.
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stagingDir("graft-stream-dedup")
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val name = "graft_stream_dedup"
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  val streamDedupSql: String = """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type"""
+
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
+    Op("stream_dedup", streamDedup, Some(streamDedupSql)),
   )
 }

@@ -101,8 +101,24 @@ object Events {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Sketch-based distinct counting: HLL++ (`approx_count_distinct`)
+    * per event type next to the exact count. rows-only in the gate
+    * (the sketch estimate is engine-specific); the spec bounds the
+    * relative error. At 100 TB the sketch is the only affordable
+    * per-key cardinality — it merges map-side and never shuffles raw
+    * user ids.
+    */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    eventsSec(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    Op("q_approx_distinct", qApproxDistinct, None),
   )
 }

@@ -243,7 +243,67 @@ object Relational {
     GROUP BY ROLLUP(r_name, n_name)
     ORDER BY region_name, nation_name"""
 
+  /** Small-quantity revenue (TPC-H Q17 shape): correlated per-part
+    * average re-expressed as an aggregate + self-join — the scalable
+    * decorrelation (one shuffle on partkey, no per-row subquery).
+    * The per-part average uses the decimal-snap sum so the 0.2·avg
+    * comparison is bit-identical across engines.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val pt = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1" && col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val avgq = li.groupBy("l_partkey")
+      .agg((sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .join(avgq, "l_partkey")
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        (coalesce(sum(dec2(col("l_extendedprice"))).cast(DoubleType), lit(0.0)) / 7.0)
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q17SmallQtySql: String = """
+    WITH avgq AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY 1)
+    SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 0.0)/7.0 AS avg_yearly,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN avgq USING (l_partkey)
+    WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+      AND l_quantity < 0.2 * avg_qty"""
+
+  /** Exact linear-interpolation percentiles per group. Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the definition;
+    * 4-dp rounding absorbs summation-free interpolation noise.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  val qPercentilesSql: String = """
+    SELECT l_returnflag,
+      ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+      ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1 ORDER BY 1"""
+
   def ops: Seq[Op] = Seq(
+    Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q1_agg", q1Agg, Some(q1AggSql)),
     Op("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),
     Op("q5_multijoin", q5Multijoin, Some(q5MultijoinSql)),

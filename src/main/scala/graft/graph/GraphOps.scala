@@ -41,35 +41,48 @@ object GraphOps {
     val tagged =
       if (sources.columns.contains("tag")) sources.select(col("tag").cast("long"), col("vertex").cast("long"))
       else sources.select(lit(0L).as("tag"), col("vertex").cast("long"))
-    var frontier = tagged.distinct().withColumn("level", lit(0)).localCheckpoint()
+    var frontier = tagged.distinct().localCheckpoint()
     var frontierRows = frontier.count()
     // One eagerly-checkpointed job per level is the whole cost model:
-    // `visited` is the *lazy* union of the per-level checkpointed
-    // frames (levels are disjoint by construction), so no re-unioned
-    // visited set is ever materialized, and the post-checkpoint
-    // count() is a cached scan. Levels are bounded, so the union stays
-    // shallow and lineage never grows.
-    val frames = scala.collection.mutable.ArrayBuffer(frontier)
+    // `visited` is the *lazy* union of checkpointed frames, compacted
+    // into a single checkpoint every CompactEvery levels so the plan
+    // the anti-join compiles stays bounded (an ever-growing union
+    // forces a fresh whole-stage-codegen compile per level — O(L²)
+    // compile work). The `level` column is attached *after* the
+    // checkpoint, so the per-level job's generated code is
+    // level-independent. The post-checkpoint count() is a cached scan.
+    val CompactEvery = 8
+    val frames = scala.collection.mutable.ArrayBuffer((0, frontier))
+    var visitedBase = frontier
+    val recent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
     while (frontierRows > 0 && level < maxDepth) {
       level += 1
-      val visited = frames.reduce(_ unionAll _).select("tag", "vertex")
+      val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
       val f = if (frontierRows <= BroadcastFrontier) broadcast(frontier) else frontier
       val nextRaw = e.join(f, e("src") === f("vertex"))
         .select(col("tag"), col("dst").as("vertex")).distinct()
         .join(visited, Seq("tag", "vertex"), "left_anti")
-        .withColumn("level", lit(level))
       // Small frontiers collapse to one partition so the checkpointed
       // frames stay single-task (the visited union then scans L tasks,
       // not L × shuffle-partitions).
       val next = (if (frontierRows <= 1000000) nextRaw.coalesce(1) else nextRaw)
         .localCheckpoint()
       frontierRows = next.count()
-      if (frontierRows > 0) frames += next
+      if (frontierRows > 0) {
+        frames += ((level, next))
+        recent += next
+        if (recent.size >= CompactEvery) {
+          visitedBase = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
+            .coalesce(math.max(1, e.rdd.getNumPartitions / 4)).localCheckpoint()
+          recent.clear()
+        }
+      }
       frontier = next
     }
     e.unpersist()
-    frames.reduce(_ unionAll _)
+    frames.map { case (lvl, df) => df.withColumn("level", lit(lvl)) }
+      .reduce(_ unionAll _)
   }
 
   /** Single-source BFS: (vertex, level). */

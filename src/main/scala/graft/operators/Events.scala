@@ -116,9 +116,50 @@ object Events {
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** As-of join — an operator Spark has no native form of (SURVEY §2
+    * preference order (a): compose existing ops). Each `purchase`
+    * event is joined to the most recent prior `click` of the same
+    * user. Re-expressed as a single running-max window over the
+    * time-ordered union — one shuffle on user_id, no range-join
+    * explosion; the equivalent DuckDB SQL is the same window (DuckDB's
+    * native ASOF JOIN would also work, but the window form keeps both
+    * engines on identical semantics incl. ties).
+    */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsSec(spark, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    ev.withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts_sec"))).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_sec").as("purchase_ts"),
+        col("last_click_ts"),
+        (col("ts_sec") - col("last_click_ts")).as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  val qAsofJoinSql: String = """
+    WITH es AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    tagged AS (
+      SELECT event_id, user_id, event_type, ts_sec,
+        MAX(CASE WHEN event_type = 'click' THEN ts_sec END) OVER
+          (PARTITION BY user_id ORDER BY ts_sec, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM es)
+    SELECT event_id, user_id, ts_sec AS purchase_ts, last_click_ts,
+      ts_sec - last_click_ts AS gap_sec
+    FROM tagged WHERE event_type = 'purchase'
+    ORDER BY event_id"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    Op("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
   )
 }

@@ -157,6 +157,57 @@ object Streaming {
       .orderBy("user_id", "session_id")
   }
 
+  /** Watermarked append-mode windowed aggregation — the production
+    * Structured Streaming idiom (complete mode re-emits everything;
+    * append emits each window once, when the watermark passes its
+    * end). Sentinel batches advance the watermark so the bounded run
+    * flushes every window; sentinel rows are filtered after the
+    * watermark operator so they advance event time without
+    * contributing to any real window.
+    */
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stagingDir("graft-stream-append")
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val agg = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "0 seconds")
+      // No pre-agg sentinel filter: Catalyst would push it below the
+      // EventTimeWatermark operator and the sentinels would never
+      // advance the watermark. Sentinel windows are filtered from the
+      // sink table instead (at most the first sentinel's own window
+      // ever flushes).
+      .groupBy(window(col("ts_ev"), s"${Events.WindowSec} seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+    val name = "graft_stream_window_append"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      SentinelNs.zipWithIndex.foreach { case (ns, i) =>
+        val scratch = stagingDir(s"graft-append-sentinel$i")
+        spark.createDataFrame(
+          java.util.List.of[org.apache.spark.sql.Row](
+            org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
+          schema
+        ).coalesce(1).write.mode("overwrite").parquet(scratch)
+        val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
+          .findFirst.get
+        Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(name)
+      .where(col("event_type") =!= "sentinel")
+      .orderBy("window_start", "event_type")
+  }
+
   /** Streaming exact dedup: first-seen (user_id, event_type) keys via
     * the state-store `dropDuplicates`. Keys here are bounded; an
     * unbounded-key production stream would use
@@ -183,6 +234,7 @@ object Streaming {
 
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
+    Op("stream_window_append", streamWindowAppend, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
   )

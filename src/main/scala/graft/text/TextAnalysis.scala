@@ -199,10 +199,72 @@ object TextAnalysis {
     FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
     WHERE rn = 1 ORDER BY r.doc_id"""
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS scheme): rolling polynomial hash over `K`-char grams,
+    * then the minimum hash of every `W`-hash window (rightmost min,
+    * deduped) becomes a fingerprint. Guarantee: any shared substring
+    * of length ≥ W + K - 1 between two documents yields a shared
+    * fingerprint — the local, position-robust document fingerprint
+    * that md5 content hashing can't give. Pure JIT'd flatMap; output
+    * is engine-specific (rows-only in the gate, spec pins the
+    * guarantee and exact values).
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+  private val HashBase = 257L
+
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val n = bytes.length - k + 1
+        if (n <= 0) Iterator.empty
+        else {
+          // rolling hash h_i of bytes[i, i+k): wrap-around Long math
+          var pow = 1L
+          var j = 1
+          while (j < k) { pow *= HashBase; j += 1 }
+          val hs = new Array[Long](n)
+          var h = 0L
+          var i = 0
+          while (i < k) { h = h * HashBase + (bytes(i) & 0xff); i += 1 }
+          hs(0) = h
+          i = 1
+          while (i < n) {
+            h = (h - (bytes(i - 1) & 0xff) * pow) * HashBase + (bytes(i + k - 1) & 0xff)
+            hs(i) = h
+            i += 1
+          }
+          // winnow: rightmost minimum of each w-window, deduped by position
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var lastPos = -1
+          var s = 0
+          val wins = math.max(1, n - w + 1)
+          while (s < wins) {
+            var best = s
+            var t = s
+            val end = math.min(s + w, n)
+            while (t < end) { if (hs(t) <= hs(best)) best = t; t += 1 }
+            if (best != lastPos) { out += ((id, best.toLong, hs(best))); lastPos = best }
+            s += 1
+          }
+          out.iterator
+        }
+      }.toDF("doc_id", "pos", "fp")
+      .orderBy("doc_id", "pos")
+  }
+
+  def textWinnow(spark: SparkSession, dir: String): DataFrame =
+    winnowFingerprints(Tables.documents(spark, dir))
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
+    Op("text_winnow", textWinnow, None),
     Op("text_langid", textLangid, Some(textLangidSql)),
   )
 }

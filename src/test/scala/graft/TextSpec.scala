@@ -48,6 +48,25 @@ class TextSpec extends SparkSpec {
     assert(fp.getLong(2) === 0L)
   }
 
+  test("winnowing: shared substrings of length ≥ W+K-1 share a fingerprint") {
+    val s = spark
+    import s.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different lead-in $shared and another tail"),
+      (3L, "no overlap here at all just other words entirely")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty) // winnowing guarantee
+    assert((fps(1L) & fps(3L)).isEmpty)
+    // determinism: same doc → same fingerprint set
+    val again = TextAnalysis.winnowFingerprints(docs).collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(2)).toSet }
+    assert(again === fps)
+  }
+
   /** Writes `docs` as a documents table in a temp sf dir and runs `f`. */
   private def withFakeTable(docs: org.apache.spark.sql.DataFrame)(
       f: String => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {

@@ -42,16 +42,48 @@ object Streaming {
   private def stagingDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Stage the events parquet as the single starting file of a fresh
+    * streaming input directory (file sources need a directory).
+    */
+  private def stageEvents(dir: String, prefix: String): String = {
+    val inDir = stagingDir(prefix)
+    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    inDir
+  }
+
+  /** Append the sentinel batches one by one, draining the query after
+    * each, so the watermark advances past all real event time and the
+    * final stateful results flush. The file source lists only
+    * top-level files, so each sentinel is written to a scratch dir and
+    * its part-file moved in flat.
+    */
+  private def driveSentinels(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      inDir: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    SentinelNs.zipWithIndex.foreach { case (ns, i) =>
+      val scratch = stagingDir(s"graft-sentinel$i")
+      spark.createDataFrame(
+        java.util.List.of[org.apache.spark.sql.Row](
+          org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
+        schema
+      ).coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
+        .findFirst.get
+      Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    }
+
   /** Streamed tumbling-window aggregation (complete mode): same
     * result as the batch `q_events_window`, minus the distinct-user
     * count (DISTINCT aggregates are unsupported in streaming aggs).
     */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema
-    // File sources need a directory: stage the single parquet file.
-    val inDir = stagingDir("graft-stream-win")
-    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val inDir = stageEvents(dir, "graft-stream-win")
     val src = spark.readStream.schema(schema).parquet(inDir)
     val agg = src
       .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
@@ -84,10 +116,7 @@ object Streaming {
     val gap = Events.GapSec
     val schema = Tables.events(spark, dir).schema
 
-    // Stage the real file plus room for sentinel batches.
-    val inDir = stagingDir("graft-stream-in")
-    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val inDir = stageEvents(dir, "graft-stream-in")
 
     val src = spark.readStream.schema(schema).parquet(inDir)
       .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
@@ -135,22 +164,7 @@ object Streaming {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      // Sentinel batches: advance the watermark, then fire timeouts.
-      // The file source lists only top-level files, so the sentinel is
-      // written to a scratch dir and its part-file moved in flat.
-      SentinelNs.zipWithIndex.foreach { case (ns, i) =>
-        val scratch = stagingDir(s"graft-sentinel$i")
-        spark.createDataFrame(
-          java.util.List.of[org.apache.spark.sql.Row](
-            org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
-          schema
-        ).coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
-          .findFirst.get
-        Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        q.processAllAvailable()
-      }
+      driveSentinels(spark, schema, inDir, q)
     } finally q.stop()
     spark.table(name)
       .where(col("user_id") =!= SentinelUser)
@@ -167,9 +181,7 @@ object Streaming {
     */
   def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema
-    val inDir = stagingDir("graft-stream-append")
-    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val inDir = stageEvents(dir, "graft-stream-append")
     val agg = spark.readStream.schema(schema).parquet(inDir)
       .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
@@ -189,19 +201,7 @@ object Streaming {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      SentinelNs.zipWithIndex.foreach { case (ns, i) =>
-        val scratch = stagingDir(s"graft-append-sentinel$i")
-        spark.createDataFrame(
-          java.util.List.of[org.apache.spark.sql.Row](
-            org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
-          schema
-        ).coalesce(1).write.mode("overwrite").parquet(scratch)
-        val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
-          .findFirst.get
-        Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
-        q.processAllAvailable()
-      }
+      driveSentinels(spark, schema, inDir, q)
     } finally q.stop()
     spark.table(name)
       .where(col("event_type") =!= "sentinel")
@@ -215,9 +215,7 @@ object Streaming {
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.events(spark, dir).schema
-    val inDir = stagingDir("graft-stream-dedup")
-    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val inDir = stageEvents(dir, "graft-stream-dedup")
     val src = spark.readStream.schema(schema).parquet(inDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")

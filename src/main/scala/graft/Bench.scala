@@ -10,21 +10,29 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Fingerprint action, not count(): hashing every column forces the
       // full projection to be computed (count() lets Catalyst prune
       // window/derived columns away, under-measuring real work).
+      // bit_xor, not sum: summing uniform 64-bit hashes overflows Long,
+      // which under ANSI mode (Spark 4 default) aborts the job.
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(struct(df.columns.map(col): _*)))).collect()
-      } catch { case _: Throwable => () }
+        df.agg(expr("bit_xor(xxhash64(struct(*)))")).collect()
+      } catch {
+        case t: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAILURE in $name: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,13 +65,16 @@ object Events {
       SELECT user_id, event_id, value, epoch_ns(ts)//1000000000 AS ts_sec
       FROM events),
     tagged AS (
-      SELECT user_id, ts_sec, value,
+      SELECT user_id, event_id, ts_sec, value,
         CASE WHEN ts_sec - LAG(ts_sec) OVER w > $GapSec THEN 1 ELSE 0 END AS new_sess
       FROM es
       WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
     sess AS (
+      -- running-sum window ordered by (ts_sec, event_id), identical to the
+      -- Spark side: ties at a session boundary must assign rows to the same
+      -- session in both engines (sf0.1 contains such a tie).
       SELECT user_id, ts_sec, value,
-        CAST(1 + SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec
+        CAST(1 + SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM tagged)
     SELECT user_id, session_id,

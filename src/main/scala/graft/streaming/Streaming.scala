@@ -42,6 +42,17 @@ object Streaming {
   private def stagingDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Exact integer event seconds from whatever type `ts` actually is:
+    * raw nanosecond longs under `nanosAsLong` (GraftSession.tuned), or
+    * a real timestamp under a vanilla session — same dispatch as
+    * [[graft.operators.Events.eventsSec]].
+    */
+  private def tsSecExpr(schema: StructType): org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case LongType => expr("ts div 1000000000").cast(LongType)
+      case _        => unix_timestamp(col("ts").cast(TimestampType)).cast(LongType)
+    }
+
   /** Stage the events parquet as the single starting file of a fresh
     * streaming input directory (file sources need a directory).
     */
@@ -65,11 +76,20 @@ object Streaming {
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     SentinelNs.zipWithIndex.foreach { case (ns, i) =>
       val scratch = stagingDir(s"graft-sentinel$i")
-      spark.createDataFrame(
-        java.util.List.of[org.apache.spark.sql.Row](
-          org.apache.spark.sql.Row(-1L - i, ns, SentinelUser, "sentinel", 0.0, "{}")),
-        schema
-      ).coalesce(1).write.mode("overwrite").parquet(scratch)
+      // Sentinel values keyed by field name, ordered by the actual source
+      // schema: a column reorder/addition in the events parquet fails
+      // loudly here instead of silently misaligning fields.
+      val tsValue: Any = schema("ts").dataType match {
+        case LongType => ns
+        case _        => new java.sql.Timestamp(ns / 1000000L)
+      }
+      val byName = Map[String, Any](
+        "event_id" -> (-1L - i), "ts" -> tsValue, "user_id" -> SentinelUser,
+        "event_type" -> "sentinel", "value" -> 0.0, "props" -> "{}")
+      val row = org.apache.spark.sql.Row(schema.fieldNames.map(f =>
+        byName.getOrElse(f, sys.error(s"driveSentinels: unknown events column '$f'"))): _*)
+      spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](row), schema)
+        .coalesce(1).write.mode("overwrite").parquet(scratch)
       val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
         .findFirst.get
       Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
@@ -86,7 +106,7 @@ object Streaming {
     val inDir = stageEvents(dir, "graft-stream-win")
     val src = spark.readStream.schema(schema).parquet(inDir)
     val agg = src
-      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .withColumn("ts_sec", tsSecExpr(schema))
       .groupBy(expr(s"(ts_sec div ${Events.WindowSec}) * ${Events.WindowSec}").as("window_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -119,7 +139,7 @@ object Streaming {
     val inDir = stageEvents(dir, "graft-stream-in")
 
     val src = spark.readStream.schema(schema).parquet(inDir)
-      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
@@ -183,7 +203,7 @@ object Streaming {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-append")
     val agg = spark.readStream.schema(schema).parquet(inDir)
-      .withColumn("ts_sec", expr("ts div 1000000000").cast(LongType))
+      .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
       // No pre-agg sentinel filter: Catalyst would push it below the

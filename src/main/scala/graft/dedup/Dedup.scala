@@ -270,8 +270,94 @@ object Dedup {
     FROM embeddings e LEFT JOIN d ON d.ib = e.vec_id
     ORDER BY e.vec_id"""
 
+  /** Quality cutoff for the end-to-end pipeline (the corpus' composite
+    * score spans 0.38..0.94; 0.55 drops the bottom ~12%).
+    */
+  val QualityTau = 0.55
+
+  /** End-to-end training-data cleanup — the pipeline a 100 TB corpus
+    * actually runs, as one operator: exact dedup (content hash, keep
+    * min doc_id) → near-dup removal among survivors (prefix-filtered
+    * n-gram Jaccard; a doc drops if ANY lower-id survivor is ≥ τ
+    * similar) → quality filter. Output labels every document with the
+    * first stage that rejected it. Each stage is the already-gated
+    * operator's plan, so the composition inherits their scale shapes
+    * (hash agg, inverted-index join, scan-local scoring).
+    */
+  def pipelineStatus(docs: DataFrame, tau: Double = JaccardTau,
+      qualityTau: Double = QualityTau): DataFrame = {
+    val fp = docs.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+      .withColumn("fp", md5(col("text").cast(BinaryType)))
+    val keepIds = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    val tagged = fp.join(keepIds, "fp")
+      .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
+    val survivors = tagged.where(!col("is_exact_dup")).select("doc_id", "text")
+    val nearDup = ngramJaccardPairs(survivors, tau)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_near_dup", lit(true))
+    val quality = graft.text.TextAnalysis.qualityScored(survivors)
+      .select("doc_id", "quality_score")
+    tagged.select("doc_id", "is_exact_dup")
+      .join(nearDup, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact_dup"), "exact_dup")
+          .when(coalesce(col("is_near_dup"), lit(false)), "near_dup")
+          .when(col("quality_score") < qualityTau, "low_quality")
+          .otherwise("kept").as("status"))
+      .orderBy("doc_id")
+  }
+
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    pipelineStatus(Tables.documents(spark, dir))
+
+  val dedupPipelineSql: String = {
+    val stopList = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""
+    WITH fp AS (SELECT doc_id, text, md5(text) AS fp FROM documents),
+    k AS (SELECT fp, MIN(doc_id) AS keep_id FROM fp GROUP BY 1),
+    t AS (SELECT f.doc_id, f.text, f.doc_id != k.keep_id AS is_exact_dup
+          FROM fp f JOIN k USING (fp)),
+    kd AS (SELECT doc_id, text FROM t WHERE NOT is_exact_dup),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM kd),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                 FROM w)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    nearb AS (SELECT DISTINCT doc_b AS doc_id
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= $JaccardTau),
+    q AS (SELECT doc_id,
+            ROUND(LEAST(ws_tokens / 50.0, 1.0) * 0.4
+              + (1.0 - punct_marks / char_len) * 0.3
+              + LEAST(stop_tokens / ws_tokens * 5.0, 1.0) * 0.3, 6) AS quality_score
+          FROM (SELECT doc_id,
+                  CAST(length(text) AS BIGINT) AS char_len,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+                  CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ($stopList))) AS BIGINT) AS stop_tokens,
+                  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS punct_marks
+                FROM kd))
+    SELECT t.doc_id,
+      CASE WHEN t.is_exact_dup THEN 'exact_dup'
+           WHEN nb.doc_id IS NOT NULL THEN 'near_dup'
+           WHEN q.quality_score < $QualityTau THEN 'low_quality'
+           ELSE 'kept' END AS status
+    FROM t
+    LEFT JOIN nearb nb ON nb.doc_id = t.doc_id
+    LEFT JOIN q ON q.doc_id = t.doc_id
+    ORDER BY t.doc_id"""
+  }
+
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),
     Op("dedup_simhash", dedupSimhash, None),

@@ -219,6 +219,36 @@ object GraphOps {
     ranks.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
+  /** k-core decomposition membership: iteratively strip vertices of
+    * undirected degree < k until fixpoint; returns each surviving
+    * vertex with its degree inside the core subgraph. Each round is
+    * one degree aggregation + two semi-joins (shuffle on vertex id);
+    * round count is bounded by the longest peel chain, and edges only
+    * shrink — the standard distributed formulation. Convergence is
+    * detected on the edge count (pruning is monotone).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    var e = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var n = e.count()
+    var prev = -1L
+    var rounds = 0
+    while (n != prev && n > 0 && rounds < maxRounds) {
+      rounds += 1
+      prev = n
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d"))
+      val keep = deg.where(col("d") >= k).select("x")
+      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      n = e.count()
+    }
+    e.select(col("u").as("vertex")).unionAll(e.select(col("v").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
+  }
+
   /** Per-vertex triangle participation counts over the undirected
     * simple graph. Edges are oriented low→high so each triangle is
     * enumerated exactly once (a<b<c) — the standard shuffle-minimal

@@ -173,6 +173,36 @@ object GraphQueries {
        |SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""".stripMargin
   }
 
+  /** k-core membership (k=3) on the nation graph. The engine iterates
+    * to fixpoint; the oracle unrolls 6 prune rounds — measured
+    * convergence is 2 rounds at every shipped SF, so both reach the
+    * same fixpoint (monotone pruning: extra rounds are no-ops).
+    */
+  val KCoreK = 3
+
+  def graphKCore(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kCore(DerivedGraphs.nationEdges(spark, dir), KCoreK)
+      .orderBy("vertex")
+
+  val graphKCoreSql: String = {
+    // MATERIALIZED: each round reads the previous edge set 3×; inlined
+    // CTEs would expand the base join 3^rounds times.
+    def round(prev: String, cur: String): String =
+      s"""d$cur AS MATERIALIZED (SELECT x, COUNT(*) AS c
+         |  FROM (SELECT u AS x FROM e$prev UNION ALL SELECT v FROM e$prev) GROUP BY 1),
+         |e$cur AS MATERIALIZED (SELECT e.u, e.v FROM e$prev e
+         |  JOIN d$cur a ON a.x = e.u JOIN d$cur b ON b.x = e.v
+         |  WHERE a.c >= $KCoreK AND b.c >= $KCoreK)""".stripMargin
+    val rounds = (1 to 6).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM ne WHERE src != dst),
+       |$rounds
+       |SELECT x AS vertex, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |FROM (SELECT u AS x FROM e6 UNION ALL SELECT v FROM e6)
+       |GROUP BY x ORDER BY vertex""".stripMargin
+  }
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -242,6 +272,7 @@ object GraphQueries {
     Op("graph_cc", graphCc, Some(graphCcSql)),
     Op("graph_cc_large", graphCcLarge, None),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
   )

@@ -301,8 +301,32 @@ object Relational {
       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
     FROM lineitem GROUP BY 1 ORDER BY 1"""
 
+  /** Full cube over (status, priority): every marginal including the
+    * cross ones rollup can't produce — one pass, Catalyst expands to
+    * a single Expand + aggregation (no 4× re-scan of the fact table).
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  val qCubeSql: String = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority"""
+
   def ops: Seq[Op] = Seq(
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q1_agg", q1Agg, Some(q1AggSql)),
     Op("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),

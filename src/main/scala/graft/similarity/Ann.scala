@@ -308,9 +308,54 @@ object Ann {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
+  /** Range-search threshold (the corpus' non-dup cosine ceiling is
+    * ≈0.51, so 0.3 returns a real-but-bounded neighbor set).
+    */
+  val RangeTau = 0.3
+
+  /** Range search: every vector within cosine ≥ τ of each query — the
+    * threshold twin of top-k. The query set broadcasts into a nested-
+    * loop join whose filter runs inside codegen before any shuffle, so
+    * the only shuffled rows are actual matches (match-density-bound,
+    * like the dedup candidate joins — never n × q).
+    */
+  def rangeSearch(emb: DataFrame, tau: Double = RangeTau): DataFrame = {
+    val vecs = withNorm(emb)
+    val qs = vecs
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .where(col("qid") < NumQueries)
+    vecs.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
+      .where(col("score") >= tau)
+      .select("qid", "vec_id", "score")
+      .orderBy("qid", "vec_id")
+  }
+
+  def annRange(spark: SparkSession, dir: String): DataFrame =
+    rangeSearch(Tables.embeddings(spark, dir))
+
+  val annRangeSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries)
+    SELECT q.qid, n.vec_id,
+      ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+        i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS score
+    FROM q JOIN n ON n.vec_id != q.qid
+    WHERE ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+        i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 >= $RangeTau
+    ORDER BY qid, vec_id"""
+
   def ops: Seq[Op] = Seq(
     Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, None),
+    Op("ann_range", annRange, Some(annRangeSql)),
   )
 }

@@ -65,11 +65,12 @@ object TextAnalysis {
 
   /** Quality features + composite score. All arithmetic is written in
     * the same order on both sides so doubles are bit-identical; ratios
-    * rounded to 6 dp.
+    * rounded to 6 dp. Takes any (doc_id, text) frame so the dedup
+    * pipeline can score its surviving subset.
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScored(docs: DataFrame): DataFrame = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
-    Tables.documents(spark, dir)
+    docs
       .withColumn("char_len", length(col("text")).cast(LongType))
       .withColumn("ws_tokens", size(split(col("text"), " ")).cast(LongType))
       .withColumn("stop_tokens",
@@ -88,6 +89,9 @@ object TextAnalysis {
           6).as("quality_score"))
       .orderBy("doc_id")
   }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityScored(Tables.documents(spark, dir))
 
   val textQualitySql: String = {
     val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
@@ -260,11 +264,57 @@ object TextAnalysis {
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(Tables.documents(spark, dir))
 
+  /** Top distinctive shingles per language by tf-idf (tf = occurrences
+    * within the language, df = documents containing the shingle,
+    * idf = ln(n_docs/df)). Token-level tf-idf is degenerate on this
+    * corpus (all languages share one vocabulary), so the signal lives
+    * in 3-gram shingles — same feature space as [[textLangid]].
+    * Ranking is on the 6-dp-rounded score with the shingle string as
+    * tie-break, so the order is engine-independent. Scale shape: one
+    * agg per (lang, shingle), a broadcast df join, one top-k window
+    * over ≤ langs × vocab rows.
+    */
+  val TfidfTopK = 3
+
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = shingles(docs, 3)
+    val nDocs = docs.count()
+    val dfreq = sh.select("doc_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val tf = sh.groupBy("lang", "g").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("lang").orderBy(col("tfidf").desc, col("g"))
+    tf.join(broadcast(dfreq), "g")
+      .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= TfidfTopK)
+      .select(col("lang"), col("rn"), col("g").as("term"), col("tfidf"))
+      .orderBy("lang", "rn")
+  }
+
+  val textTfidfSql: String = s"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    gr AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM (SELECT doc_id, lang, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                 FROM w)),
+    nd AS (SELECT COUNT(*) AS n FROM documents),
+    dfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM gr GROUP BY 1),
+    tf AS (SELECT lang, g, COUNT(*) AS tf FROM gr GROUP BY 1, 2),
+    s AS (SELECT lang, g, ROUND(tf * LN((SELECT n FROM nd) / df), 6) AS tfidf
+          FROM tf JOIN dfreq USING (g)),
+    r AS (SELECT lang, g, tfidf,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, g) AS rn
+          FROM s)
+    SELECT lang, CAST(rn AS BIGINT) AS rn, g AS term, tfidf
+    FROM r WHERE rn <= $TfidfTopK ORDER BY lang, rn"""
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
     Op("text_winnow", textWinnow, None),
     Op("text_langid", textLangid, Some(textLangidSql)),
+    Op("text_tfidf", textTfidf, Some(textTfidfSql)),
   )
 }

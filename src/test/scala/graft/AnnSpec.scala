@@ -66,4 +66,15 @@ class AnnSpec extends SparkSpec {
     assert(top.head._2 === 1.0)
     assert(top.last._2 === -1.0)
   }
+
+  test("rangeSearch returns exactly the brute-force pairs at/above tau") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val tau = Ann.RangeTau
+    val all = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+    val expected = all.filter(_.getDouble(3) >= tau)
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val got = Ann.rangeSearch(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
 }

@@ -89,4 +89,33 @@ class DedupSpec extends SparkSpec {
     assert(out.where(!col("kept")).count() === 0L)
     assert(out.count() === Tables.embeddings(spark, sfDir).count())
   }
+
+  test("pipelineStatus labels each doc with the first rejecting stage") {
+    val s = spark
+    import s.implicits._
+    val good = (1 to 60).map(i => s"w$i the a of and to in is").mkString(" ")
+    val docs = Seq(
+      (0L, good),                       // kept
+      (1L, good),                       // exact_dup of 0
+      (2L, good.replace("w7 ", "w7x ")), // near_dup of 0
+      (3L, "z")                          // unique but low quality
+    ).toDF("doc_id", "text")
+    val st = Dedup.pipelineStatus(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(0L -> "kept", 1L -> "exact_dup", 2L -> "near_dup", 3L -> "low_quality"))
+  }
+
+  test("pipelineStatus on the real corpus: statuses partition the table") {
+    val docs = Tables.documents(spark, sfDir)
+    val st = Dedup.pipelineStatus(docs)
+    assert(st.count() === docs.count())
+    // exact-dup count must match exactGroups' collapsed rows
+    val nExactDup = docs.count() - Dedup.exactGroups(docs).count()
+    assert(st.where(col("status") === "exact_dup").count() === nExactDup)
+    // every near-dup label corresponds to a real jaccard pair partner
+    val nearIds = st.where(col("status") === "near_dup")
+      .collect().map(_.getLong(0)).toSet
+    val pairB = Dedup.ngramJaccardPairs(docs).collect().map(_.getLong(1)).toSet
+    assert(nearIds.subsetOf(pairB))
+  }
 }

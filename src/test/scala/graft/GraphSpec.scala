@@ -69,4 +69,15 @@ class GraphSpec extends SparkSpec {
     val bad = cc.where(col("component") > col("vertex")).count()
     assert(bad === 0L)
   }
+
+  test("kCore strips low-degree periphery, keeps the clique with core degrees") {
+    // 4-clique {1,2,3,4} plus a tail 4-5-6: 3-core is exactly the clique.
+    val e = edgeDf((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L))
+    val core = GraphOps.kCore(e, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k above the max degree empties the graph
+    assert(GraphOps.kCore(e, k = 5).count() === 0L)
+  }
 }

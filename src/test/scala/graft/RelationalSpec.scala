@@ -30,4 +30,22 @@ class RelationalSpec extends SparkSpec {
     assert(row.getLong(1) === hits.length.toLong)
     assert(math.abs(row.getDouble(0) - expected) < 1e-9)
   }
+
+  test("q_cube marginals are consistent with the base aggregation") {
+    val cube = operators.Relational.qCube(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    val base = cube.filter { case ((s, p), _) => s != "ALL" && p != "ALL" }
+    // grand total row equals the sum of all base cells
+    val (gt, gn) = cube(("ALL", "ALL"))
+    assert(gn === base.values.map(_._2).sum)
+    assert(math.abs(gt - base.values.map(_._1).sum) < 1e-6)
+    // each status marginal equals the sum of its base cells
+    base.keys.map(_._1).toSet.foreach { st: String =>
+      val cells = base.filter(_._1._1 == st).values
+      val (mt, mn) = cube((st, "ALL"))
+      assert(mn === cells.map(_._2).sum)
+      assert(math.abs(mt - cells.map(_._1).sum) < 1e-6)
+    }
+    assert(gn === Tables.orders(spark, sfDir).count())
+  }
 }

@@ -74,4 +74,18 @@ class TextSpec extends SparkSpec {
     docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     f(dir).collect()
   }
+
+  test("textTfidf: top-3 per language, positive scores, terms from the corpus") {
+    val out = TextAnalysis.textTfidf(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(out.length === 3 * langs)
+    val byLang = out.groupBy(_.getString(0))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // scores non-increasing in rank
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(byRank.forall(_ > 0.0))
+    }
+  }
 }

@@ -11,7 +11,12 @@ object Bench {
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY (comma-separated prefixes): fast local iteration;
+    // the driver leaves it unset (same contract as Verify).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Fingerprint action, not count(): hashing every column forces the
       // full projection to be computed (count() lets Catalyst prune

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (not part of the driver contract). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.tuned(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PROFILE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    // warm JVM + parquet scans
+    t("warm-orders")(Tables.orders(spark, dir).count())
+    t("warm-lineitem")(Tables.lineitem(spark, dir).count())
+    t("graphBfs-cold")(graph.GraphQueries.graphBfs(spark, dir)
+      .agg(expr("bit_xor(xxhash64(struct(*)))")).collect())
+    t("graphBfs-warm")(graph.GraphQueries.graphBfs(spark, dir)
+      .agg(expr("bit_xor(xxhash64(struct(*)))")).collect())
+
+    val e = t("supply-derive")(graph.DerivedGraphs.undirect(
+      graph.DerivedGraphs.supplyEdges(spark, dir)).localCheckpoint())
+    println(s"edges=${e.count()}")
+    val src = e.agg(min(col("src")).as("vertex"))
+    t("bfs-6-levels")(graph.GraphOps.bfsFrom(e, src, maxDepth = 6).count())
+
+    val he = t("hash-derive")(graph.DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint())
+    val hsrc = he.agg(min(col("src")).as("vertex"))
+    t("bfs-deep-30")(graph.GraphOps.bfsFrom(he, hsrc, maxDepth = 30).count())
+    t("cc-nation")(graph.GraphOps.connectedComponents(
+      graph.DerivedGraphs.nationEdges(spark, dir)).count())
+    t("cc-supply")(graph.GraphOps.connectedComponents(
+      graph.DerivedGraphs.supplyEdges(spark, dir)).count())
+    spark.stop()
+  }
+}

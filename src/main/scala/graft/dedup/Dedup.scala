@@ -106,7 +106,13 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docShingles(docs)
+    // Shingles reduce to 64-bit hashes before any shuffle: set
+    // intersection/union sizes are hash-invariant (collisions across a
+    // corpus vocabulary are ~|V|²/2⁶⁴ ≈ negligible), and every
+    // downstream exchange then moves 8-byte longs instead of ~50-byte
+    // strings. The prefix filter only needs SOME global shingle order
+    // shared by all docs — (df, hash) works as well as (df, string).
+    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
     val wn = Window.partitionBy("doc_id")
@@ -155,7 +161,9 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(Perms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    val sh = docShingles(docs)
+    // Hash-reduced shingles (see ngramJaccardPairs) — signatures hash
+    // again into the Mersenne field, verification joins on the longs.
+    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val hx = sh.withColumn("x", pmod(xxhash64(col("s")), lit(MersenneP)))
     val minAggs = coefs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * a + b, lit(MersenneP))).as(s"m$i")

@@ -26,6 +26,19 @@ object GraphOps {
   /** Frontiers below this row count are broadcast to the edge join. */
   private val BroadcastFrontier = 4 * 1000 * 1000
 
+  /** Edge count below which iterative traversals run on the driver —
+    * the same adaptive call AQE makes when it converts a shuffle join
+    * to a local broadcast: 4M edge pairs ≈ 64 MB, matching the
+    * session's autoBroadcastJoinThreshold. A graph this small costs
+    * more in per-level scheduler latency than the whole traversal does
+    * locally, and the reference itself materializes the full adjacency
+    * matrix per query (secondary_server.c:126-137). Above the threshold
+    * the level-synchronous frontier-join loop — the only shape that
+    * works at 100 TB — is used unconditionally; specs pin both paths
+    * to identical output by forcing maxLocalEdges = 0.
+    */
+  val LocalEdgeThreshold: Long = 4000000L
+
   private def canonEdges(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
 
@@ -36,11 +49,18 @@ object GraphOps {
     * BFS (dfs_bfs.h:111-172): levels are well-defined, intra-level
     * order is not.
     */
-  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int = Int.MaxValue): DataFrame = {
+  def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int = Int.MaxValue,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     val e = canonEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val tagged =
       if (sources.columns.contains("tag")) sources.select(col("tag").cast("long"), col("vertex").cast("long"))
       else sources.select(lit(0L).as("tag"), col("vertex").cast("long"))
+    val eCount = e.count()
+    if (eCount <= maxLocalEdges) {
+      val out = localBfs(e, tagged, maxDepth)
+      e.unpersist()
+      return out
+    }
     var frontier = tagged.distinct().localCheckpoint()
     var frontierRows = frontier.count()
     // One eagerly-checkpointed job per level is the whole cost model:
@@ -83,6 +103,59 @@ object GraphOps {
     e.unpersist()
     frames.map { case (lvl, df) => df.withColumn("level", lit(lvl)) }
       .reduce(_ unionAll _)
+  }
+
+  /** Driver-side twin of the frontier loop for sub-threshold graphs:
+    * same (tag, vertex, level) min-hop contract, identical output.
+    */
+  private def localBfs(e: DataFrame, tagged: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // Flat adjacency map (vertex → growable neighbor array): O(E) build
+    // with primitive arrays — a Scala groupBy here costs more than the
+    // traversal itself at millions of edges.
+    val adj = new java.util.HashMap[Long, Array[Long]]()
+    val fill = new java.util.HashMap[Long, Int]()
+    e.collect().foreach { r =>
+      val s = r.getLong(0); val d = r.getLong(1)
+      val cur = adj.get(s)
+      if (cur == null) { adj.put(s, Array(d, 0L, 0L, 0L)); fill.put(s, 1) }
+      else {
+        val used = fill.get(s)
+        val arr = if (used == cur.length) {
+          val g = java.util.Arrays.copyOf(cur, cur.length * 2); adj.put(s, g); g
+        } else cur
+        arr(used) = d
+        fill.put(s, used + 1)
+      }
+    }
+    val srcs = tagged.collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    srcs.groupBy(_._1).foreach { case (tag, seeds) =>
+      val level = new java.util.HashMap[Long, Int]()
+      var frontier = seeds.map(_._2).distinct.toArray
+      frontier.foreach(v => level.put(v, 0))
+      var lvl = 0
+      while (frontier.nonEmpty && lvl < maxDepth) {
+        lvl += 1
+        val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+        frontier.foreach { v =>
+          val ns = adj.get(v)
+          if (ns != null) {
+            val used = fill.get(v)
+            var i = 0
+            while (i < used) {
+              val w = ns(i)
+              if (!level.containsKey(w)) { level.put(w, lvl); next += w }
+              i += 1
+            }
+          }
+        }
+        frontier = next.toArray
+      }
+      level.forEach((v, l) => out += ((tag, v, l)))
+    }
+    out.toSeq.toDF("tag", "vertex", "level")
   }
 
   /** Single-source BFS: (vertex, level). */
@@ -147,13 +220,19 @@ object GraphOps {
     * which needs O(diameter) rounds. Returns (vertex, component) with
     * component = min vertex id of the component.
     */
-  def connectedComponents(edges: DataFrame): DataFrame = {
-    val allVerts = canonEdges(edges).select(col("src").as("vertex"))
-      .unionAll(canonEdges(edges).select(col("dst").as("vertex")))
-      .distinct().localCheckpoint()
-    var e = canonEdges(edges)
+  def connectedComponents(edges: DataFrame,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    // One checkpoint of the raw edge list: the dedup below, the vertex
+    // set, and (on the local path) the collect all read it — without
+    // this each consumer re-runs the caller's derivation pipeline.
+    val ce = canonEdges(edges).localCheckpoint()
+    var e = ce
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (e.count() <= maxLocalEdges) return localCc(edges.sparkSession, e, ce)
+    val allVerts = ce.select(col("src").as("vertex"))
+      .unionAll(ce.select(col("dst").as("vertex")))
+      .distinct().localCheckpoint()
     var converged = false
     var rounds = 0
     def checksum(df: DataFrame): (Long, Long) = {
@@ -192,6 +271,33 @@ object GraphOps {
       .distinct()
     allVerts.join(labels, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
+  }
+
+  /** Driver-side union-find twin for sub-threshold graphs (see
+    * [[LocalEdgeThreshold]]): identical (vertex, min-id component)
+    * labels. `allEdges` supplies isolated self-loop vertices that the
+    * deduped undirected edge set dropped.
+    */
+  private def localCc(spark: SparkSession, undirected: DataFrame,
+      allEdges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = allEdges.select(col("src").as("vertex"))
+      .unionAll(allEdges.select(col("dst").as("vertex")))
+      .distinct().collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    verts.map(v => (v, find(v))).toSeq.toDF("vertex", "component")
   }
 
   /** Damped PageRank, fixed iteration count. Dangling-vertex mass is

@@ -45,7 +45,10 @@ object GraphQueries {
 
   /** Reference op 4: BFS levels on the (undirected) supply graph. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.undirect(DerivedGraphs.supplyEdges(spark, dir))
+    // Checkpoint the derived graph once: the source aggregate and the
+    // traversal loop otherwise each re-run the orders ⋈ lineitem
+    // derivation (cache substitution keys on the exact plan subtree).
+    val e = DerivedGraphs.undirect(DerivedGraphs.supplyEdges(spark, dir)).localCheckpoint()
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.bfsFrom(e, src, maxDepth = 6)
       .select(col("vertex"), col("level").cast("long").as("level"))
@@ -66,7 +69,7 @@ object GraphQueries {
 
   /** BFS on the deep hash graph (depth ~17): the traversal stress test. */
   def graphBfsDeep(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint()
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.bfsFrom(e, src, maxDepth = 30)
       .select(col("vertex"), col("level").cast("long").as("level"))
@@ -86,7 +89,7 @@ object GraphQueries {
 
   /** Reference op 3 (deterministic contract): reachable set from source. */
   def graphDfsReach(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint()
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.reach(e, src).orderBy("vertex")
   }
@@ -225,7 +228,7 @@ object GraphQueries {
     * (multi-source tagged BFS over reversed edges).
     */
   def graphShortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.hashEdges(spark, dir, 2048)
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint()
     val landmarks = e.select(col("src")).distinct().orderBy("src").limit(3)
       .select(col("src").as("vertex"), col("src").as("tag"))
     val rev = e.select(col("dst").as("src"), col("src").as("dst"))

@@ -80,4 +80,26 @@ class GraphSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(GraphOps.kCore(e, k = 5).count() === 0L)
   }
+
+  test("bfs local fast path and distributed loop agree (both directions)") {
+    val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
+    val s = spark
+    import s.implicits._
+    val src = Seq(1L).toDF("vertex")
+    val local = GraphOps.bfs(e, src).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dist = GraphOps.bfs(e, src, maxLocalEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
+  test("connectedComponents local union-find and star loop agree") {
+    val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
+    val local = GraphOps.connectedComponents(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = GraphOps.connectedComponents(e, maxLocalEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local === dist)
+  }
 }

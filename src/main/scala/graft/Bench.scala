@@ -10,6 +10,12 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Data-free JVM warmup: exercises scheduler, codegen, and shuffle
+    // machinery once so the first measured query isn't charged for
+    // one-time session initialization. No testdata is touched — cold
+    // parquet scan cost stays inside the measured queries.
+    val warm = spark.range(1000000).selectExpr("id % 100 AS k", "id AS v")
+    warm.groupBy("k").agg(sum("v")).join(warm.limit(50), "k").collect()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // SPARK_GRAFT_ONLY (comma-separated prefixes): fast local iteration;
     // the driver leaves it unset (same contract as Verify).

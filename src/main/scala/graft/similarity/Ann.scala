@@ -193,15 +193,13 @@ object Ann {
     SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
     FROM r WHERE rank <= $K ORDER BY qid, rank"""
 
-  /** Normalized centroid directions: the first `IvfCells` vectors. */
-  private def centroids(emb: DataFrame): Array[Array[Double]] =
-    emb.where(col("vec_id") < IvfCells).select("vec_id", "embedding").collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Float](1).toArray.map(_.toDouble)
-        val nrm = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / nrm)
-      }
+  /** Normalized centroid directions derived from an already-collected
+    * query set (centroid ids ⊆ query ids here, so one Spark job serves
+    * both collections).
+    */
+  private def centroidsFrom(queries: Array[(Long, Array[Float], Double)]): Array[Array[Double]] =
+    queries.filter(_._1 < IvfCells).sortBy(_._1)
+      .map { case (_, v, nrm) => v.map(_.toDouble / nrm) }
 
   /** IVF top-k: every vector is assigned to its nearest centroid cell;
     * each query scores only vectors in its `nprobe` nearest cells.
@@ -209,8 +207,9 @@ object Ann {
     * asserts that identity).
     */
   def ivfTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K): DataFrame = {
-    val cents = centroids(emb)
     val queries = collectQueries(emb)
+    require(IvfCells <= NumQueries, "centroid ids must be a subset of the query set")
+    val cents = centroidsFrom(queries)
     val probesByQ: Map[Long, Set[Int]] = queries.map { case (qid, qv, qn) =>
       val ranked = cents.zipWithIndex
         .map { case (c, i) => (round6(dot(c, qv) / qn), i) }

@@ -42,6 +42,20 @@ object Streaming {
   private def stagingDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  /** Run `f` with a reduced shuffle-partition count. Streaming state is
+    * sharded by the shuffle-partition setting at query start and AQE
+    * never coalesces it, so a bounded drain at 32 shards schedules 32
+    * state-store tasks per microbatch for a few thousand keys. A real
+    * deployment sizes this to key cardinality / executor count; these
+    * gate streams are small.
+    */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Exact integer event seconds from whatever type `ts` actually is:
     * raw nanosecond longs under `nanosAsLong` (GraftSession.tuned), or
     * a real timestamp under a vanilla session — same dispatch as
@@ -101,7 +115,7 @@ object Streaming {
     * result as the batch `q_events_window`, minus the distinct-user
     * count (DISTINCT aggregates are unsupported in streaming aggs).
     */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-win")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -131,7 +145,7 @@ object Streaming {
     * integer cents so state-order summation matches the decimal
     * oracle bit-for-bit.
     */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     import spark.implicits._
     val gap = Events.GapSec
     val schema = Tables.events(spark, dir).schema
@@ -199,7 +213,7 @@ object Streaming {
     * watermark operator so they advance event time without
     * contributing to any real window.
     */
-  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = {
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-append")
     val agg = spark.readStream.schema(schema).parquet(inDir)
@@ -233,7 +247,7 @@ object Streaming {
     * unbounded-key production stream would use
     * `dropDuplicatesWithinWatermark` to cap state.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedup")
     val src = spark.readStream.schema(schema).parquet(inDir)

@@ -304,8 +304,14 @@ object GraphOps {
     * dropped (both the engine and the oracle use the same convention).
     * All vertices (src ∪ dst) receive the (1-d)/N base term.
     */
-  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+  def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= maxLocalEdges) {
+      val out = localPagerank(edges.sparkSession, e, iters, d)
+      e.unpersist()
+      return out
+    }
     val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     val n = verts.count()
@@ -325,6 +331,35 @@ object GraphOps {
     ranks.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
+  /** Driver-side PageRank twin for sub-threshold graphs. Contribution
+    * sums accumulate in a different order than the distributed
+    * aggregation, but callers round ranks (6 dp) ~10 orders of
+    * magnitude above double-summation reorder noise.
+    */
+  private def localPagerank(spark: SparkSession, e: DataFrame,
+      iters: Int, d: Double): DataFrame = {
+    import spark.implicits._
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val verts = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = verts.length
+    val outdeg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (s, _) => outdeg.merge(s, 1L, _ + _) }
+    var rank = new java.util.HashMap[Long, Double]()
+    verts.foreach(v => rank.put(v, 1.0 / n))
+    for (_ <- 1 to iters) {
+      val acc = new java.util.HashMap[Long, Double]()
+      es.foreach { case (s, t) =>
+        acc.merge(t, rank.get(s) / outdeg.get(s), _ + _)
+      }
+      val next = new java.util.HashMap[Long, Double]()
+      verts.foreach { v =>
+        next.put(v, (1.0 - d) / n + d * acc.getOrDefault(v, 0.0))
+      }
+      rank = next
+    }
+    verts.map(v => (v, rank.get(v))).toSeq.toDF("vertex", "rank")
+  }
+
   /** k-core decomposition membership: iteratively strip vertices of
     * undirected degree < k until fixpoint; returns each surviving
     * vertex with its degree inside the core subgraph. Each round is
@@ -333,11 +368,13 @@ object GraphOps {
     * shrink — the standard distributed formulation. Convergence is
     * detected on the edge count (pruning is monotone).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     var e = canonEdges(edges)
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
     var n = e.count()
+    if (n <= maxLocalEdges) return localKCore(edges.sparkSession, e, k)
     var prev = -1L
     var rounds = 0
     while (n != prev && n > 0 && rounds < maxRounds) {
@@ -355,16 +392,42 @@ object GraphOps {
       .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Driver-side k-core twin for sub-threshold graphs: identical
+    * monotone-prune fixpoint, exact integer degrees.
+    */
+  private def localKCore(spark: SparkSession, undirected: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    var es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var changed = true
+    while (changed && es.nonEmpty) {
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, v) => deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _) }
+      val next = es.filter { case (u, v) => deg.get(u) >= k && deg.get(v) >= k }
+      changed = next.length != es.length
+      es = next
+    }
+    val deg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (u, v) => deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _) }
+    import scala.jdk.CollectionConverters._
+    deg.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "core_deg")
+  }
+
   /** Per-vertex triangle participation counts over the undirected
     * simple graph. Edges are oriented low→high so each triangle is
     * enumerated exactly once (a<b<c) — the standard shuffle-minimal
     * formulation; the wedge join is the only heavy stage.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     val u = canonEdges(edges)
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    if (u.count() <= maxLocalEdges) {
+      val out = localTriangles(edges.sparkSession, u)
+      u.unpersist()
+      return out
+    }
     val tri = u.as("x")
       .join(u.as("y"), col("y.a") === col("x.b"))
       .join(u.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
@@ -377,5 +440,34 @@ object GraphOps {
     val out = counts.localCheckpoint()
     tri.unpersist(); u.unpersist()
     out
+  }
+
+  /** Driver-side triangle-count twin for sub-threshold graphs: oriented
+    * higher-neighbor intersection, each triangle a<b<c counted once.
+    */
+  private def localTriangles(spark: SparkSession, u: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = u.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val up = new java.util.HashMap[Long, scala.collection.mutable.TreeSet[Long]]()
+    es.foreach { case (a, b) =>
+      up.computeIfAbsent(a, _ => scala.collection.mutable.TreeSet.empty[Long]) += b
+    }
+    val counts = new java.util.HashMap[Long, Long]()
+    es.foreach { case (a, b) =>
+      val na = up.get(a)
+      val nb = up.get(b)
+      if (na != null && nb != null) {
+        val (small, large) = if (na.size <= nb.size) (na, nb) else (nb, na)
+        small.foreach { c =>
+          if (c != a && c != b && large.contains(c)) {
+            counts.merge(a, 1L, _ + _)
+            counts.merge(b, 1L, _ + _)
+            counts.merge(c, 1L, _ + _)
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "n_tri")
   }
 }

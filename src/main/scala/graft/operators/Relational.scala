@@ -279,19 +279,40 @@ object Relational {
     WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
       AND l_quantity < 0.2 * avg_qty"""
 
-  /** Exact linear-interpolation percentiles per group. Spark's
-    * `percentile` and DuckDB's `quantile_cont` share the definition;
-    * 4-dp rounding absorbs summation-free interpolation noise.
+  /** Exact linear-interpolation percentiles per group, computed as a
+    * window rank + neighbor interpolation: one codegen'd sort shuffle
+    * per group instead of Spark's `percentile` aggregate (an
+    * interpreted TypedImperativeAggregate holding a per-group value
+    * map — measured ~4× slower and memory-bound at scale). For each
+    * p, the quantile_cont definition: idx = p·(n-1) (0-based),
+    * v = v_lo + frac·(v_hi − v_lo); 4-dp rounding on both engines
+    * absorbs the last-ulp arithmetic differences.
     */
-  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ps: Seq[(String, Double)] =
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val aggs = ps.flatMap { case (name, p) =>
+      val idx = lit(p) * (col("n") - 1) // 0-based fractional index
+      val lo = floor(idx) + 1 // 1-based rank of the lower neighbor
+      Seq(
+        max(when(col("rn") === lo, col("l_extendedprice"))).as(s"${name}_lo"),
+        max(when(col("rn") === lo + 1, col("l_extendedprice"))).as(s"${name}_hi"),
+        max(when(col("rn") === lo, idx - floor(idx))).as(s"${name}_frac"))
+    }
+    ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag") +: ps.map { case (name, _) =>
+        round(col(s"${name}_lo") + col(s"${name}_frac") *
+          (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")), 4)
+          .as(name)
+      }: _*)
       .orderBy("l_returnflag")
+  }
 
   val qPercentilesSql: String = """
     SELECT l_returnflag,

@@ -102,4 +102,16 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(local === dist)
   }
+
+  test("pagerank, triangleCounts, kCore: local and distributed paths agree") {
+    val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    val prL = graft.graph.GraphOps.pagerank(e, iters = 3)
+      .select(col("vertex"), round(col("rank"), 6).as("rank"))
+    val prD = graft.graph.GraphOps.pagerank(e, iters = 3, maxLocalEdges = 0L)
+      .select(col("vertex"), round(col("rank"), 6).as("rank"))
+    assert(rows(prL) === rows(prD))
+    assert(rows(GraphOps.triangleCounts(e)) === rows(GraphOps.triangleCounts(e, maxLocalEdges = 0L)))
+    assert(rows(GraphOps.kCore(e, k = 2)) === rows(GraphOps.kCore(e, k = 2, maxLocalEdges = 0L)))
+  }
 }

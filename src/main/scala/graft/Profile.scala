@@ -22,10 +22,13 @@ object Profile {
     // warm JVM + parquet scans
     t("warm-orders")(Tables.orders(spark, dir).count())
     t("warm-lineitem")(Tables.lineitem(spark, dir).count())
-    t("graphBfs-cold")(graph.GraphQueries.graphBfs(spark, dir)
-      .agg(expr("bit_xor(xxhash64(struct(*)))")).collect())
-    t("graphBfs-warm")(graph.GraphQueries.graphBfs(spark, dir)
-      .agg(expr("bit_xor(xxhash64(struct(*)))")).collect())
+    val docs = Tables.documents(spark, dir)
+    t("docs-count")(docs.count())
+    t("shingles-count")(dedup.Dedup.docShingles(docs).count())
+    t("ngram-full")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
+    t("ngram-warm")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
+    t("minhash-warm")(graft.dedup.Dedup.minhashLshPairs(docs).count())
+    t("pipeline-warm")(graft.dedup.Dedup.pipelineStatus(docs).count())
 
     val e = t("supply-derive")(graph.DerivedGraphs.undirect(
       graph.DerivedGraphs.supplyEdges(spark, dir)).localCheckpoint())

@@ -40,6 +40,13 @@ object Dedup {
   val RowsPerBand = 4
   private val MersenneP = 2147483647L // 2^31-1, prime; products stay < 2^63
 
+  /** Distinct-shingle count under which the document-frequency map is
+    * broadcast and the prefix filter computed scan-side (≈16 MB of
+    * (hash, df) pairs at the limit); larger vocabularies use the
+    * window formulation.
+    */
+  val PrefixBroadcastVocab = 1000000L
+
   /** (doc_id, s): distinct word n-gram shingles per document —
     * per-doc dedup happens in the flatMap (no global shuffle).
     */
@@ -57,6 +64,63 @@ object Dedup {
           seen.iterator.map(s => (id, s))
         }
       }.toDF("doc_id", "s")
+  }
+
+  /** FNV-1a 64-bit over a shingle's UTF-8 bytes: the engine-internal
+    * shingle identity. Only hash EQUALITY matters (set overlap counts
+    * are hash-invariant; collisions ~|V|²/2⁶⁴), so any well-mixed
+    * 64-bit hash computable inside the shingling flatMap works.
+    */
+  private[graft] def fnv64(s: String): Long = {
+    val bytes = s.getBytes("UTF-8")
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** (doc_id, sh): each document's distinct shingle set as ONE row — a
+    * sorted array of 64-bit shingle hashes. The whole dedup suite
+    * derives from this frame: the inverted index explodes it, and
+    * pair verification intersects two arrays (broadcast-sized rows)
+    * instead of re-joining the full shingle table. One shingling pass
+    * total, ~n_docs rows instead of n_docs × n_shingles.
+    */
+  def docShingleArrays(docs: DataFrame, n: Int = NgramN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < n) (id, Array.empty[Long])
+        else {
+          // hash each word once, combine per gram with a positional
+          // 64-bit polynomial — gram equality ⇔ word-tuple equality,
+          // ~10× less byte work than re-encoding each gram string
+          val wh = new Array[Long](w.length)
+          var i = 0
+          while (i < w.length) { wh(i) = fnv64(w(i)); i += 1 }
+          val hs = new Array[Long](w.length - n + 1)
+          i = 0
+          while (i <= w.length - n) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < n) { h = h * 0x100000001b3L + wh(i + j); j += 1 }
+            hs(i) = h
+            i += 1
+          }
+          java.util.Arrays.sort(hs)
+          // in-place dedup of the sorted array
+          var out = 0
+          i = 0
+          while (i < hs.length) {
+            if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+            i += 1
+          }
+          (id, java.util.Arrays.copyOf(hs, out))
+        }
+      }.toDF("doc_id", "sh")
   }
 
   /** Exact dedup: group by content hash, keep the lowest doc_id.
@@ -81,20 +145,23 @@ object Dedup {
     * per-doc shingle counts. Integer-ratio arithmetic → bit-identical
     * across engines.
     */
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, tau: Double): DataFrame = {
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ninter"))
-    inter
-      .join(cnt.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(cnt.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over
+    * the per-doc shingle-hash arrays: |A∩B| = size(array_intersect),
+    * |A∪B| from the two array sizes. The array frame joins in as a
+    * broadcast (one compact row per doc); integer-ratio arithmetic →
+    * bit-identical across engines.
+    */
+  private def verifyJaccard(cand: DataFrame, docArr: DataFrame, tau: Double): DataFrame =
+    cand
+      .join(broadcast(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa"))), Seq("doc_a"))
+      .join(broadcast(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb"))), Seq("doc_b"))
+      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("na", size(col("sa")).cast(LongType))
+      .withColumn("nb", size(col("sb")).cast(LongType))
       .withColumn("jaccard", round(col("ninter") / (col("na") + col("nb") - col("ninter")), 6))
       .where(col("jaccard") >= tau)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Near-dup pairs by exact n-gram Jaccard ≥ τ via a prefix-filtered
     * inverted-index join (AllPairs/PPJoin): each doc indexes only its
@@ -106,27 +173,49 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Shingles reduce to 64-bit hashes before any shuffle: set
-    // intersection/union sizes are hash-invariant (collisions across a
-    // corpus vocabulary are ~|V|²/2⁶⁴ ≈ negligible), and every
-    // downstream exchange then moves 8-byte longs instead of ~50-byte
-    // strings. The prefix filter only needs SOME global shingle order
-    // shared by all docs — (df, hash) works as well as (df, string).
-    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    // One shingling pass, checkpointed: every downstream consumer
+    // (inverted index, prefix filter, verification) reads the compact
+    // per-doc array frame. The prefix filter only needs SOME global
+    // shingle order shared by all docs — (df, hash) works as well as
+    // (df, string).
+    val docArr = docShingleArrays(docs).localCheckpoint()
+    val sh = docArr.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val wn = Window.partitionBy("doc_id")
     val tauEff = tau - 1e-6 // margin for the 6-dp-rounded threshold
-    val prefix = sh.join(broadcast(dfreq), "s")
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n_sh", count(lit(1)).over(wn))
-      .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
-      .select("doc_id", "s")
+    val vocab = dfreq.count()
+    val prefix = if (vocab <= PrefixBroadcastVocab) {
+      // Small vocabulary: broadcast the df map and pick each doc's
+      // rarest-shingle prefix inside one pass over the array frame —
+      // no sort-shuffle at all. (Real corpora blow past the
+      // threshold; the window path below is the scale shape.)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val dfMap = spark.sparkContext.broadcast(
+        dfreq.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      docArr.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
+        .flatMap { case (id, arr) =>
+          val k = arr.length - math.ceil(tauEff * arr.length).toInt + 1
+          if (k <= 0 || arr.isEmpty) Iterator.empty
+          else {
+            val m = dfMap.value
+            arr.map(s => (m(s), s)).sortBy(identity)
+              .take(k).iterator.map { case (_, s) => (id, s) }
+          }
+        }.toDF("doc_id", "s")
+    } else {
+      val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+      sh.join(broadcast(dfreq), "s")
+        .withColumn("rk", row_number().over(w))
+        // n_sh carried from the array — no count-over-partition window
+        .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
+        .select("doc_id", "s")
+    }
     val cand = prefix.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, sh, tau)
+    verifyJaccard(cand, docArr, tau)
   }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -161,17 +250,35 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(Perms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    // Hash-reduced shingles (see ngramJaccardPairs) — signatures hash
-    // again into the Mersenne field, verification joins on the longs.
-    val sh = docShingles(docs).select(col("doc_id"), xxhash64(col("s")).as("s"))
-    val hx = sh.withColumn("x", pmod(xxhash64(col("s")), lit(MersenneP)))
-    val minAggs = coefs.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("x") * a + b, lit(MersenneP))).as(s"m$i")
-    }
-    val sig = hx.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+    // Signatures fold inside one pass over the per-doc hash arrays —
+    // no shingle-row shuffle at all; the only exchanges left are the
+    // banded bucket join and the verification sort.
+    val docArr = docShingleArrays(docs).localCheckpoint()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Shingle-less docs (shorter than n words) carry no signature —
+    // same as the shingle-row formulation, and it keeps their
+    // identical all-MaxValue signatures from flooding every band.
+    val sig = docArr.where(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
+      .map { case (id, sh) =>
+        val mins = Array.fill(Perms)(Long.MaxValue)
+        sh.foreach { s =>
+          val x = java.lang.Math.floorMod(s, MersenneP)
+          var i = 0
+          while (i < Perms) {
+            val (a, b) = coefs(i)
+            val h = java.lang.Math.floorMod(x * a + b, MersenneP)
+            if (h < mins(i)) mins(i) = h
+            i += 1
+          }
+        }
+        (id, mins)
+      }.toDF("doc_id", "mins")
     val bandCols = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
-        xxhash64((0 until RowsPerBand).map(r => col(s"m${j * RowsPerBand + r}")): _*).as("key"))
+        xxhash64((0 until RowsPerBand).map(r =>
+          col("mins").getItem(j * RowsPerBand + r)): _*).as("key"))
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -180,7 +287,7 @@ object Dedup {
         Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, sh, tau)
+    verifyJaccard(cand, docArr, tau)
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =

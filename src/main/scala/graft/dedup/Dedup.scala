@@ -426,6 +426,65 @@ object Dedup {
   def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
     pipelineStatus(Tables.documents(spark, dir))
 
+  /** Containment threshold: C(A→B) = |A∩B| / |A| ≥ τ flags A as
+    * (near-)contained in B — the partial-copy / quotation detector
+    * that symmetric Jaccard misses (a small doc pasted into a large
+    * one has low Jaccard but containment ≈ 1).
+    */
+  val ContainTau = 0.9
+
+  /** Ordered near-containment pairs over the shingle-hash arrays.
+    * Candidate recall uses the A-side prefix bound: if B holds ≥ τ|A|
+    * of A's shingles, any `|A| − ⌈τ|A|⌉ + 1` of A's shingles include
+    * a shared one — so A's rarest-shingle prefix joins B's full
+    * posting list (the asymmetric twin of the PPJoin filter), then
+    * exact verification intersects the arrays.
+    */
+  def containmentPairs(docs: DataFrame, tau: Double = ContainTau): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docArr = docShingleArrays(docs).localCheckpoint()
+    val sh = docArr.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val tauEff = tau - 1e-6
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
+    val prefixA = sh.join(broadcast(dfreq), "s")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
+      .select(col("doc_id").as("doc_a"), col("s"))
+    val cand = prefixA
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(broadcast(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa"))), Seq("doc_a"))
+      .join(broadcast(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb"))), Seq("doc_b"))
+      .withColumn("containment",
+        round(size(array_intersect(col("sa"), col("sb"))).cast(LongType) /
+          size(col("sa")).cast(LongType), 6))
+      .where(col("containment") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(Tables.documents(spark, dir))
+
+  val dedupContainmentSql: String = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                 FROM w)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b, ROUND(ninter / ca.n_sh, 6) AS containment
+    FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+    WHERE ROUND(ninter / ca.n_sh, 6) >= $ContainTau
+    ORDER BY doc_a, doc_b"""
+
   val dedupPipelineSql: String = {
     val stopList = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
     s"""
@@ -476,6 +535,7 @@ object Dedup {
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),
     Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
   )
 }

@@ -442,6 +442,68 @@ object GraphOps {
     out
   }
 
+  /** Synchronous label propagation (community detection), fully
+    * deterministic: every vertex starts as its own label; each round,
+    * a vertex adopts the most frequent label among its undirected
+    * neighbors (ties → smallest label). Fixed iteration count — the
+    * classic async LPA is run-order dependent, the sync+min-tie
+    * variant is reproducible and oracle-able. One count aggregation +
+    * one top-1 reduction per round, edges cached across rounds.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val und = canonEdges(edges)
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(canonEdges(edges).select(col("dst"), col("src")))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    if (und.count() <= maxLocalEdges)
+      return localLpa(edges.sparkSession, und, iters)
+    val verts = und.select(col("a").as("v")).distinct().localCheckpoint()
+    var labels = verts.withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.withColumnRenamed("v", "b"), "b")
+        .groupBy(col("a").as("v"), col("lab")).agg(count(lit(1)).as("c"))
+      // top-1 by (count desc, label asc) via max on a packed struct —
+      // one aggregation, no window sort
+      labels = counts
+        .groupBy("v")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("v"), (-col("m.nl")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("v").as("vertex"), col("lab").as("community"))
+  }
+
+  /** Driver-side sync-LPA twin for sub-threshold graphs. */
+  private def localLpa(spark: SparkSession, und: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    es.foreach { case (a, b) =>
+      adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+    }
+    import scala.jdk.CollectionConverters._
+    val verts = adj.keySet().asScala.toArray.sorted
+    var lab = new java.util.HashMap[Long, Long]()
+    verts.foreach(v => lab.put(v, v))
+    for (_ <- 1 to iters) {
+      val next = new java.util.HashMap[Long, Long]()
+      verts.foreach { v =>
+        val freq = new java.util.HashMap[Long, Long]()
+        adj.get(v).foreach(n => freq.merge(lab.get(n), 1L, _ + _))
+        var bestLab = Long.MaxValue
+        var bestC = 0L
+        freq.forEach { (l, c) =>
+          if (c > bestC || (c == bestC && l < bestLab)) { bestC = c; bestLab = l }
+        }
+        next.put(v, bestLab)
+      }
+      lab = next
+    }
+    verts.map(v => (v, lab.get(v))).toSeq.toDF("vertex", "community")
+  }
+
   /** Driver-side triangle-count twin for sub-threshold graphs: oriented
     * higher-neighbor intersection, each triangle a<b<c counted once.
     */

@@ -206,6 +206,33 @@ object GraphQueries {
        |GROUP BY x ORDER BY vertex""".stripMargin
   }
 
+  /** Synchronous label propagation (4 rounds, min-tie) on the nation
+    * graph — deterministic community detection; oracle = unrolled
+    * materialized-CTE rounds with the identical top-1 rule.
+    */
+  val LpaIters = 4
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.labelPropagation(DerivedGraphs.nationEdges(spark, dir), LpaIters)
+      .orderBy("vertex")
+
+  val graphLpaSql: String = {
+    def round(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT u.a AS v, l.lab, COUNT(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON l.v = u.b GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT v, lab FROM (
+         |  SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LpaIters).map(round).mkString(",\n")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM ne UNION SELECT dst, src FROM ne)
+       |  WHERE a != b),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lab FROM und),
+       |$rounds
+       |SELECT v AS vertex, lab AS community FROM l$LpaIters ORDER BY vertex""".stripMargin
+  }
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -276,6 +303,7 @@ object GraphQueries {
     Op("graph_cc_large", graphCcLarge, None),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
+    Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
   )

@@ -151,11 +151,18 @@ object TextAnalysis {
     // broadcast hash join (no langs× row blowup) and the argmax is a
     // greatest/when chain (no window shuffle). Scores are the same
     // log((c+1)/(tot+V)) sums as the oracle, summed per doc.
-    val totRows = sh.groupBy("lang").agg(count(lit(1)).as("t")).collect()
-    val langs = totRows.map(_.getString(0)).sorted
-    val tot = totRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val v = sh.agg(countDistinct(col("g"))).head().getLong(0)
-    val prof = sh.groupBy("g").pivot("lang", langs).agg(count(lit(1)))
+    // One aggregation pass over the shingle rows builds the pivoted
+    // profile; per-language totals and the vocabulary size are column
+    // sums / row count of that same (bounded, broadcastable) frame —
+    // the naive formulation re-ran the shingling flatMap for each of
+    // profile, totals, and vocabulary.
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val prof = sh.groupBy("g").pivot("lang", langs).agg(count(lit(1))).localCheckpoint()
+    val profTotals = prof.agg(
+      count(lit(1)).as("v"),
+      langs.map(l => sum(coalesce(col(s"`$l`"), lit(0L))).as(s"t_$l")): _*).head()
+    val v = profTotals.getLong(0)
+    val tot = langs.zipWithIndex.map { case (l, i) => l -> profTotals.getLong(i + 1) }.toMap
     val scoreCols = langs.map { l =>
       sum(log((coalesce(col(s"`$l`"), lit(0L)) + 1.0) / lit((tot(l) + v).toDouble)))
         .as(s"s_$l")

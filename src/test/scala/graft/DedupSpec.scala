@@ -118,4 +118,24 @@ class DedupSpec extends SparkSpec {
     val pairB = Dedup.ngramJaccardPairs(docs).collect().map(_.getLong(1)).toSet
     assert(nearIds.subsetOf(pairB))
   }
+
+  test("containmentPairs flags a doc pasted into a larger one (jaccard misses it)") {
+    val s = spark
+    import s.implicits._
+    val small = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (0L, small),
+      (1L, small + " " + filler), // 0 fully contained in 1
+      (2L, filler.replace("f30", "x30"))
+    ).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.contains((0L, 1L)) && cont((0L, 1L)) >= 0.9)
+    assert(!cont.contains((1L, 0L))) // big doc is not contained in the small one
+    // symmetric jaccard stays below the near-dup threshold for this pair
+    val jac = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((0L, 1L)))
+  }
 }

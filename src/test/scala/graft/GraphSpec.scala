@@ -114,4 +114,19 @@ class GraphSpec extends SparkSpec {
     assert(rows(GraphOps.triangleCounts(e)) === rows(GraphOps.triangleCounts(e, maxLocalEdges = 0L)))
     assert(rows(GraphOps.kCore(e, k = 2)) === rows(GraphOps.kCore(e, k = 2, maxLocalEdges = 0L)))
   }
+
+  test("labelPropagation separates two planted cliques, paths agree") {
+    // two 4-cliques joined by a single bridge edge
+    val c1 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val c2 = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val e = edgeDf((c1 ++ c2 :+ ((4L, 11L))): _*)
+    val lpa = GraphOps.labelPropagation(e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).map(lpa).toSet.size === 1)   // one community per clique
+    assert((11L to 14L).map(lpa).toSet.size === 1)
+    assert(lpa(1L) !== lpa(12L))                    // cliques stay separate
+    val dist = GraphOps.labelPropagation(e, iters = 4, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === lpa)
+  }
 }

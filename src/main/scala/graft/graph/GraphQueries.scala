@@ -43,6 +43,27 @@ object GraphQueries {
     s"""WITH ${DerivedGraphs.hashEdgesSql(2048)}
        |SELECT src, dst FROM he ORDER BY src, dst""".stripMargin
 
+  /** Reference file-format parity: round-trip the hash graph through
+    * the G*.txt adjacency-matrix text format (write it the way
+    * primary_server.c does, parse it back 1-based, shift to the
+    * derived graph's 0-based ids). Oracle = the derived graph itself,
+    * so a row/column/one-basing mistake on either side hash-fails.
+    */
+  def graphLoadText(spark: SparkSession, dir: String): DataFrame = {
+    val m = 256
+    val e = DerivedGraphs.hashEdges(spark, dir, m)
+    val file = s"${tmpDir()}/G.txt"
+    GraphStore.toAdjacencyText(
+      e.select((col("src") + 1).as("src"), (col("dst") + 1).as("dst")), file, m)
+    GraphStore.fromAdjacencyText(spark, file)
+      .select((col("src") - 1).as("src"), (col("dst") - 1).as("dst"))
+      .orderBy("src", "dst")
+  }
+
+  val graphLoadTextSql: String =
+    s"""WITH ${DerivedGraphs.hashEdgesSql(256)}
+       |SELECT src, dst FROM he ORDER BY src, dst""".stripMargin
+
   /** Reference op 4: BFS levels on the (undirected) supply graph. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
     // Checkpoint the derived graph once: the source aggregate and the
@@ -293,6 +314,7 @@ object GraphQueries {
   def ops: Seq[Op] = Seq(
     Op("graph_from_tpch", graphFromTpch, Some(graphFromTpchSql)),
     Op("graph_load", graphLoad, Some(graphLoadSql)),
+    Op("graph_load_text", graphLoadText, Some(graphLoadTextSql)),
     Op("graph_modify", graphModify, Some(graphModifySql)),
     Op("graph_bfs", graphBfs, Some(graphBfsSql)),
     Op("graph_bfs_deep", graphBfsDeep, Some(graphBfsDeepSql)),

@@ -58,6 +58,27 @@ object GraphStore {
     * list. zipWithIndex keeps deterministic line numbers regardless of
     * partitioning.
     */
+  /** Write a graph in the reference's adjacency-matrix text format
+    * (G*.txt: first line n, then n rows of n space-separated 0/1 —
+    * primary_server.c:153-176 writes exactly this). 1-based vertex
+    * ids in [1, n]. Like the reference's write path (and
+    * [[GraphOps.dfsPreorder]]) this materializes the O(n²) matrix —
+    * a format-parity bridge, not a scale path; the scale format is
+    * the parquet edge list above.
+    */
+  def toAdjacencyText(edges: DataFrame, file: String, n: Int): Unit = {
+    val m = Array.fill(n, n)('0')
+    edges.select(col("src").cast("long"), col("dst").cast("long")).collect().foreach { r =>
+      val (s, d) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      require(s >= 1 && s <= n && d >= 1 && d <= n, s"vertex out of [1,$n]: ($s,$d)")
+      m(s - 1)(d - 1) = '1'
+    }
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    m.foreach { row => sb.append(row.mkString(" ")).append('\n') }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(file), sb.toString)
+  }
+
   def fromAdjacencyText(spark: SparkSession, file: String): DataFrame = {
     import spark.implicits._
     val lines = spark.sparkContext.textFile(file).zipWithIndex()

@@ -300,16 +300,44 @@ object Dedup {
   val SimhashMaxHamming = 3
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val wts = TextAnalysis.shingleRows(docs, NgramN)
-      .groupBy(col("doc_id"), col("g").as("s")).agg(count(lit(1)).as("wt"))
-      .withColumn("h", xxhash64(col("s")))
-    val bitSums = (0 until 64).map { j =>
-      sum(col("wt") * (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2L - 1L)).as(s"b$j")
-    }
-    val sig = wts.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val packed = sig.select(col("doc_id"),
-      (0 until 64).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ bitwiseOR _).as("sim"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // The whole signature folds inside the shingling pass — per doc:
+    // count distinct-gram frequencies locally, add wt·(±1) into 64 bit
+    // sums, pack the sign vector. No shingle-row shuffle at all (the
+    // previous formulation shuffled every weighted shingle row through
+    // a 64-column aggregation).
+    val packed = docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val w = text.split(" ", -1)
+        val freq = new java.util.HashMap[Long, Long]()
+        if (w.length >= NgramN) {
+          val wh = new Array[Long](w.length)
+          var i = 0
+          while (i < w.length) { wh(i) = fnv64(w(i)); i += 1 }
+          i = 0
+          while (i <= w.length - NgramN) {
+            var h = 0xcbf29ce484222325L
+            var j = 0
+            while (j < NgramN) { h = h * 0x100000001b3L + wh(i + j); j += 1 }
+            freq.merge(h, 1L, _ + _)
+            i += 1
+          }
+        }
+        val bits = new Array[Long](64)
+        freq.forEach { (h, wt) =>
+          var j = 0
+          while (j < 64) {
+            bits(j) += wt * (((h >>> j) & 1L) * 2L - 1L)
+            j += 1
+          }
+        }
+        var sim = 0L
+        var j = 0
+        while (j < 64) { if (bits(j) > 0) sim |= (1L << j); j += 1 }
+        (id, sim)
+      }.toDF("doc_id", "sim")
     val blockCols = (0 until 4).map { k =>
       struct(lit(k).as("k"), shiftright(col("sim"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }

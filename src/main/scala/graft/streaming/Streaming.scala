@@ -242,6 +242,54 @@ object Streaming {
       .orderBy("window_start", "event_type")
   }
 
+  /** Stream-stream join lookback (seconds). */
+  val JoinWindowSec = 3600L
+
+  /** Stream-stream inner join with an event-time range condition:
+    * each purchase pairs with the same user's clicks from the
+    * preceding hour. Watermarks on both sides bound the join state
+    * (clicks older than the watermark minus the range are evicted) —
+    * the production alternative to the batch as-of's unbounded
+    * lookback. Inner-join matches emit as rows arrive, so the bounded
+    * drain needs no sentinel flush.
+    */
+  def streamJoinRecent(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-join")
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema).parquet(inDir)
+        .withColumn("ts_sec", tsSecExpr(schema))
+        .where(col("event_type") === tpe)
+        .select(col("event_id").as(s"${prefix}_id"),
+          col("user_id").cast(LongType).as(s"${prefix}_user"),
+          col("ts_sec").as(s"${prefix}_ts"),
+          timestamp_seconds(col("ts_sec")).as(s"${prefix}_ev"))
+        .withWatermark(s"${prefix}_ev", "0 seconds")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      expr(s"""p_user = c_user AND
+               c_ev >= p_ev - interval $JoinWindowSec seconds AND
+               c_ev <= p_ev"""))
+      .select(col("p_id").as("purchase_id"), col("c_id").as("click_id"),
+        col("p_user").as("user_id"), col("p_ts").as("purchase_ts"),
+        col("c_ts").as("click_ts"))
+    val name = "graft_stream_join_recent"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("purchase_id", "click_id")
+  }
+
+  val streamJoinRecentSql: String = s"""
+    WITH es AS (SELECT event_id, user_id, event_type,
+                  epoch_ns(ts)//1000000000 AS ts_sec FROM events)
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      p.user_id, p.ts_sec AS purchase_ts, c.ts_sec AS click_ts
+    FROM es p JOIN es c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts_sec BETWEEN p.ts_sec - $JoinWindowSec AND p.ts_sec
+    ORDER BY purchase_id, click_id"""
+
   /** Streaming exact dedup: first-seen (user_id, event_type) keys via
     * the state-store `dropDuplicates`. Keys here are bounded; an
     * unbounded-key production stream would use
@@ -269,5 +317,6 @@ object Streaming {
     Op("stream_window_append", streamWindowAppend, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
+    Op("stream_join_recent", streamJoinRecent, Some(streamJoinRecentSql)),
   )
 }

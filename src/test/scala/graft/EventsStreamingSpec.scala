@@ -38,4 +38,21 @@ class EventsStreamingSpec extends SparkSpec {
     val stream = Streaming.streamWindowAgg(spark, sfDir)
     assert(rowsOf(stream) === rowsOf(batch))
   }
+
+  test("stream_join_recent equals the batch bounded-interval join") {
+    val stream = rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir))
+    val ev = operators.Events.eventsSec(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_sec"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_sec").as("purchase_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"), col("ts_sec").as("click_ts"))
+    val batch = rowsOf(p.join(c, col("cu") === col("user_id") &&
+        col("click_ts") >= col("purchase_ts") - streaming.Streaming.JoinWindowSec &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("purchase_ts"), col("click_ts")))
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
 }

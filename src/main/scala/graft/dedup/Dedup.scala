@@ -498,6 +498,53 @@ object Dedup {
   def dedupContainment(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(Tables.documents(spark, dir))
 
+  /** Duplicate clusters: connected components over the near-dup pair
+    * graph (transitive closure — A≈B≈C lands in one cluster even when
+    * A and C fall below τ pairwise), labeled by the cluster's minimum
+    * doc_id; singletons are their own cluster. This is the graph
+    * engine ([[graft.graph.GraphOps.connectedComponents]]) powering
+    * the data pipeline — the canonical "cluster then keep one per
+    * cluster" dedup shape.
+    */
+  def clusterAssignments(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, tau)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = graft.graph.GraphOps.connectedComponents(pairs)
+      .select(col("vertex").as("doc_id"), col("component").as("cluster"))
+    docs.select(col("doc_id").cast(LongType))
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
+    clusterAssignments(Tables.documents(spark, dir))
+
+  val dedupClusterSql: String = s"""
+    WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+                 FROM w)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pr AS MATERIALIZED (SELECT doc_a, doc_b
+          FROM inter
+          JOIN cnt ca ON ca.doc_id = doc_a
+          JOIN cnt cb ON cb.doc_id = doc_b
+          WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= $JaccardTau),
+    u AS MATERIALIZED (SELECT doc_a AS s, doc_b AS d FROM pr
+          UNION SELECT doc_b, doc_a FROM pr),
+    r AS (SELECT s AS start, s AS reach FROM (SELECT DISTINCT s FROM u)
+          UNION
+          SELECT r.start, u.d FROM r JOIN u ON u.s = r.reach),
+    lab AS (SELECT start AS doc_id, MIN(reach) AS cluster FROM r GROUP BY 1)
+    SELECT d.doc_id, COALESCE(lab.cluster, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN lab USING (doc_id)
+    ORDER BY d.doc_id"""
+
   val dedupContainmentSql: String = s"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
@@ -564,6 +611,7 @@ object Dedup {
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),
     Op("dedup_simhash", dedupSimhash, None),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
+    Op("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
   )
 }

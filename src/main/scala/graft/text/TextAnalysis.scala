@@ -283,6 +283,54 @@ object TextAnalysis {
     */
   val TfidfTopK = 3
 
+  /** (doc_id, a, b): one row per adjacent word pair. */
+  def bigramRows(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < 2) Iterator.empty
+        else (0 until w.length - 1).iterator.map(i => (id, w(i), w(i + 1)))
+      }.toDF("doc_id", "a", "b")
+  }
+
+  /** Per-document bigram-LM negative log-likelihood — the classic
+    * perplexity-filtering quality signal (docs that the corpus' own
+    * bigram statistics find surprising score high). +1-smoothed
+    * P(b|a) = (c(a,b)+1)/(c(a)+V); nll = −mean log P. The count
+    * tables join in plainly (AQE broadcasts them when small; at real
+    * scale a bigram table is shuffle-joined). 6-dp rounding absorbs
+    * summation-order noise.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bg = bigramRows(Tables.documents(spark, dir))
+    val cntAb = bg.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val cntA = bg.groupBy("a").agg(count(lit(1)).as("ca"))
+    val v = bg.agg(countDistinct(col("b"))).head().getLong(0)
+    bg.join(cntAb, Seq("a", "b")).join(cntA, Seq("a"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log((col("cab") + 1.0) / (col("ca") + v.toDouble))) / count(lit(1)), 6)
+          .as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexitySql: String = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+                 FROM w)),
+    cnt_ab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+    cnt_a AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY 1),
+    vv AS (SELECT COUNT(DISTINCT b) AS v FROM bg)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      ROUND(-SUM(LN((cab + 1.0) / (ca + (SELECT v FROM vv)))) / COUNT(*), 6) AS nll
+    FROM bg JOIN cnt_ab USING (a, b) JOIN cnt_a USING (a)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val sh = shingles(docs, 3)
@@ -323,5 +371,6 @@ object TextAnalysis {
     Op("text_winnow", textWinnow, None),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_tfidf", textTfidf, Some(textTfidfSql)),
+    Op("text_perplexity", textPerplexity, Some(textPerplexitySql)),
   )
 }

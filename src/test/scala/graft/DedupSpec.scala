@@ -138,4 +138,11 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!jac.contains((0L, 1L)))
   }
+
+  test("clusterAssignments groups exact+near dups transitively, singletons stay alone") {
+    val cl = Dedup.clusterAssignments(planted).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl(0L) === 0L && cl(1L) === 0L && cl(2L) === 0L) // 0≈1 exact, 0≈2 near
+    assert(cl(3L) === 3L && cl(4L) === 4L)
+  }
 }

@@ -88,4 +88,19 @@ class TextSpec extends SparkSpec {
       assert(byRank.forall(_ > 0.0))
     }
   }
+
+  test("textPerplexity: repetitive text scores lower nll than unique-word text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(40)("x y").mkString(" ")),            // one dominant bigram
+      (1L, (1 to 80).map(i => s"u$i").mkString(" ")),     // every bigram unique
+      (2L, Seq.fill(40)("x y").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = withFakeTable(docs) { dir => TextAnalysis.textPerplexity(spark, dir) }
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(0L)._1 === 79L) // 80 words -> 79 bigrams
+    assert(out(0L)._2 < out(1L)._2)
+    assert(out(0L) === out(2L)) // identical docs, identical score
+  }
 }

@@ -29,6 +29,12 @@ object Profile {
     t("ngram-warm")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
     t("minhash-warm")(graft.dedup.Dedup.minhashLshPairs(docs).count())
     t("pipeline-warm")(graft.dedup.Dedup.pipelineStatus(docs).count())
+    val pairs = t("cluster-pairs")(graft.dedup.Dedup.ngramJaccardPairs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val cc = t("cluster-cc")(graph.GraphOps.connectedComponents(pairs))
+    t("cluster-join")(docs.select(col("doc_id").cast("long"))
+      .join(cc.withColumnRenamed("vertex", "doc_id"), Seq("doc_id"), "left").count())
+    t("cluster-full")(graft.dedup.Dedup.clusterAssignments(docs).count())
 
     val e = t("supply-derive")(graph.DerivedGraphs.undirect(
       graph.DerivedGraphs.supplyEdges(spark, dir)).localCheckpoint())

@@ -163,36 +163,28 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
 
-  /** Near-dup pairs by exact n-gram Jaccard ≥ τ via a prefix-filtered
-    * inverted-index join (AllPairs/PPJoin): each doc indexes only its
-    * `n - ⌈τ·n⌉ + 1` globally-rarest shingles — if J(A,B) ≥ τ those
-    * prefixes must share a shingle, so recall is exact while the
-    * posting join runs over rare shingles only (the frequent-shingle
-    * quadratic blowup never happens). Exact verification then computes
-    * true Jaccard over the full shingle sets.
+  /** The PPJoin-style prefix: each doc's `n_sh − ⌈τ·n_sh⌉ + 1`
+    * globally-rarest shingles by the shared (df, hash) total order —
+    * any pair with J(A,B) ≥ τ (or containment C(A→B) ≥ τ on the A
+    * side) must share a prefix shingle, so candidate recall is exact.
+    * Strategy is probed with one bounded collect: vocabularies under
+    * [[PrefixBroadcastVocab]] broadcast the df map and compute the
+    * prefix scan-side (no sort-shuffle — real corpora blow past the
+    * threshold); larger ones use the per-doc window formulation.
     */
-  def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+  private def prefixRows(docArr: DataFrame, tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // One shingling pass, checkpointed: every downstream consumer
-    // (inverted index, prefix filter, verification) reads the compact
-    // per-doc array frame. The prefix filter only needs SOME global
-    // shingle order shared by all docs — (df, hash) works as well as
-    // (df, string).
-    val docArr = docShingleArrays(docs).localCheckpoint()
+    val spark = docArr.sparkSession
+    import spark.implicits._
     val sh = docArr.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val tauEff = tau - 1e-6 // margin for the 6-dp-rounded threshold
-    val vocab = dfreq.count()
-    val prefix = if (vocab <= PrefixBroadcastVocab) {
-      // Small vocabulary: broadcast the df map and pick each doc's
-      // rarest-shingle prefix inside one pass over the array frame —
-      // no sort-shuffle at all. (Real corpora blow past the
-      // threshold; the window path below is the scale shape.)
-      val spark = docs.sparkSession
-      import spark.implicits._
+    // one evaluation, driver-bounded: > max+1 rows never collect
+    val probe = dfreq.limit((PrefixBroadcastVocab + 1).toInt).collect()
+    if (probe.length <= PrefixBroadcastVocab) {
       val dfMap = spark.sparkContext.broadcast(
-        dfreq.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+        probe.map(r => r.getLong(0) -> r.getLong(1)).toMap)
       docArr.select(col("doc_id"), col("sh")).as[(Long, Array[Long])]
         .flatMap { case (id, arr) =>
           val k = arr.length - math.ceil(tauEff * arr.length).toInt + 1
@@ -211,6 +203,25 @@ object Dedup {
         .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
         .select("doc_id", "s")
     }
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ τ via a prefix-filtered
+    * inverted-index join (AllPairs/PPJoin): each doc indexes only its
+    * `n - ⌈τ·n⌉ + 1` globally-rarest shingles — if J(A,B) ≥ τ those
+    * prefixes must share a shingle, so recall is exact while the
+    * posting join runs over rare shingles only (the frequent-shingle
+    * quadratic blowup never happens). Exact verification then computes
+    * true Jaccard over the full shingle sets.
+    */
+  def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // One shingling pass, checkpointed: every downstream consumer
+    // (inverted index, prefix filter, verification) reads the compact
+    // per-doc array frame. The prefix filter only needs SOME global
+    // shingle order shared by all docs — (df, hash) works as well as
+    // (df, string).
+    val docArr = docShingleArrays(docs).localCheckpoint()
+    val prefix = prefixRows(docArr, tau)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("s"))
       .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") < col("doc_b"))
@@ -469,16 +480,9 @@ object Dedup {
     * exact verification intersects the arrays.
     */
   def containmentPairs(docs: DataFrame, tau: Double = ContainTau): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docArr = docShingleArrays(docs).localCheckpoint()
-    val sh = docArr.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("s"))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val tauEff = tau - 1e-6
-    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
-    val prefixA = sh.join(broadcast(dfreq), "s")
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
+    val sh = docArr.select(col("doc_id"), explode(col("sh")).as("s"))
+    val prefixA = prefixRows(docArr, tau)
       .select(col("doc_id").as("doc_a"), col("s"))
     val cand = prefixA
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))

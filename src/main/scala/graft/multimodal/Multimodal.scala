@@ -98,8 +98,104 @@ object Multimodal {
           FROM documents)
     ORDER BY doc_id, frame_idx"""
 
+  /** Stub resize target: sample down to ≤ `ResizeTarget` bytes. */
+  val ResizeTarget = 256
+
+  /** Stub "resize": deterministic stride-downsample of the payload to
+    * ≤ ResizeTarget bytes (stride = max(1, len/target)) + content hash
+    * of the sampled bytes — the byte-exact stand-in for an image
+    * resize kernel, same partition-batch shape a real one plugs into.
+    */
+  def resize(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val len = bytes.length
+          val stride = math.max(1, len / ResizeTarget)
+          val out = new java.io.ByteArrayOutputStream()
+          var i = 0
+          while (i < ResizeTarget && i * stride < len) {
+            out.write(bytes(i * stride))
+            i += 1
+          }
+          md.reset()
+          (id, len.toLong, stride.toLong, i.toLong,
+            md.digest(out.toByteArray).map(x => f"$x%02x").mkString)
+        }
+      }.toDF("doc_id", "in_len", "stride", "out_len", "resized_md5")
+      .orderBy("doc_id")
+  }
+
+  def mmResize(spark: SparkSession, dir: String): DataFrame =
+    resize(Tables.documents(spark, dir))
+
+  val mmResizeSql: String = s"""
+    WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS len,
+                 greatest(1, octet_length(encode(text)) // $ResizeTarget) AS stride
+               FROM documents),
+    px AS (SELECT doc_id, len, stride, i,
+             substring(text, i * stride + 1, 1) AS b
+           FROM (SELECT doc_id, text, len, stride,
+                   unnest(generate_series(0, $ResizeTarget - 1)) AS i
+                 FROM d)
+           WHERE i * stride < len)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(ANY_VALUE(len) AS BIGINT) AS in_len,
+      CAST(ANY_VALUE(stride) AS BIGINT) AS stride,
+      CAST(COUNT(*) AS BIGINT) AS out_len,
+      md5(string_agg(b, '' ORDER BY i)) AS resized_md5
+    FROM px GROUP BY doc_id ORDER BY doc_id"""
+
+  /** Stub feature extraction: byte-level statistics per payload (the
+    * stand-in for an embedding/feature kernel). All-integer stats plus
+    * a 4-dp-rounded mean keep it engine-exact.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var sum = 0L
+          var mx = 0L
+          val seen = new Array[Boolean](256)
+          var distinct = 0
+          bytes.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            if (v > mx) mx = v
+            if (!seen(v)) { seen(v) = true; distinct += 1 }
+          }
+          val mean = BigDecimal(sum).setScale(4) / bytes.length
+          (id, bytes.length.toLong, mean.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            distinct.toLong, mx)
+        }
+      }.toDF("doc_id", "n_bytes", "mean_byte", "n_distinct_bytes", "max_byte")
+      .orderBy("doc_id")
+  }
+
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    features(Tables.documents(spark, dir))
+
+  val mmFeaturesSql: String = """
+    WITH by AS (SELECT doc_id, ascii(substring(text, i, 1)) AS v
+                FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, octet_length(encode(text)))) AS i
+                      FROM documents))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bytes,
+      ROUND(CAST(SUM(v) AS DECIMAL(28,4)) / COUNT(*), 4) + 0.0 AS mean_byte,
+      CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_bytes,
+      CAST(MAX(v) AS BIGINT) AS max_byte
+    FROM by GROUP BY doc_id ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
+    Op("mm_resize", mmResize, Some(mmResizeSql)),
+    Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
   )
 }

@@ -38,4 +38,30 @@ class MultimodalSpec extends SparkSpec {
   test("frameSample skips payloads shorter than one frame") {
     assert(Multimodal.frameSample(fakeDocs((1L, "short"))).count() === 0L)
   }
+
+  test("resize: stride sampling bounded by target, hash deterministic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "abcdefgh" * 100), (1L, "xy")).toDF("doc_id", "text")
+    val out = Multimodal.resize(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val (len0, stride0, outLen0, _) = out(0L)
+    assert(len0 === 800L && stride0 === 3L) // 800/256 = 3
+    assert(outLen0 <= 256L && (outLen0 - 1) * stride0 < len0)
+    val (len1, stride1, outLen1, _) = out(1L)
+    assert(len1 === 2L && stride1 === 1L && outLen1 === 2L) // short doc: identity
+    // determinism
+    assert(Multimodal.resize(docs).collect().toSeq === Multimodal.resize(docs).collect().toSeq)
+  }
+
+  test("features: byte stats are exact on a known payload") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((7L, "aab")).toDF("doc_id", "text") // bytes 97,97,98
+    val r = Multimodal.features(docs).head
+    assert(r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 97.3333)
+    assert(r.getLong(3) === 2L)
+    assert(r.getLong(4) === 98L)
+  }
 }

@@ -312,11 +312,36 @@ object Streaming {
     SELECT DISTINCT user_id, event_type FROM events
     ORDER BY user_id, event_type"""
 
+  /** Streaming dedup for unbounded key spaces:
+    * `dropDuplicatesWithinWatermark` evicts key state once the
+    * watermark passes (key, event time + delay) — the production
+    * variant when first-seen keys can't be held forever. The delay
+    * here covers the whole corpus span, so the bounded drain dedups
+    * exactly like the global DISTINCT oracle.
+    */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-dedupwm")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "60 days")
+      .select(col("user_id"), col("event_type"), col("ts_ev"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val name = "graft_stream_dedup_wm"
+    val q = src.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     Op("stream_window_append", streamWindowAppend, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_join_recent", streamJoinRecent, Some(streamJoinRecentSql)),
+    Op("stream_dedup_watermark", streamDedupWatermark, Some(streamDedupSql)),
   )
 }

@@ -79,10 +79,36 @@ object Dedup {
     h
   }
 
+  /** All word n-gram hashes of `text`, in document order (empty for
+    * docs shorter than n words): each word hashed once, grams combined
+    * with a positional 64-bit polynomial — gram equality ⇔ word-tuple
+    * equality, ~10× less byte work than re-encoding each gram string.
+    * The single source of gram identity for the whole dedup suite.
+    */
+  private[graft] def gramHashes(text: String, n: Int): Array[Long] = {
+    val w = text.split(" ", -1)
+    if (w.length < n) Array.empty[Long]
+    else {
+      val wh = new Array[Long](w.length)
+      var i = 0
+      while (i < w.length) { wh(i) = fnv64(w(i)); i += 1 }
+      val hs = new Array[Long](w.length - n + 1)
+      i = 0
+      while (i <= w.length - n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) { h = h * 0x100000001b3L + wh(i + j); j += 1 }
+        hs(i) = h
+        i += 1
+      }
+      hs
+    }
+  }
+
   /** (doc_id, sh): each document's distinct shingle set as ONE row — a
     * sorted array of 64-bit shingle hashes. The whole dedup suite
     * derives from this frame: the inverted index explodes it, and
-    * pair verification intersects two arrays (broadcast-sized rows)
+    * pair verification intersects two arrays (compact rows)
     * instead of re-joining the full shingle table. One shingling pass
     * total, ~n_docs rows instead of n_docs × n_shingles.
     */
@@ -92,34 +118,16 @@ object Dedup {
     docs.select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val w = text.split(" ", -1)
-        if (w.length < n) (id, Array.empty[Long])
-        else {
-          // hash each word once, combine per gram with a positional
-          // 64-bit polynomial — gram equality ⇔ word-tuple equality,
-          // ~10× less byte work than re-encoding each gram string
-          val wh = new Array[Long](w.length)
-          var i = 0
-          while (i < w.length) { wh(i) = fnv64(w(i)); i += 1 }
-          val hs = new Array[Long](w.length - n + 1)
-          i = 0
-          while (i <= w.length - n) {
-            var h = 0xcbf29ce484222325L
-            var j = 0
-            while (j < n) { h = h * 0x100000001b3L + wh(i + j); j += 1 }
-            hs(i) = h
-            i += 1
-          }
-          java.util.Arrays.sort(hs)
-          // in-place dedup of the sorted array
-          var out = 0
-          i = 0
-          while (i < hs.length) {
-            if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
-            i += 1
-          }
-          (id, java.util.Arrays.copyOf(hs, out))
+        val hs = gramHashes(text, n)
+        java.util.Arrays.sort(hs)
+        // in-place dedup of the sorted array
+        var out = 0
+        var i = 0
+        while (i < hs.length) {
+          if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+          i += 1
         }
+        (id, java.util.Arrays.copyOf(hs, out))
       }.toDF("doc_id", "sh")
   }
 
@@ -140,21 +148,17 @@ object Dedup {
     FROM documents GROUP BY md5(text)
     ORDER BY doc_id"""
 
-  /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs:
-    * |A∩B| via shingle join restricted to the candidates, |A∪B| from
-    * per-doc shingle counts. Integer-ratio arithmetic → bit-identical
-    * across engines.
-    */
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over
     * the per-doc shingle-hash arrays: |A∩B| = size(array_intersect),
-    * |A∪B| from the two array sizes. The array frame joins in as a
-    * broadcast (one compact row per doc); integer-ratio arithmetic →
-    * bit-identical across engines.
+    * |A∪B| from the two array sizes (one compact row per doc);
+    * integer-ratio arithmetic → bit-identical across engines.
     */
   private def verifyJaccard(cand: DataFrame, docArr: DataFrame, tau: Double): DataFrame =
+    // no broadcast hint: the array frame is whole-corpus-sized, so AQE
+    // decides (broadcast when it fits, shuffle join when it doesn't)
     cand
-      .join(broadcast(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa"))), Seq("doc_a"))
-      .join(broadcast(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb"))), Seq("doc_b"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
       .withColumn("na", size(col("sa")).cast(LongType))
       .withColumn("nb", size(col("sb")).cast(LongType))
@@ -320,34 +324,28 @@ object Dedup {
     // a 64-column aggregation).
     val packed = docs.select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val w = text.split(" ", -1)
-        val freq = new java.util.HashMap[Long, Long]()
-        if (w.length >= NgramN) {
-          val wh = new Array[Long](w.length)
-          var i = 0
-          while (i < w.length) { wh(i) = fnv64(w(i)); i += 1 }
-          i = 0
-          while (i <= w.length - NgramN) {
-            var h = 0xcbf29ce484222325L
+      .flatMap { case (id, text) =>
+        val hs = gramHashes(text, NgramN)
+        // gram-less docs carry no signature — matching the shingle-row
+        // formulation; an all-zero signature would otherwise pair every
+        // short doc with every other at Hamming 0
+        if (hs.isEmpty) Iterator.empty
+        else {
+          val freq = new java.util.HashMap[Long, Long]()
+          hs.foreach(h => freq.merge(h, 1L, _ + _))
+          val bits = new Array[Long](64)
+          freq.forEach { (h, wt) =>
             var j = 0
-            while (j < NgramN) { h = h * 0x100000001b3L + wh(i + j); j += 1 }
-            freq.merge(h, 1L, _ + _)
-            i += 1
+            while (j < 64) {
+              bits(j) += wt * (((h >>> j) & 1L) * 2L - 1L)
+              j += 1
+            }
           }
-        }
-        val bits = new Array[Long](64)
-        freq.forEach { (h, wt) =>
+          var sim = 0L
           var j = 0
-          while (j < 64) {
-            bits(j) += wt * (((h >>> j) & 1L) * 2L - 1L)
-            j += 1
-          }
+          while (j < 64) { if (bits(j) > 0) sim |= (1L << j); j += 1 }
+          Iterator.single((id, sim))
         }
-        var sim = 0L
-        var j = 0
-        while (j < 64) { if (bits(j) > 0) sim |= (1L << j); j += 1 }
-        (id, sim)
       }.toDF("doc_id", "sim")
     val blockCols = (0 until 4).map { k =>
       struct(lit(k).as("k"), shiftright(col("sim"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
@@ -443,8 +441,12 @@ object Dedup {
     val fp = docs.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
       .withColumn("fp", md5(col("text").cast(BinaryType)))
     val keepIds = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    // checkpointed: tagged feeds survivors (consumed twice below) AND
+    // the final status select — without this the md5 groupBy join
+    // re-executes once per consumer
     val tagged = fp.join(keepIds, "fp")
       .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
+      .localCheckpoint()
     val survivors = tagged.where(!col("is_exact_dup")).select("doc_id", "text")
     val nearDup = ngramJaccardPairs(survivors, tau)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -489,8 +491,8 @@ object Dedup {
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     cand
-      .join(broadcast(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa"))), Seq("doc_a"))
-      .join(broadcast(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb"))), Seq("doc_b"))
+      .join(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
+      .join(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("containment",
         round(size(array_intersect(col("sa"), col("sb"))).cast(LongType) /
           size(col("sa")).cast(LongType), 6))

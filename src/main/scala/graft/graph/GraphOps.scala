@@ -368,7 +368,7 @@ object GraphOps {
     * shrink — the standard distributed formulation. Convergence is
     * detected on the edge count (pruning is monotone).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64,
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = Int.MaxValue,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     var e = canonEdges(edges)
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))

@@ -109,7 +109,10 @@ object Multimodal {
   def resize(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // empty payloads are dropped (the oracle's position series is
+    // empty for them) — a real decoder rejects zero-byte media too
     withPayload(docs).as[(Long, Array[Byte])]
+      .filter(_._2.nonEmpty)
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
@@ -156,7 +159,10 @@ object Multimodal {
   def features(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // empty payloads dropped: no bytes → no statistics (and the
+    // oracle's byte series is empty for them)
     withPayload(docs).as[(Long, Array[Byte])]
+      .filter(_._2.nonEmpty)
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           var sum = 0L
@@ -169,11 +175,14 @@ object Multimodal {
             if (v > mx) mx = v
             if (!seen(v)) { seen(v) = true; distinct += 1 }
           }
-          val mean = BigDecimal(sum).setScale(4) / bytes.length
-          (id, bytes.length.toLong, mean.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-            distinct.toLong, mx)
+          (id, bytes.length.toLong, sum, distinct.toLong, mx)
         }
-      }.toDF("doc_id", "n_bytes", "mean_byte", "n_distinct_bytes", "max_byte")
+      }.toDF("doc_id", "n_bytes", "sum_bytes", "n_distinct_bytes", "max_byte")
+      // mean via the same IEEE-754 long/long division + ROUND the
+      // oracle performs — both engines round the identical double
+      .select(col("doc_id"), col("n_bytes"),
+        round(col("sum_bytes") / col("n_bytes"), 4).as("mean_byte"),
+        col("n_distinct_bytes"), col("max_byte"))
       .orderBy("doc_id")
   }
 
@@ -187,7 +196,7 @@ object Multimodal {
                       FROM documents))
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
       CAST(COUNT(*) AS BIGINT) AS n_bytes,
-      ROUND(CAST(SUM(v) AS DECIMAL(28,4)) / COUNT(*), 4) + 0.0 AS mean_byte,
+      ROUND(CAST(SUM(v) AS BIGINT) / COUNT(*), 4) + 0.0 AS mean_byte,
       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct_bytes,
       CAST(MAX(v) AS BIGINT) AS max_byte
     FROM by GROUP BY doc_id ORDER BY doc_id"""

@@ -156,13 +156,18 @@ object TextAnalysis {
     // sums / row count of that same (bounded, broadcastable) frame —
     // the naive formulation re-ran the shingling flatMap for each of
     // profile, totals, and vocabulary.
-    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
-    val prof = sh.groupBy("g").pivot("lang", langs).agg(count(lit(1))).localCheckpoint()
+    val allLangs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    val prof = sh.groupBy("g").pivot("lang", allLangs).agg(count(lit(1))).localCheckpoint()
     val profTotals = prof.agg(
       count(lit(1)).as("v"),
-      langs.map(l => sum(coalesce(col(s"`$l`"), lit(0L))).as(s"t_$l")): _*).head()
+      allLangs.map(l => sum(coalesce(col(s"`$l`"), lit(0L))).as(s"t_$l")): _*).head()
     val v = profTotals.getLong(0)
-    val tot = langs.zipWithIndex.map { case (l, i) => l -> profTotals.getLong(i + 1) }.toMap
+    val allTot = allLangs.zipWithIndex.map { case (l, i) => l -> profTotals.getLong(i + 1) }.toMap
+    // candidate languages = those with training shingles (tot > 0):
+    // matches the oracle's inner join on per-language totals — a lang
+    // whose docs are all shorter than the shingle width is unscorable
+    val langs = allLangs.filter(allTot(_) > 0L)
+    val tot = allTot.filter { case (_, t) => t > 0L }
     val scoreCols = langs.map { l =>
       sum(log((coalesce(col(s"`$l`"), lit(0L)) + 1.0) / lit((tot(l) + v).toDouble)))
         .as(s"s_$l")

@@ -145,4 +145,15 @@ class DedupSpec extends SparkSpec {
     assert(cl(0L) === 0L && cl(1L) === 0L && cl(2L) === 0L) // 0≈1 exact, 0≈2 near
     assert(cl(3L) === 3L && cl(4L) === 4L)
   }
+
+  test("simhashPairs: gram-less short docs never pair (no all-zero signatures)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "hello"), (1L, "bye now"), (2L, "one word"),   // < 3 words: no grams
+      (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs).collect()
+    assert(pairs.isEmpty)
+  }
 }

@@ -159,9 +159,52 @@ object Events {
     FROM tagged WHERE event_type = 'purchase'
     ORDER BY event_id"""
 
+  /** Ordered conversion funnel view → click → purchase: a user reaches
+    * a stage only via a strictly-later event than the previous stage's
+    * first occurrence (min-timestamp semantics — deterministic values,
+    * no row-order dependence). Three conditional-min aggregations
+    * chained by join, one shuffle each on user_id.
+    */
+  def qEventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val es = eventsSec(spark, dir).select("user_id", "event_type", "ts_sec")
+    val u1 = es.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_sec")).as("v"))
+    val u2 = es.where(col("event_type") === "click").join(u1, "user_id")
+      .where(col("ts_sec") > col("v"))
+      .groupBy("user_id").agg(min(col("ts_sec")).as("c"))
+    val u3 = es.where(col("event_type") === "purchase").join(u2, "user_id")
+      .where(col("ts_sec") > col("c"))
+      .groupBy("user_id").agg(min(col("ts_sec")).as("p"))
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(("1_view", u1.count()), ("2_view_click", u2.count()),
+      ("3_view_click_purchase", u3.count()))
+      .toDF("stage", "n_users").orderBy("stage")
+  }
+
+  val qEventsFunnelSql: String = """
+    WITH es AS (SELECT user_id, event_type,
+                  epoch_ns(ts)//1000000000 AS ts_sec FROM events),
+    u1 AS (SELECT user_id, MIN(ts_sec) AS v FROM es
+           WHERE event_type = 'view' GROUP BY 1),
+    u2 AS (SELECT e.user_id, MIN(e.ts_sec) AS c
+           FROM es e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts_sec > u1.v GROUP BY 1),
+    u3 AS (SELECT e.user_id, MIN(e.ts_sec) AS p
+           FROM es e JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts_sec > u2.c GROUP BY 1)
+    SELECT stage, n_users FROM (
+      SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM u1
+      UNION ALL
+      SELECT '2_view_click', CAST(COUNT(*) AS BIGINT) FROM u2
+      UNION ALL
+      SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM u3)
+    ORDER BY stage"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
+    Op("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     Op("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
   )

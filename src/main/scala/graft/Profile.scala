@@ -24,7 +24,7 @@ object Profile {
     t("warm-lineitem")(Tables.lineitem(spark, dir).count())
     val docs = Tables.documents(spark, dir)
     t("docs-count")(docs.count())
-    t("shingles-count")(dedup.Dedup.docShingles(docs).count())
+    t("shingles-count")(dedup.Dedup.docShingleArrays(docs).count())
     t("ngram-full")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
     t("ngram-warm")(graft.dedup.Dedup.ngramJaccardPairs(docs).count())
     t("minhash-warm")(graft.dedup.Dedup.minhashLshPairs(docs).count())

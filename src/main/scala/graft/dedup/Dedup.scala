@@ -47,25 +47,6 @@ object Dedup {
     */
   val PrefixBroadcastVocab = 1000000L
 
-  /** (doc_id, s): distinct word n-gram shingles per document —
-    * per-doc dedup happens in the flatMap (no global shuffle).
-    */
-  def docShingles(docs: DataFrame, n: Int = NgramN): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col("doc_id").cast(LongType), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val w = text.split(" ", -1)
-        if (w.length < n) Iterator.empty
-        else {
-          val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-          w.iterator.sliding(n).withPartial(false).foreach(g => seen += g.mkString(" "))
-          seen.iterator.map(s => (id, s))
-        }
-      }.toDF("doc_id", "s")
-  }
-
   /** FNV-1a 64-bit over a shingle's UTF-8 bytes: the engine-internal
     * shingle identity. Only hash EQUALITY matters (set overlap counts
     * are hash-invariant; collisions ~|V|²/2⁶⁴), so any well-mixed

@@ -442,6 +442,113 @@ object GraphOps {
     out
   }
 
+  /** Strongly connected components of the DIRECTED graph:
+    * (vertex, scc) with scc = min vertex id of the component.
+    * Distributed path: min-label forward/backward propagation peeling
+    * (Hong/Slota FW-BW coloring) — per round, propagate the minimum
+    * reaching id along forward and along backward edges to fixpoint;
+    * vertices whose two labels agree form the SCC of that label and
+    * peel off. Sub-threshold graphs run Kosaraju on the driver.
+    */
+  def scc(edges: DataFrame, maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val ce = canonEdges(edges).where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val verts = ce.select(col("src").as("v")).unionAll(ce.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    if (ce.count() <= maxLocalEdges) return localScc(edges.sparkSession, ce, verts)
+
+    // label(v) ← min id with a directed path to v (following `dir`)
+    def minReach(e: DataFrame, vs: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+      var lab = vs.withColumn("lab", col("v"))
+      var changed = true
+      while (changed) {
+        val pushed = e.join(lab.withColumnRenamed("v", srcCol), srcCol)
+          .groupBy(col(dstCol).as("v")).agg(min(col("lab")).as("plab"))
+        val next = lab.join(pushed, Seq("v"), "left")
+          .select(col("v"), least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"))
+          .localCheckpoint()
+        changed = next.join(lab.withColumnRenamed("lab", "old"), "v")
+          .where(col("lab") =!= col("old")).limit(1).count() > 0
+        lab = next
+      }
+      lab
+    }
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var vs = verts
+    var e = ce
+    var remaining = vs.count()
+    while (remaining > 0) {
+      val fwd = minReach(e, vs, "src", "dst")
+      val bwd = minReach(e, vs, "dst", "src")
+      val assigned = fwd.join(bwd.withColumnRenamed("lab", "blab"), "v")
+        .where(col("lab") === col("blab"))
+        .select(col("v").as("vertex"), col("lab").as("scc"))
+        .localCheckpoint()
+      out += assigned
+      vs = vs.join(assigned.select(col("vertex").as("v")), Seq("v"), "left_anti")
+        .localCheckpoint()
+      e = e.join(vs.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(vs.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      remaining = vs.count()
+    }
+    out.reduce(_ unionAll _)
+  }
+
+  /** Driver-side Kosaraju twin for sub-threshold graphs: two iterative
+    * DFS passes (finish order on G, assignment on Gᵀ), components
+    * relabeled by their minimum vertex id.
+    */
+  private def localScc(spark: SparkSession, e: DataFrame, verts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vs = verts.collect().map(_.getLong(0)).sorted
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    val radj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    es.foreach { case (a, b) =>
+      adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+      radj.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += a
+    }
+    // pass 1: iterative DFS finish order on G
+    val seen = new java.util.HashSet[Long]()
+    val finish = scala.collection.mutable.ArrayBuffer.empty[Long]
+    vs.foreach { start =>
+      if (!seen.contains(start)) {
+        val stack = scala.collection.mutable.Stack[(Long, Int)]((start, 0))
+        seen.add(start)
+        while (stack.nonEmpty) {
+          val (v, i) = stack.pop()
+          val ns = adj.getOrDefault(v, scala.collection.mutable.ArrayBuffer.empty)
+          if (i < ns.length) {
+            stack.push((v, i + 1))
+            val w = ns(i)
+            if (!seen.contains(w)) { seen.add(w); stack.push((w, 0)) }
+          } else finish += v
+        }
+      }
+    }
+    // pass 2: assign components on the reverse graph in reverse finish order
+    val comp = new java.util.HashMap[Long, Long]()
+    finish.reverseIterator.foreach { root =>
+      if (!comp.containsKey(root)) {
+        val stack = scala.collection.mutable.Stack[Long](root)
+        comp.put(root, root)
+        val members = scala.collection.mutable.ArrayBuffer[Long](root)
+        while (stack.nonEmpty) {
+          val v = stack.pop()
+          radj.getOrDefault(v, scala.collection.mutable.ArrayBuffer.empty).foreach { w =>
+            if (!comp.containsKey(w)) { comp.put(w, root); members += w; stack.push(w) }
+          }
+        }
+        // relabel by the component minimum for a deterministic id
+        val mn = members.min
+        members.foreach(m => comp.put(m, mn))
+      }
+    }
+    vs.map(v => (v, comp.get(v))).toSeq.toDF("vertex", "scc")
+  }
+
   /** Synchronous label propagation (community detection), fully
     * deterministic: every vertex starts as its own label; each round,
     * a vertex adopts the most frequent label among its undirected

@@ -254,6 +254,26 @@ object GraphQueries {
        |SELECT v AS vertex, lab AS community FROM l$LpaIters ORDER BY vertex""".stripMargin
   }
 
+  /** Strongly connected components on the directed 512-vertex hash
+    * graph (functional graphs have real cycle structure); oracle =
+    * mutual-reachability closure, scc = MIN mutually-reachable id.
+    */
+  def graphScc(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.scc(DerivedGraphs.hashEdges(spark, dir, 512))
+      .orderBy("vertex")
+
+  val graphSccSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.hashEdgesSql(512)},
+       |verts AS (SELECT src AS v FROM he UNION SELECT dst FROM he),
+       |r AS (
+       |  SELECT v AS s, v AS t FROM verts
+       |  UNION
+       |  SELECT r.s, he.dst FROM r JOIN he ON he.src = r.t
+       |)
+       |SELECT a.s AS vertex, MIN(a.t) AS scc
+       |FROM r a JOIN r b ON b.s = a.t AND b.t = a.s
+       |GROUP BY a.s ORDER BY vertex""".stripMargin
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -326,6 +346,7 @@ object GraphQueries {
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
+    Op("graph_scc", graphScc, Some(graphSccSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
   )

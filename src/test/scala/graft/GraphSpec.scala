@@ -129,4 +129,17 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === lpa)
   }
+
+  test("scc separates cycles joined one-way, local and distributed agree") {
+    // cycle {1,2,3} -> bridge -> cycle {10,11}; 20 hangs off one-way
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 10L), (10L, 11L), (11L, 10L), (11L, 20L))
+    val local = GraphOps.scc(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val dist = GraphOps.scc(e, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+  }
 }

@@ -42,6 +42,20 @@ object GraphOps {
   private def canonEdges(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
 
+  /** Collect a 2-long-column frame as pairs (the local twins' input). */
+  private def collectPairs(df: DataFrame): Array[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  /** Driver-side adjacency list from collected edge pairs. */
+  private def adjacencyOf(pairs: Array[(Long, Long)])
+      : java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]] = {
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+    pairs.foreach { case (a, b) =>
+      adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+    }
+    adj
+  }
+
   /** Multi-source, tagged BFS. `sources` has columns (vertex[, tag]);
     * result is (tag, vertex, level) with level = min-hop distance from
     * the tag's source set. Untagged callers get a constant tag they
@@ -129,7 +143,7 @@ object GraphOps {
         fill.put(s, used + 1)
       }
     }
-    val srcs = tagged.collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val srcs = collectPairs(tagged).distinct
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     srcs.groupBy(_._1).foreach { case (tag, seeds) =>
       val level = new java.util.HashMap[Long, Int]()
@@ -281,7 +295,7 @@ object GraphOps {
   private def localCc(spark: SparkSession, undirected: DataFrame,
       allEdges: DataFrame): DataFrame = {
     import spark.implicits._
-    val es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = collectPairs(undirected)
     val verts = allEdges.select(col("src").as("vertex"))
       .unionAll(allEdges.select(col("dst").as("vertex")))
       .distinct().collect().map(_.getLong(0))
@@ -339,7 +353,7 @@ object GraphOps {
   private def localPagerank(spark: SparkSession, e: DataFrame,
       iters: Int, d: Double): DataFrame = {
     import spark.implicits._
-    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = collectPairs(e)
     val verts = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
     val n = verts.length
     val outdeg = new java.util.HashMap[Long, Long]()
@@ -397,7 +411,7 @@ object GraphOps {
     */
   private def localKCore(spark: SparkSession, undirected: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    var es = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+    var es = collectPairs(undirected)
     var changed = true
     while (changed && es.nonEmpty) {
       val deg = new java.util.HashMap[Long, Long]()
@@ -502,14 +516,10 @@ object GraphOps {
     */
   private def localScc(spark: SparkSession, e: DataFrame, verts: DataFrame): DataFrame = {
     import spark.implicits._
-    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = collectPairs(e)
     val vs = verts.collect().map(_.getLong(0)).sorted
-    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-    val radj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-    es.foreach { case (a, b) =>
-      adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
-      radj.computeIfAbsent(b, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += a
-    }
+    val adj = adjacencyOf(es)
+    val radj = adjacencyOf(es.map(_.swap))
     // pass 1: iterative DFS finish order on G
     val seen = new java.util.HashSet[Long]()
     val finish = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -585,11 +595,7 @@ object GraphOps {
   /** Driver-side sync-LPA twin for sub-threshold graphs. */
   private def localLpa(spark: SparkSession, und: DataFrame, iters: Int): DataFrame = {
     import spark.implicits._
-    val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-    es.foreach { case (a, b) =>
-      adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += b
-    }
+    val adj = adjacencyOf(collectPairs(und))
     import scala.jdk.CollectionConverters._
     val verts = adj.keySet().asScala.toArray.sorted
     var lab = new java.util.HashMap[Long, Long]()
@@ -616,7 +622,7 @@ object GraphOps {
     */
   private def localTriangles(spark: SparkSession, u: DataFrame): DataFrame = {
     import spark.implicits._
-    val es = u.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = collectPairs(u)
     val up = new java.util.HashMap[Long, scala.collection.mutable.TreeSet[Long]]()
     es.foreach { case (a, b) =>
       up.computeIfAbsent(a, _ => scala.collection.mutable.TreeSet.empty[Long]) += b

@@ -345,8 +345,39 @@ object Relational {
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY status, priority"""
 
+  /** Pivot (wide crosstab): order counts per status × priority, one
+    * column per priority. Pivot values are passed explicitly (from the
+    * TPC-H priority domain) so Catalyst skips the distinct-values
+    * pre-scan and the column set is deterministic; the oracle is the
+    * equivalent conditional aggregation.
+    */
+  val PivotPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val renames = PivotPriorities.map(p => col(s"`$p`").as(s"p${p.head}"))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", PivotPriorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +: renames: _*)
+      .na.fill(0L)
+      .orderBy("o_orderstatus")
+  }
+
+  val qPivotSql: String = {
+    val cols = PivotPriorities.map(p =>
+      s"CAST(COUNT(*) FILTER (o_orderpriority = '$p') AS BIGINT) AS p${p.head}")
+      .mkString(",\n      ")
+    s"""
+    SELECT o_orderstatus,
+      $cols
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
+
   def ops: Seq[Op] = Seq(
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q1_agg", q1Agg, Some(q1AggSql)),

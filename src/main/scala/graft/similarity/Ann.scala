@@ -307,6 +307,48 @@ object Ann {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
+  /** k for the all-vectors k-NN join (kept small: output is n·k). */
+  val KnnJoinK = 3
+
+  /** k-NN self-join: every vector's top-k cosine neighbors — the
+    * primitive under near-dup clustering and diversity sampling. The
+    * full vector set broadcasts into the same bounded per-partition
+    * heaps as [[bruteForceTopK]] (exact); that is the right shape up
+    * to broadcast-sized corpora, and the documented 100 TB path for
+    * larger ones is the LSH/IVF candidate join ([[lshTopK]]) — exact
+    * all-pairs k-NN at that scale is a deliberate non-goal.
+    */
+  def knnJoin(emb: DataFrame, k: Int = KnnJoinK): DataFrame = {
+    val all = emb.select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).toArray
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+        (r.getLong(0), v, math.sqrt(s))
+      }.sortBy(_._1)
+    heapTopK(emb, all, k)
+  }
+
+  def annKnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(Tables.embeddings(spark, dir))
+
+  val annKnnJoinSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    s AS (SELECT q.vec_id AS qid, n.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, len(q.v)),
+              i -> q.v[i] * n.v[i])) / (q.nrm * n.nrm), 6) + 0.0 AS score
+          FROM n q JOIN n ON n.vec_id != q.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $KnnJoinK ORDER BY qid, rank"""
+
   /** Range-search threshold (the corpus' non-dup cosine ceiling is
     * ≈0.51, so 0.3 returns a real-but-bounded neighbor set).
     */
@@ -356,5 +398,6 @@ object Ann {
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, None),
     Op("ann_range", annRange, Some(annRangeSql)),
+    Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
   )
 }

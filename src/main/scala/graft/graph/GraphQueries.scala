@@ -274,6 +274,40 @@ object GraphQueries {
        |FROM r a JOIN r b ON b.s = a.t AND b.t = a.s
        |GROUP BY a.s ORDER BY vertex""".stripMargin
 
+  /** Out-closeness centrality on the directed nation graph: every
+    * vertex is a tag of one multi-source tagged BFS, closeness =
+    * (reached−1)/Σdist (0 when nothing is reached). Exercises the
+    * all-sources traversal path; integer hop sums → engine-exact.
+    */
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.nationEdges(spark, dir).localCheckpoint()
+    val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v").as("vertex"), col("v").as("tag"))
+    GraphOps.bfs(e, sources)
+      .groupBy(col("tag").as("vertex"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("level")).as("sum_dist"))
+      .select(col("vertex"), col("n_reached"),
+        when(col("sum_dist") > 0,
+          round((col("n_reached") - 1) / col("sum_dist"), 6))
+          .otherwise(lit(0.0)).as("closeness"))
+      .orderBy("vertex")
+  }
+
+  val graphClosenessSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
+       |verts AS (SELECT src AS v FROM ne UNION SELECT dst FROM ne),
+       |r AS (
+       |  SELECT v AS s, v AS t, 0 AS d FROM verts
+       |  UNION
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |),
+       |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2)
+       |SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CASE WHEN SUM(d) > 0
+       |       THEN ROUND((COUNT(*) - 1) / SUM(d), 6) ELSE 0.0 END AS closeness
+       |FROM sp GROUP BY s ORDER BY vertex""".stripMargin
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -347,6 +381,7 @@ object GraphQueries {
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),
+    Op("graph_closeness", graphCloseness, Some(graphClosenessSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
   )

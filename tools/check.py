@@ -19,13 +19,20 @@ def canon(df):
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sfdir, outdir):
+def fresh_con(sfdir):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+def main(sfdir, outdir):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        # fresh connection per query: the heavy all-pairs oracles
+        # otherwise leave the shared allocator exhausted at larger SFs
+        # and an unrelated later query flakes with a DuckDB OOM
+        con = fresh_con(sfdir)
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"[MISS] {name}: no spark output"); n_bad += 1; continue
@@ -54,6 +61,7 @@ def main(sfdir, outdir):
             print(f"[BAD ] {name}: {bad_cells[:3]}"); n_bad += 1
         else:
             print(f"[ OK ] {name}: {len(m)} rows"); n_ok += 1
+        con.close()
     print(f"\n{n_ok} ok, {n_bad} bad")
     return 1 if n_bad else 0
 

@@ -7,7 +7,8 @@ object SparkEntry {
 
   /** All registered operators, by module. */
   def ops: Seq[Op] =
-    operators.Relational.ops ++ operators.Events.ops ++ graph.GraphQueries.ops ++
+    operators.Relational.ops ++ operators.Events.ops ++ operators.Sampling.ops ++
+      graph.GraphQueries.ops ++
       text.TextAnalysis.ops ++ dedup.Dedup.ops ++ similarity.Ann.ops ++
       multimodal.Multimodal.ops ++ streaming.Streaming.ops
 

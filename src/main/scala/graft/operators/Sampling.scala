@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Op, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Dataset splitting and sampling — the operators a training-data
+  * pipeline runs after cleaning: carve train/val/test splits and draw
+  * stratified samples, deterministically and reproducibly.
+  *
+  * Determinism contract (same on both engines, any cluster size, any
+  * partitioning): the randomness source is `md5(salt || doc_id)` — a
+  * pure function of the row key, so membership of a given doc in a
+  * split/sample never depends on execution order, partition count, or
+  * engine. Spark and DuckDB produce identical lowercase-hex md5
+  * strings, so hex-string comparison needs no hex→int conversion.
+  *
+  * Scale shape: the split is a stateless per-row classification — one
+  * narrow scan, no shuffle before the summary agg; at 100 TB it is the
+  * same single pass. The equal-allocation stratified sample is a
+  * per-stratum top-k (window on the hash order) — one shuffle on the
+  * stratum key; for rate-based Bernoulli sampling at extreme scale the
+  * same hash compares against a precomputed per-stratum hex threshold
+  * instead (no window at all).
+  */
+object Sampling {
+
+  /** Hex thresholds over the first two md5 nibbles: 0x00-0xcb train
+    * (204/256 ≈ 79.7%), 0xcc-0xe5 val (26/256 ≈ 10.2%), rest test.
+    */
+  val TrainUpper = "cc"
+  val ValUpper = "e6"
+
+  /** Per-doc split assignment (the reusable primitive). */
+  def withSplit(docs: DataFrame): DataFrame = {
+    val h = md5(concat(lit("split:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    docs.withColumn("split",
+      when(substring(h, 1, 2) < TrainUpper, "train")
+        .when(substring(h, 1, 2) < ValUpper, "val")
+        .otherwise("test"))
+  }
+
+  /** Train/val/test split summary: per (split, lang) doc counts and
+    * char totals — the reproducible manifest a training run records.
+    */
+  def qTrainSplit(spark: SparkSession, dir: String): DataFrame =
+    withSplit(Tables.documents(spark, dir))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("split", "lang")
+
+  val qTrainSplitSql: String = s"""
+    WITH assigned AS (
+      SELECT doc_id, lang, n_chars,
+        CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '$TrainUpper' THEN 'train'
+             WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '$ValUpper' THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      MIN(doc_id) AS min_doc_id
+    FROM assigned GROUP BY split, lang ORDER BY split, lang"""
+
+  /** Equal-allocation stratified sample: rank each language's docs by
+    * the salted hash (doc_id tie-break) and keep the top k, where k is
+    * the smallest stratum's size — a balanced per-language corpus from
+    * an imbalanced one. The hash order is a deterministic shuffle, so
+    * "first k by hash" is a uniform random sample of the stratum.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val k = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0)
+    val h = md5(concat(lit("sample:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", h)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= k)
+      .select(col("doc_id"), col("lang"), col("rn"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qSampleStratifiedSql: String = """
+    WITH k AS (SELECT MIN(n) AS k FROM
+                 (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY lang
+          ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, n_chars
+    FROM ranked WHERE rn <= (SELECT k FROM k) ORDER BY doc_id"""
+
+  def ops: Seq[Op] = Seq(
+    Op("q_train_split", qTrainSplit, Some(qTrainSplitSql)),
+    Op("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+  )
+}

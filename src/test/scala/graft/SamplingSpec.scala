@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  test("q_train_split: disjoint cover with roughly 80/10/10 proportions") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val assigned = Sampling.withSplit(docs)
+    // every doc gets exactly one split, nothing dropped
+    assert(assigned.count() === n)
+    val bySplit = assigned.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "val", "test"))
+    assert(bySplit.values.sum === n)
+    // hash thresholds target 79.7 / 10.2 / 10.1 %; allow generous slack
+    // at sf0.001 (500 docs)
+    val train = bySplit("train").toDouble / n
+    assert(train > 0.70 && train < 0.90, s"train fraction $train")
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+  }
+
+  test("q_train_split: assignment is a pure function of doc_id (stable under repartition)") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.withSplit(docs).select("doc_id", "split")
+    val b = Sampling.withSplit(docs.repartition(13)).select("doc_id", "split")
+    assert(rowsOf(a) === rowsOf(b))
+  }
+
+  test("q_sample_stratified: equal allocation, k = smallest stratum") {
+    val docs = Tables.documents(spark, sfDir)
+    val k = docs.groupBy("lang").count().agg(min("count")).head.getLong(0)
+    val out = Sampling.qSampleStratified(spark, sfDir)
+    val perLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = docs.select("lang").distinct().count()
+    assert(perLang.size === langs)
+    assert(perLang.values.forall(_ === k), s"per-lang counts $perLang, k=$k")
+    // the sample is a subset of the corpus
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).forall(ids))
+  }
+}

@@ -617,6 +617,95 @@ object GraphOps {
     verts.map(v => (v, lab.get(v))).toSeq.toDF("vertex", "community")
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), fixed iteration count
+    * with L1 normalization after each half-step: starting from h=1,
+    * each round computes a(v) = Σ_{u→v} h(u) (then a ← a/Σa) and
+    * h(v) = Σ_{v→u} a(u) (then h ← h/Σh). Sum-normalization keeps the
+    * oracle a plain unrolled CTE chain (no sqrt). Each half-step is one
+    * join + one aggregation shuffled on the vertex id; the L1 total is
+    * a scalar aggregate (at 100 TB: a tree-reduce, not a collect of
+    * vectors). Callers round (6 dp) — normalization noise is ~1e-15.
+    */
+  def hits(edges: DataFrame, iters: Int,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= maxLocalEdges) {
+      val out = localHits(edges.sparkSession, e, iters)
+      e.unpersist()
+      return out
+    }
+    val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    var h = verts.withColumn("s", lit(1.0))
+    var a = h
+    def halfStep(scores: DataFrame, inCol: String, outCol: String): DataFrame = {
+      val pushed = e.join(scores.withColumnRenamed("v", inCol), inCol)
+        .groupBy(col(outCol).as("v")).agg(sum(col("s")).as("x"))
+      val raw = verts.join(pushed, Seq("v"), "left")
+        .select(col("v"), coalesce(col("x"), lit(0.0)).as("x"))
+        .localCheckpoint()
+      val tot = raw.agg(sum(col("x"))).head().getDouble(0)
+      raw.select(col("v"), (col("x") / tot).as("s"))
+    }
+    for (_ <- 1 to iters) {
+      a = halfStep(h, "src", "dst") // authority ← in-edge hub mass
+      h = halfStep(a, "dst", "src") // hub ← out-edge authority mass
+    }
+    verts.join(a.withColumnRenamed("s", "authority"), "v")
+      .join(h.withColumnRenamed("s", "hub"), "v")
+      .select(col("v").as("vertex"), col("authority"), col("hub"))
+  }
+
+  /** Driver-side HITS twin for sub-threshold graphs: identical
+    * half-step/normalize schedule.
+    */
+  private def localHits(spark: SparkSession, e: DataFrame, iters: Int): DataFrame = {
+    import spark.implicits._
+    val es = collectPairs(e)
+    val verts = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    var h = verts.map(_ -> 1.0).toMap
+    var a = h
+    def halfStep(scores: Map[Long, Double], pairs: Array[(Long, Long)]): Map[Long, Double] = {
+      val acc = new java.util.HashMap[Long, Double]()
+      pairs.foreach { case (from, to) => acc.merge(to, scores(from), _ + _) }
+      val raw = verts.map(v => v -> acc.getOrDefault(v, 0.0)).toMap
+      val tot = verts.iterator.map(raw).sum
+      raw.map { case (v, x) => v -> x / tot }
+    }
+    for (_ <- 1 to iters) {
+      a = halfStep(h, es)          // along src→dst
+      h = halfStep(a, es.map(_.swap)) // along dst→src
+    }
+    verts.map(v => (v, a(v), h(v))).toSeq.toDF("vertex", "authority", "hub")
+  }
+
+  /** Link prediction over the undirected simple graph: for every
+    * non-adjacent pair a<b with ≥1 common neighbor, the three classic
+    * scores — common-neighbor count, Jaccard of neighborhoods, and
+    * Adamic-Adar (Σ 1/ln deg(z) over common neighbors z). The heavy
+    * stage is the wedge self-join (same shape as triangle counting:
+    * shuffle on the shared-neighbor id); degrees broadcast. Scores are
+    * pure functions of the neighborhood sets — no iteration.
+    */
+  def linkPrediction(edges: DataFrame): DataFrame = {
+    val und = canonEdges(edges)
+      .select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(canonEdges(edges).select(col("dst"), col("src")))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val wedges = und.as("x").join(und.as("y"),
+        col("x.b") === col("y.b") && col("x.a") < col("y.a"))
+      .join(deg.withColumnRenamed("v", "z"), col("z") === col("x.b"))
+      .groupBy(col("x.a").as("a"), col("y.a").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(lit(1.0) / log(col("d"))).as("aa"))
+    wedges.join(und.select(col("a"), col("b")), Seq("a", "b"), "left_anti")
+      .join(broadcast(deg.withColumnRenamed("v", "a").withColumnRenamed("d", "da")), "a")
+      .join(broadcast(deg.withColumnRenamed("v", "b").withColumnRenamed("d", "db")), "b")
+      .select(col("a"), col("b"), col("cn"),
+        round(col("cn") / (col("da") + col("db") - col("cn")), 6).as("jaccard"),
+        round(col("aa"), 6).as("adamic_adar"))
+  }
+
   /** Driver-side triangle-count twin for sub-threshold graphs: oriented
     * higher-neighbor intersection, each triangle a<b<c counted once.
     */

@@ -353,6 +353,73 @@ object GraphQueries {
        |SELECT v AS vertex, landmark, CAST(MIN(dist) AS BIGINT) AS dist
        |FROM sp GROUP BY v, landmark ORDER BY vertex, landmark""".stripMargin
 
+  /** HITS hubs & authorities on the directed nation graph, 2 rounds
+    * with L1 normalization per half-step; oracle = the identical
+    * unrolled CTE chain (same schedule: a from h, normalize; h from a,
+    * normalize). 6-dp rounding absorbs ~1e-15 normalization noise.
+    */
+  val HitsIters = 2
+
+  def graphHits(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.hits(DerivedGraphs.nationEdges(spark, dir), HitsIters)
+      .select(col("vertex"),
+        round(col("authority"), 6).as("authority"),
+        round(col("hub"), 6).as("hub"))
+      .orderBy("vertex")
+
+  val graphHitsSql: String = {
+    // one half-step: push `prev` scores across ne (inC → outC), then
+    // L1-normalize. MATERIALIZED: each score CTE is read twice.
+    def half(prev: String, cur: String, inC: String, outC: String): String =
+      s"""${cur}r AS MATERIALIZED (
+         |  SELECT verts.v, COALESCE(SUM($prev.s), 0.0) AS x
+         |  FROM verts LEFT JOIN ne ON ne.$outC = verts.v
+         |  LEFT JOIN $prev ON $prev.v = ne.$inC
+         |  GROUP BY verts.v),
+         |$cur AS MATERIALIZED (
+         |  SELECT v, x / (SELECT SUM(x) FROM ${cur}r) AS s FROM ${cur}r)""".stripMargin
+    val rounds = (1 to HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      half(prevH, s"a$i", "src", "dst") + ",\n" + half(s"a$i", s"h$i", "dst", "src")
+    }.mkString(",\n")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |verts AS (SELECT src AS v FROM ne UNION SELECT dst FROM ne),
+       |h0 AS (SELECT v, 1.0 AS s FROM verts),
+       |$rounds
+       |SELECT verts.v AS vertex, ROUND(a$HitsIters.s, 6) AS authority,
+       |       ROUND(h$HitsIters.s, 6) AS hub
+       |FROM verts JOIN a$HitsIters ON a$HitsIters.v = verts.v
+       |JOIN h$HitsIters ON h$HitsIters.v = verts.v
+       |ORDER BY vertex""".stripMargin
+  }
+
+  /** Link prediction (common neighbors / Jaccard / Adamic-Adar) for
+    * non-adjacent pairs of the undirected nation graph.
+    */
+  def graphLinkPredict(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.linkPrediction(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("a", "b")
+
+  val graphLinkPredictSql: String =
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM ne UNION SELECT dst, src FROM ne)
+       |  WHERE a != b),
+       |deg AS MATERIALIZED (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+       |wedge AS (
+       |  SELECT x.a AS a, y.a AS b, COUNT(*) AS cn, SUM(1.0 / LN(deg.d)) AS aa
+       |  FROM und x JOIN und y ON y.b = x.b AND x.a < y.a
+       |  JOIN deg ON deg.v = x.b
+       |  GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT w.* FROM wedge w LEFT JOIN und u ON u.a = w.a AND u.b = w.b
+       |  WHERE u.a IS NULL)
+       |SELECT n.a, n.b, n.cn,
+       |  ROUND(n.cn / (da.d + db.d - n.cn), 6) AS jaccard,
+       |  ROUND(n.aa, 6) AS adamic_adar
+       |FROM nonadj n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
+       |ORDER BY a, b""".stripMargin
+
   /** The warehouse→graph derivation itself (nation trade graph with
     * its threshold rule), exposed directly so the derivation layer has
     * its own gate entry (supply-graph derivation is gated via
@@ -382,6 +449,8 @@ object GraphQueries {
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),
     Op("graph_closeness", graphCloseness, Some(graphClosenessSql)),
+    Op("graph_hits", graphHits, Some(graphHitsSql)),
+    Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
   )

@@ -130,6 +130,40 @@ class GraphSpec extends SparkSpec {
     assert(dist === lpa)
   }
 
+  test("hits: star center is the authority, spokes are hubs; paths agree") {
+    // 1..4 all point at 5: 5 gets all authority, 1..4 split hub mass
+    val e = edgeDf((1L, 5L), (2L, 5L), (3L, 5L), (4L, 5L))
+    def byV(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val local = byV(GraphOps.hits(e, iters = 2))
+    assert(math.abs(local(5L)._1 - 1.0) < 1e-12)    // sole authority
+    assert(local(5L)._2 === 0.0)                    // no out-edges: no hub mass
+    (1L to 4L).foreach { v =>
+      assert(local(v)._1 === 0.0)
+      assert(math.abs(local(v)._2 - 0.25) < 1e-12)  // equal hub split
+    }
+    val dist = byV(GraphOps.hits(e, iters = 2, maxLocalEdges = 0L))
+    assert(dist.keySet === local.keySet)
+    local.foreach { case (v, (a, h)) =>
+      assert(math.abs(dist(v)._1 - a) < 1e-9 && math.abs(dist(v)._2 - h) < 1e-9)
+    }
+  }
+
+  test("linkPrediction scores the open pair of a wedge, skips adjacent pairs") {
+    // path 1-2-3 plus pendant 3-4: candidates are exactly the
+    // distance-2 pairs (1,3)? no — (1,3) shares neighbor 2 but 1-3 not
+    // adjacent; (2,4) shares 3; (1,2) etc. are adjacent and excluded.
+    val e = edgeDf((1L, 2L), (2L, 3L), (3L, 4L))
+    val out = GraphOps.linkPrediction(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.keySet === Set((1L, 3L), (2L, 4L)))
+    val (cn, jac, aa) = out((1L, 3L))
+    assert(cn === 1L)
+    // deg(1)=1, deg(3)=2, cn=1 → jaccard = 1/2; common neighbor 2 has deg 2
+    assert(jac === 0.5)
+    assert(math.abs(aa - 1.0 / math.log(2.0)) < 1e-6)
+  }
+
   test("scc separates cycles joined one-way, local and distributed agree") {
     // cycle {1,2,3} -> bridge -> cycle {10,11}; 20 hangs off one-way
     val e = edgeDf((1L, 2L), (2L, 3L), (3L, 1L),

@@ -201,8 +201,39 @@ object Events {
       SELECT '3_view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM u3)
     ORDER BY stage"""
 
+  /** Semi-structured extraction: `props` is a JSON string column;
+    * pull the numeric `k` property out per row and aggregate on it.
+    * `get_json_object` is Spark's codegen'd JSON path evaluator — at
+    * 100 TB this is the schema-on-read path for event payloads (no
+    * pre-parsing ETL); the single groupBy shuffles only the extracted
+    * ints, not the JSON blobs.
+    */
+  def qEventsJson(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+        dec2(col("value")).as("v"))
+      .groupBy(expr("k div 10").as("k_band"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("v")).cast(DoubleType).as("total_value"))
+      .orderBy("k_band", "event_type")
+
+  val qEventsJsonSql: String = """
+    WITH ex AS (
+      SELECT event_type, user_id, value,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT k // 10 AS k_band, event_type, COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users,
+      MIN(k) AS min_k, MAX(k) AS max_k,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_events_json", qEventsJson, Some(qEventsJsonSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     Op("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     Op("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),

@@ -345,6 +345,63 @@ object Relational {
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY status, priority"""
 
+  /** Explicit GROUPING SETS — the general form under rollup/cube: only
+    * the requested marginals {(status, priority), (status), ()} are
+    * aggregated, one Expand + single aggregation pass (a rollup of a
+    * different shape would re-scan; cube would compute the unneeded
+    * priority-only marginal).
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(dec2(col("o_totalprice"))).cast(DoubleType).as("total_price"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total_price"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  val qGroupingSetsSql: String = """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY status, priority"""
+
+  /** Salted two-phase aggregation — the skew-mitigation shape written
+    * out as an operator: partial aggregate on (key, salt) spreads a
+    * hot key over `SkewSalts` reducers, the final aggregate combines
+    * the partials. Decimal partial sums make the two-phase result
+    * bit-identical to the direct aggregation (the oracle) — which is
+    * exactly the invariant that makes salting safe to apply at 100 TB.
+    * (For sum/count Spark's map-side partial aggregation already does
+    * this implicitly; the explicit form is the building block for
+    * skewed high-cardinality aggregates and skewed join keys.)
+    */
+  val SkewSalts = 8
+
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), dec2(col("l_quantity")).as("q"),
+        pmod(col("l_orderkey"), lit(SkewSalts)).as("salt"))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(sum(col("q")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pn")).as("n_items"))
+      .orderBy("l_suppkey")
+
+  val qSkewAggSql: String = """
+    SELECT l_suppkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""
+
   /** Pivot (wide crosstab): order counts per status × priority, one
     * column per priority. Pivot values are passed explicitly (from the
     * TPC-H priority domain) so Catalyst skips the distinct-values
@@ -379,6 +436,8 @@ object Relational {
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
+    Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    Op("q_skew_agg", qSkewAgg, Some(qSkewAggSql)),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q1_agg", q1Agg, Some(q1AggSql)),
     Op("q3_join_topk", q3JoinTopk, Some(q3JoinTopkSql)),

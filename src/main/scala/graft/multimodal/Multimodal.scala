@@ -201,8 +201,37 @@ object Multimodal {
       CAST(MAX(v) AS BIGINT) AS max_byte
     FROM by GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Exact binary dedup manifest: group payloads by content md5, emit
+    * one row per duplicate set with >1 copy (keeper = min doc_id) —
+    * hash-based media dedup, the first pass of any image/video
+    * pipeline. Unlike dedup_exact (normalized text), this hashes the
+    * RAW bytes: one scan, one hash-keyed aggregation; at 100 TB the
+    * md5 column is what gets shuffled, never the payloads.
+    */
+  def binaryDedup(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"), md5(col("payload")).as("content_md5"),
+        length(col("payload")).cast(LongType).as("byte_len"))
+      .groupBy(col("content_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("byte_len")).as("byte_len"))
+      .where(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"), col("byte_len"), col("content_md5"))
+      .orderBy("keep_id")
+
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    binaryDedup(Tables.documents(spark, dir))
+
+  val mmDedupSql: String = """
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      CAST(MIN(octet_length(encode(text))) AS BIGINT) AS byte_len,
+      md5(text) AS content_md5
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+    ORDER BY keep_id"""
+
   def ops: Seq[Op] = Seq(
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
+    Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),

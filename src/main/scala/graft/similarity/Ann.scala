@@ -393,10 +393,124 @@ object Ann {
         i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 >= $RangeTau
     ORDER BY qid, vec_id"""
 
+  /** PQ layout: M subspaces × C centroids; ADC keeps `PqRerank`
+    * candidates per query for the exact rerank.
+    */
+  val PqSubspaces = 8
+  val PqCentroids = 16
+  val PqRerank = 64
+
+  /** Product quantization (Jégou et al., TPAMI 2011) top-k: vectors
+    * compress to M = [[PqSubspaces]] one-byte codes (nearest centroid
+    * per subspace; codebooks seeded from the first [[PqCentroids]]
+    * vectors' subvectors — same deterministic seeding as IVF). Queries
+    * score candidates by Asymmetric Distance Computation: a per-query
+    * M × C lookup table of subspace dot products makes each approximate
+    * score M table adds instead of D multiplies — the memory-bound
+    * trick that lets 100 TB of vectors scan as ~M bytes each. The top
+    * [[PqRerank]] ADC candidates per query are then reranked exactly,
+    * so returned scores are true cosines (spec-pinned against brute
+    * force); the op is rows-only in the gate (code assignment is
+    * engine-specific).
+    */
+  def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = collectQueries(emb)
+    require(queries.nonEmpty, "query set is empty")
+    val dim = queries.head._2.length
+    require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
+    val sub = dim / PqSubspaces
+    // codebooks[m][c] = subvector m of seed vector c (raw, unnormalized)
+    val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1).map(_._2)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
+      seeds.map(v => Array.tabulate(sub)(i => v(m * sub + i).toDouble))
+    }
+    // per-query ADC tables: adc[q](m)(c) = dot(q_m, codebook[m][c])
+    val adcTables: Map[Long, Array[Array[Double]]] = queries.map { case (qid, qv, _) =>
+      qid -> Array.tabulate(PqSubspaces) { m =>
+        Array.tabulate(PqCentroids) { c =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += qv(m * sub + i).toDouble * codebooks(m)(c)(i); i += 1 }
+          s
+        }
+      }
+    }.toMap
+    val bq = spark.sparkContext.broadcast(queries.map(q => (q._1, q._3)))
+    val bcb = spark.sparkContext.broadcast(codebooks)
+    val badc = spark.sparkContext.broadcast(adcTables)
+    // encode + ADC-score in one pass; bounded per-partition heaps
+    val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value
+        val cbs = bcb.value
+        val adc = badc.value
+        val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+        val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
+        it.foreach { case (id, v) =>
+          var nrm = 0.0
+          var i = 0
+          while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+          nrm = math.sqrt(nrm)
+          // encode: nearest centroid per subspace (L2², ties → lower c)
+          val codes = new Array[Int](PqSubspaces)
+          var m = 0
+          while (m < PqSubspaces) {
+            val cb = cbs(m)
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              var d = 0.0; var j = 0
+              while (j < cb(c).length) {
+                val diff = v(m * cb(c).length + j).toDouble - cb(c)(j)
+                d += diff * diff; j += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(m) = best
+            m += 1
+          }
+          qs.foreach { case (qid, qn) =>
+            if (id != qid) {
+              val t = adc(qid)
+              var s = 0.0
+              var mm = 0
+              while (mm < PqSubspaces) { s += t(mm)(codes(mm)); mm += 1 }
+              val approx = round6(s / (qn * nrm))
+              val h = heaps(qid)
+              h.enqueue((approx, id))
+              if (h.size > PqRerank) h.dequeue()
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }.toDF("qid", "vec_id", "approx")
+    // global top-R by ADC, then exact rerank of the survivors
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val cand = partials.withColumn("arn", row_number().over(wApprox))
+      .where(col("arn") <= PqRerank).select("qid", "vec_id")
+    val vecs = withNorm(emb)
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs, "vec_id")
+      .withColumn("score",
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
+      .select("qid", "vec_id", "score")
+    globalTopK(scored, k)
+  }
+
+  def annPq(spark: SparkSession, dir: String): DataFrame =
+    pqTopK(Tables.embeddings(spark, dir))
+
   def ops: Seq[Op] = Seq(
     Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, None),
+    Op("ann_pq", annPq, None),
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
   )

@@ -336,8 +336,83 @@ object Streaming {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  case class FunnelEv(user_id: Long, event_type: String, ts_sec: Long,
+      ts_ev: java.sql.Timestamp)
+  case class FunnelState(v: Long, c: Long, p: Long, maxTs: Long)
+  case class FunnelOut(user_id: Long, saw_view: Boolean, saw_click: Boolean,
+      saw_purchase: Boolean)
+
+  /** Streaming conversion funnel: a per-user stage state machine in
+    * `flatMapGroupsWithState` (strictly-later min-timestamp semantics,
+    * identical to the batch [[graft.operators.Events.qEventsFunnel]]).
+    * Stage minima live in state; the event-time timeout (watermark
+    * driven past the corpus by the sentinel batches) emits each user's
+    * final stage flags, and the op reduces them to the same 3-row
+    * summary as the batch oracle. Demonstrates arbitrary stateful
+    * aggregation beyond sessionization: the state is a conditional
+    * fold, not a gap partition.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-funnel")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "0 seconds")
+      .select(col("user_id").cast(LongType).as("user_id"), col("event_type"),
+        col("ts_sec"), col("ts_ev"))
+      .as[FunnelEv]
+    val None_ = -1L
+    val flags = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelOut(uid, s.v != None_, s.c != None_, s.p != None_))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(None_, None_, None_, 0L))
+            // ascending fold = the batch op's min-timestamp chain: the
+            // first view sets v; the first click strictly after v sets
+            // c; the first purchase strictly after c sets p.
+            rows.toArray.sortBy(e => (e.ts_sec, e.event_type)).foreach { e =>
+              e.event_type match {
+                case "view" if s.v == None_                      => s = s.copy(v = e.ts_sec)
+                case "click" if s.v != None_ && s.c == None_ &&
+                  e.ts_sec > s.v                                 => s = s.copy(c = e.ts_sec)
+                case "purchase" if s.c != None_ && s.p == None_ &&
+                  e.ts_sec > s.c                                 => s = s.copy(p = e.ts_sec)
+                case _                                           => ()
+              }
+              if (e.ts_sec > s.maxTs) s = s.copy(maxTs = e.ts_sec)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp((s.maxTs + 1) * 1000L)
+            Iterator.empty
+          }
+      }
+    val name = "graft_stream_funnel"
+    val q = flags.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      driveSentinels(spark, schema, inDir, q)
+    } finally q.stop()
+    val t = spark.table(name).where(col("user_id") =!= SentinelUser)
+    val counts = t.agg(
+      sum(when(col("saw_view"), 1L).otherwise(0L)),
+      sum(when(col("saw_click"), 1L).otherwise(0L)),
+      sum(when(col("saw_purchase"), 1L).otherwise(0L))).head()
+    Seq(("1_view", counts.getLong(0)), ("2_view_click", counts.getLong(1)),
+      ("3_view_click_purchase", counts.getLong(2)))
+      .toDF("stage", "n_users").orderBy("stage")
+  }
+
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
+    Op("stream_funnel", streamFunnel, Some(Events.qEventsFunnelSql)),
     Op("stream_window_append", streamWindowAppend, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),

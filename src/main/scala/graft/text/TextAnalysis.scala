@@ -369,6 +369,44 @@ object TextAnalysis {
     SELECT lang, CAST(rn AS BIGINT) AS rn, g AS term, tfidf
     FROM r WHERE rn <= $TfidfTopK ORDER BY lang, rn"""
 
+  /** Top bigrams per language by raw frequency (with doc-frequency
+    * alongside) — the corpus-statistics view under LM training and
+    * vocabulary design. Rank on (count desc, bigram asc): exact
+    * integers, engine-independent. One aggregation per (lang, bigram),
+    * map-side combined; the top-k window sees only the aggregated
+    * rows.
+    */
+  val NgramTopK = 5
+
+  def textNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bg = bigramRows(docs)
+      .join(broadcast(docs.select(col("doc_id").cast(LongType).as("doc_id"), col("lang"))),
+        Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), concat_ws(" ", col("a"), col("b")).as("g"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("g"))
+    bg.groupBy("lang", "g")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= NgramTopK)
+      .select(col("lang"), col("rn"), col("g").as("bigram"), col("n"), col("n_docs"))
+      .orderBy("lang", "rn")
+  }
+
+  val textNgramsSql: String = s"""
+    WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, lang, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+                 FROM w)),
+    cnt AS (SELECT lang, g, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+            FROM bg GROUP BY 1, 2),
+    r AS (SELECT lang, g, n, n_docs,
+            ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rn
+          FROM cnt)
+    SELECT lang, CAST(rn AS BIGINT) AS rn, g AS bigram, n, n_docs
+    FROM r WHERE rn <= $NgramTopK ORDER BY lang, rn"""
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -376,6 +414,7 @@ object TextAnalysis {
     Op("text_winnow", textWinnow, None),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_tfidf", textTfidf, Some(textTfidfSql)),
+    Op("text_ngrams", textNgrams, Some(textNgramsSql)),
     Op("text_perplexity", textPerplexity, Some(textPerplexitySql)),
   )
 }

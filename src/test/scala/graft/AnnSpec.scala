@@ -47,6 +47,23 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("pqTopK recall vs brute force and exact reranked scores") {
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val pqDf = Ann.pqTopK(emb)
+    val pq = neighborSets(pqDf)
+    val recalls = bf.map { case (q, s) =>
+      pq.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean PQ recall ${recalls.sum / recalls.size}")
+    // the rerank is exact: every returned score is the true cosine
+    val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    pqDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
   test("bruteForceTopK pins known neighbors on a synthetic set") {
     val s = spark
     import s.implicits._

@@ -32,6 +32,12 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rowsOf(stream) === rowsOf(batch))
   }
 
+  test("stream_funnel equals the batch funnel") {
+    val batch = Events.qEventsFunnel(spark, sfDir)
+    val stream = Streaming.streamFunnel(spark, sfDir)
+    assert(rowsOf(stream) === rowsOf(batch))
+  }
+
   test("stream_window_agg equals the batch window agg (sans distinct users)") {
     val batch = Events.qEventsWindow(spark, sfDir)
       .select("window_start", "event_type", "n_events", "total_value")

@@ -54,6 +54,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resize(docs).collect().toSeq === Multimodal.resize(docs).collect().toSeq)
   }
 
+  test("binaryDedup groups planted byte-identical payloads, skips unique ones") {
+    // docs 1,3,9 share bytes; 2 differs by one char; 5 unique
+    val docs = fakeDocs((1L, "same bytes here"), (3L, "same bytes here"),
+      (9L, "same bytes here"), (2L, "same bytes herE"), (5L, "other"))
+    val out = Multimodal.binaryDedup(docs).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 1L)    // keeper = min doc_id
+    assert(r.getLong(1) === 3L)    // three copies
+    assert(r.getLong(2) === 15L)
+    // the corpus at this SF has no raw-byte duplicates: empty manifest
+    assert(Multimodal.mmDedup(spark, sfDir).count() === 0L)
+  }
+
   test("features: byte stats are exact on a known payload") {
     val s = spark
     import s.implicits._

@@ -89,6 +89,20 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("textNgrams: top-5 per language, counts consistent and non-increasing") {
+    val out = TextAnalysis.textNgrams(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(out.length === 5 * langs)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to 5L))
+      val byRank = rows.sortBy(_.getLong(1))
+      val counts = byRank.map(_.getLong(3))
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+      // doc frequency can never exceed occurrence count
+      assert(byRank.forall(r => r.getLong(4) <= r.getLong(3) && r.getLong(4) >= 1L))
+    }
+  }
+
   test("textPerplexity: repetitive text scores lower nll than unique-word text") {
     val s = spark
     import s.implicits._

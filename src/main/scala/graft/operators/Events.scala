@@ -231,8 +231,36 @@ object Events {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Rolling 1-hour window per event — a RANGE frame (time-valued
+    * bounds), not a ROWS frame: every event sees the sum/count of the
+    * same user's events in the preceding hour regardless of how many
+    * rows that is, and timestamp ties are frame peers on both engines
+    * (deterministic without a tie-break). One shuffle on user_id.
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+      .rangeBetween(-WindowSec, 0)
+    eventsSec(spark, dir)
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(dec2(col("value"))).over(w).cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("n_1h"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  val qWindowRangeSql: String = s"""
+    WITH es AS (SELECT event_id, user_id, value,
+                  epoch_ns(ts)//1000000000 AS ts_sec FROM events)
+    SELECT event_id, user_id, ts_sec,
+      COUNT(*) OVER w AS n_1h,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+    FROM es
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                 RANGE BETWEEN $WindowSec PRECEDING AND CURRENT ROW)
+    ORDER BY event_id"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     Op("q_events_json", qEventsJson, Some(qEventsJsonSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),
     Op("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),

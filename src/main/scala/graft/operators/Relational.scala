@@ -345,6 +345,35 @@ object Relational {
     GROUP BY CUBE(o_orderstatus, o_orderpriority)
     ORDER BY status, priority"""
 
+  /** Set operators INTERSECT / EXCEPT over derived keysets: customers
+    * who ordered in both 1995 and 1996, and those who ordered in 1995
+    * but never in 1996 — tagged into one result. Spark plans both as
+    * joins (left-semi / left-anti over distinct inputs), so they scale
+    * like any key join: shuffle on the key, AQE handles skew.
+    */
+  def qIntersectExcept(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custsIn(y: Int) =
+      o.where(year(col("o_orderdate")) === y).select(col("o_custkey")).distinct()
+    val both = custsIn(1995).intersect(custsIn(1996))
+      .withColumn("tag", lit("both_95_96"))
+    val only95 = custsIn(1995).except(custsIn(1996))
+      .withColumn("tag", lit("only_95"))
+    both.unionAll(only95).orderBy("tag", "o_custkey")
+  }
+
+  val qIntersectExceptSql: String = """
+    WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE EXTRACT(year FROM o_orderdate) = 1995),
+    c96 AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE EXTRACT(year FROM o_orderdate) = 1996)
+    SELECT o_custkey, 'both_95_96' AS tag FROM (
+      SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+    UNION ALL
+    SELECT o_custkey, 'only_95' FROM (
+      SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+    ORDER BY tag, o_custkey"""
+
   /** Explicit GROUPING SETS — the general form under rollup/cube: only
     * the requested marginals {(status, priority), (status), ()} are
     * aggregated, one Expand + single aggregation pass (a rollup of a
@@ -437,6 +466,7 @@ object Relational {
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),
+    Op("q_intersect_except", qIntersectExcept, Some(qIntersectExceptSql)),
     Op("q_skew_agg", qSkewAgg, Some(qSkewAggSql)),
     Op("q_percentiles", qPercentiles, Some(qPercentilesSql)),
     Op("q1_agg", q1Agg, Some(q1AggSql)),

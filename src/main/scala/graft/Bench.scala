@@ -39,11 +39,24 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Timings rounded to 2 dp with trailing zeros stripped: ±10 ms
+    // precision is below run-to-run noise, and the compact line
+    // (~20 bytes/query) keeps the whole JSON inside the harness's
+    // bounded 2000-char stdout-tail capture — full nanosecond doubles
+    // pushed the line past it, truncating the leading fields
+    // ("metric"/"value") out of the capture window. "failed" is only
+    // emitted when non-empty for the same reason.
+    def f2(v: Double): String = {
+      val s = "%.2f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
-    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fs =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

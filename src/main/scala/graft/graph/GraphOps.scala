@@ -651,6 +651,11 @@ object GraphOps {
       a = halfStep(h, "src", "dst") // authority ← in-edge hub mass
       h = halfStep(a, "dst", "src") // hub ← out-edge authority mass
     }
+    // halfStep localCheckpoints each score frame, so the edge cache is
+    // no longer needed for the final join — release it here (the local
+    // path above unpersists too; leaving it cached leaks blocks across
+    // bench iterations).
+    e.unpersist()
     verts.join(a.withColumnRenamed("s", "authority"), "v")
       .join(h.withColumnRenamed("s", "hub"), "v")
       .select(col("v").as("vertex"), col("authority"), col("hub"))

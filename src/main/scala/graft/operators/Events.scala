@@ -213,23 +213,28 @@ object Events {
       .select(col("event_type"), col("user_id"),
         get_json_object(col("props"), "$.k").cast(LongType).as("k"),
         dec2(col("value")).as("v"))
-      .groupBy(expr("k div 10").as("k_band"), col("event_type"))
+      // floor(k/10), not `div`: div truncates toward zero, which
+      // diverges from floor for negative k; floor matches on both
+      // engines for all inputs. A missing $.k yields a NULL band —
+      // ordering pinned NULLS FIRST on both sides.
+      .groupBy(floor(col("k") / 10).cast(LongType).as("k_band"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         count_distinct(col("user_id")).as("n_users"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         sum(col("v")).cast(DoubleType).as("total_value"))
-      .orderBy("k_band", "event_type")
+      .orderBy(col("k_band").asc_nulls_first, col("event_type"))
 
   val qEventsJsonSql: String = """
     WITH ex AS (
       SELECT event_type, user_id, value,
         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
       FROM events)
-    SELECT k // 10 AS k_band, event_type, COUNT(*) AS n_events,
+    SELECT CAST(floor(k / 10.0) AS BIGINT) AS k_band, event_type,
+      COUNT(*) AS n_events,
       COUNT(DISTINCT user_id) AS n_users,
       MIN(k) AS min_k, MAX(k) AS max_k,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM ex GROUP BY 1, 2 ORDER BY 1, 2"""
+    FROM ex GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2"""
 
   /** Rolling 1-hour window per event — a RANGE frame (time-valued
     * bounds), not a ROWS frame: every event sees the sum/count of the

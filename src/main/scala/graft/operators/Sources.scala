@@ -4,7 +4,6 @@ import graft.{Op, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.Files
 
 /** Source/sink format coverage beyond parquet: JSONL and CSV
   * round-trips of the documents table. Each op writes the corpus out
@@ -18,12 +17,17 @@ import java.nio.file.Files
   *
   * Scale shape: both sinks/sources are splittable line formats —
   * write and read are embarrassingly parallel per partition; the
-  * aggregation is the only shuffle.
+  * aggregation is the only shuffle. (Exception: the CSV read uses
+  * multiLine — see [[readCsv]].)
   */
 object Sources {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Fixed per-op scratch path (overwritten each invocation) — a
+    * fresh createTempDirectory per call would leak a full corpus copy
+    * under /tmp on every bench/gate iteration.
+    */
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scratch/$name"
 
   val DocSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -47,17 +51,45 @@ object Sources {
 
   /** documents → JSONL sink → JSONL source (explicit schema) → agg. */
   def sourceJsonl(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${tmpDir("graft-jsonl")}/docs"
+    val out = s"${scratch("jsonl")}/docs"
     Tables.documents(spark, dir).write.mode("overwrite").json(out)
     summarize(spark.read.schema(DocSchema).json(out))
   }
 
-  /** documents → CSV sink (header, quoted) → CSV source → agg. */
+  /** CSV sink/source with one pinned dialect so the round-trip is
+    * lossless by construction (spec-verified on newline / quote /
+    * empty / null texts): RFC-4180 doubled-quote escaping (escape set
+    * to the quote char on both sides), nulls as the Hive `\N`
+    * sentinel — distinct from an empty field, so empty-string text
+    * survives instead of collapsing to null — and `multiLine` on read
+    * because the writer quotes embedded newlines (without it a quoted
+    * newline splits one doc into two corrupt rows). multiLine costs
+    * file-level rather than block-level split granularity at scale —
+    * the documented trade for correctness on corpora with newlines;
+    * JSONL stays the splittable fast path.
+    */
+  def writeCsv(docs: DataFrame, out: String): Unit =
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N")
+      // both sides: Spark's CSV trims unquoted whitespace by default,
+      // silently mutating texts with leading/trailing spaces
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocSchema)
+      .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N").option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
   def sourceCsv(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${tmpDir("graft-csv")}/docs"
-    Tables.documents(spark, dir).write.mode("overwrite")
-      .option("header", "true").csv(out)
-    summarize(spark.read.schema(DocSchema).option("header", "true").csv(out))
+    val out = s"${scratch("csv")}/docs"
+    writeCsv(Tables.documents(spark, dir), out)
+    summarize(readCsv(spark, out))
   }
 
   def ops: Seq[Op] = Seq(

@@ -423,6 +423,11 @@ object Ann {
     val sub = dim / PqSubspaces
     // codebooks[m][c] = subvector m of seed vector c (raw, unnormalized)
     val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1).map(_._2)
+    // Fail loudly on a sparse/1-based vec_id corpus: the ADC tables
+    // below index codebooks(m)(c) for c < PqCentroids, so fewer seeds
+    // than centroids would be a silent ArrayIndexOutOfBounds later.
+    require(seeds.length == PqCentroids,
+      s"PQ seeding needs vec_ids 0..${PqCentroids - 1} present; found ${seeds.length}")
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
       seeds.map(v => Array.tabulate(sub)(i => v(m * sub + i).toDouble))
     }

@@ -11,6 +11,32 @@ class SourcesSpec extends SparkSpec {
     assert(rowsOf(Sources.sourceCsv(spark, sfDir)) === direct)
   }
 
+  test("csv dialect survives newline / quote / empty / null / sentinel texts") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, "line one\nline two\n\nline four", "en", "web", 27L),
+      (2L, "she said \"hi\", then \"bye\"", "en", "web", 25L),
+      (3L, "", "en", "book", 0L),          // empty string, not null
+      (4L, null.asInstanceOf[String], "de", "web", 0L), // genuine null
+      (6L, "trailing space ", "fr", "web", 15L),
+      (7L, "comma,sep;and\ttab", "fr", "book", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/csv-spec"
+    Sources.writeCsv(nasty, out)
+    val back = Sources.readCsv(spark, out)
+      .orderBy("doc_id").collect()
+    val orig = nasty.orderBy("doc_id").collect()
+    assert(back.length === orig.length)
+    orig.zip(back).foreach { case (o, b) => assert(b === o, s"doc ${o.getLong(0)}") }
+    // Documented sentinel collision (same convention as Hive text
+    // tables): a text that IS the literal 2-char string \N reads back
+    // as NULL. JSONL is the lossless path for such corpora.
+    val sentinel = Seq((9L, "\\N", "de", "book", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Sources.writeCsv(sentinel, out)
+    assert(Sources.readCsv(spark, out).collect().head.isNullAt(1))
+  }
+
   test("q_skew_agg: salted two-phase equals direct aggregation") {
     val li = Tables.lineitem(spark, sfDir)
     val direct = li.groupBy("l_suppkey")

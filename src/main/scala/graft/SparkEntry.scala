@@ -8,7 +8,7 @@ object SparkEntry {
   /** All registered operators, by module. */
   def ops: Seq[Op] =
     operators.Relational.ops ++ operators.Events.ops ++ operators.Sampling.ops ++
-      operators.Sources.ops ++
+      operators.Sources.ops ++ operators.Funcs.ops ++
       graph.GraphQueries.ops ++
       text.TextAnalysis.ops ++ dedup.Dedup.ops ++ similarity.Ann.ops ++
       multimodal.Multimodal.ops ++ streaming.Streaming.ops

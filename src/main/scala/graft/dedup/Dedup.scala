@@ -591,8 +591,100 @@ object Dedup {
     ORDER BY t.doc_id"""
   }
 
+  /** Max edit distance for [[dedupEditDistance]]; separates the
+    * planted character-level near-dups (ed ≈ 4) from the word-level
+    * rewrites (ed ≥ 39) in the corpus.
+    */
+  val EditK = 24
+
+  /** Q-gram width for the edit-distance prefix filter. */
+  val EditQ = 3
+
+  /** Character-level near-duplicate pairs: levenshtein(a, b) ≤ k
+    * within a language, found ED-Join-style (Xiao et al., VLDB 2008)
+    * rather than all-pairs:
+    *
+    *  1. each doc becomes its positional q-gram *multiset*
+    *     (occurrence-numbered, so repeated grams stay distinct
+    *     elements — required for the mismatch bound on a repetitive
+    *     vocabulary);
+    *  2. k edits destroy at most q·k gram occurrences, so two docs
+    *     within distance k must share an element inside their
+    *     (q·k+1)-prefixes under a global rarity order — the prefix
+    *     self-join therefore only touches each doc's rarest grams
+    *     (short posting lists), never the full inverted index;
+    *  3. docs too short to own q·k+1 grams get no such guarantee and
+    *     fall back to per-language all-pairs (a bounded block: the
+    *     corpus floor is near the threshold, and at scale "shorter
+    *     than 3k chars" is its own tiny length-banded partition);
+    *  4. candidates are verified with the banded O(k·n) levenshtein
+    *     (threshold form — returns -1 past k), plus lang and ±k
+    *     length filters.
+    *
+    * The oracle is the definitional all-pairs filter, so any prefix
+    * accounting error (a missed candidate) hash-fails the gate.
+    */
+  def editDistancePairs(docs: DataFrame, k: Int = EditK, q: Int = EditQ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prefixLen = q * k + 1
+    val base = docs.select(col("doc_id"), col("lang"), col("text"),
+      length(col("text")).as("len")).localCheckpoint()
+    // positional q-grams; transform() is interpreted, but it runs once
+    // per doc in a single projection pass (no shuffle amplification)
+    val grams = base
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
+          .as(Seq("pos", "gram")))
+    val occ = grams
+      .withColumn("occn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
+      .select(col("doc_id"), xxhash64(col("gram"), col("occn")).as("elem"))
+    val freq = occ.groupBy("elem").agg(count(lit(1)).as("f"))
+    val prefixes = occ.join(freq, "elem")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("elem"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("doc_id"), col("elem"))
+    val candPrefix = prefixes.as("x").join(prefixes.as("y"), "elem")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // short-doc fallback: fewer than prefixLen gram occurrences means
+    // the pigeonhole bound is vacuous — pair them within language
+    val shorts = base.filter(col("len") - (q - 1) < prefixLen)
+      .select(col("doc_id"), col("lang"))
+    val candShort = shorts.as("a")
+      .join(shorts.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = candPrefix.unionAll(candShort).distinct()
+    cands
+      .join(base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
+        col("text").as("text_a"), col("len").as("len_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
+        col("text").as("text_b"), col("len").as("len_b")), "doc_b")
+      .filter(col("lang_a") === col("lang_b") &&
+        abs(col("len_a") - col("len_b")) <= k)
+      .withColumn("ed", levenshtein(col("text_a"), col("text_b"), k))
+      .filter(col("ed").between(0, k))
+      .select(col("doc_a"), col("doc_b"), col("ed").cast(IntegerType).as("ed"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(Tables.documents(spark, dir))
+
+  val dedupEditDistanceSql: String = s"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(levenshtein(a.text, b.text) AS INT) AS ed
+    FROM documents a JOIN documents b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+     AND abs(length(a.text) - length(b.text)) <= $EditK
+    WHERE levenshtein(a.text, b.text) <= $EditK
+    ORDER BY doc_a, doc_b"""
+
   def ops: Seq[Op] = Seq(
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
+    Op("dedup_edit_distance", dedupEditDistance, Some(dedupEditDistanceSql)),
     Op("dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),

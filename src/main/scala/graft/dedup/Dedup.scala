@@ -494,8 +494,12 @@ object Dedup {
     * cluster" dedup shape.
     */
   def clusterAssignments(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    // checkpointed: connectedComponents consumes the pair frame twice
+    // (the adaptive size probe, then the traversal itself) — without
+    // this the whole near-dup join pipeline re-executes per consumer
     val pairs = ngramJaccardPairs(docs, tau)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
     val cc = graft.graph.GraphOps.connectedComponents(pairs)
       .select(col("vertex").as("doc_id"), col("component").as("cluster"))
     docs.select(col("doc_id").cast(LongType))
@@ -600,63 +604,199 @@ object Dedup {
   /** Q-gram width for the edit-distance prefix filter. */
   val EditQ = 3
 
+  /** FNV-1a over the UTF-16 code units of `s[from, from+n)` — the
+    * char-q-gram identity for [[editDistancePairs]], computed without
+    * allocating substring objects.
+    */
+  private def fnvChars(s: String, from: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < from + n) {
+      val c = s.charAt(i)
+      h ^= (c & 0xffL); h *= 0x100000001b3L
+      h ^= ((c >> 8) & 0xffL); h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** The occurrence-numbered positional q-gram multiset of `text` as
+    * 64-bit element hashes (the i-th occurrence of a gram, scanning
+    * left to right, is a distinct element — multiset encoding). One
+    * element per char position; empty for texts shorter than q.
+    */
+  private[graft] def edGramElems(text: String, q: Int): Array[Long] = {
+    val n = text.length - q + 1
+    if (n <= 0) return Array.empty[Long]
+    val out = new Array[Long](n)
+    val seen = new java.util.HashMap[Long, Integer]()
+    var i = 0
+    while (i < n) {
+      val g = fnvChars(text, i, q)
+      val occ = seen.merge(g, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      var h = g ^ (occ.longValue() * 0x9e3779b97f4a7c15L)
+      h *= 0x100000001b3L
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Banded-pair budget for the adaptive candidate strategy in
+    * [[editDistancePairs]]: when the (lang, length-band) histogram
+    * says the banded self-join yields ≤ this many candidates per doc,
+    * verification cost is bounded either way and the ED-Join gram
+    * machinery is pure overhead — candidates come straight from the
+    * band join.
+    */
+  val EditBandedPairsPerDoc = 128L
+
   /** Character-level near-duplicate pairs: levenshtein(a, b) ≤ k
     * within a language, found ED-Join-style (Xiao et al., VLDB 2008)
-    * rather than all-pairs:
+    * rather than all-pairs. Candidate generation is adaptive, decided
+    * by one tiny (lang, ⌊len/k⌋) histogram aggregate:
+    *
+    * **Banded path** — any pair within distance k has |Δlen| ≤ k, so
+    * candidates are the same-band + adjacent-band self-join on the
+    * (lang, ⌊len/k⌋) key. Chosen when the histogram bounds this at
+    * ≤ [[EditBandedPairsPerDoc]]·n pairs (small corpora, or corpora
+    * so repetitive that gram rarity cannot prune below length
+    * banding): verification is then cheap by construction and the
+    * gram machinery would cost more than it saves.
+    *
+    * **Prefix path** (the 100 TB shape — band blocks grow
+    * quadratically, rarity pruning doesn't):
     *
     *  1. each doc becomes its positional q-gram *multiset*
     *     (occurrence-numbered, so repeated grams stay distinct
     *     elements — required for the mismatch bound on a repetitive
-    *     vocabulary);
+    *     vocabulary), one compact array per doc ([[edGramElems]]);
     *  2. k edits destroy at most q·k gram occurrences, so two docs
     *     within distance k must share an element inside their
     *     (q·k+1)-prefixes under a global rarity order — the prefix
     *     self-join therefore only touches each doc's rarest grams
-    *     (short posting lists), never the full inverted index;
-    *  3. docs too short to own q·k+1 grams get no such guarantee and
-    *     fall back to per-language all-pairs (a bounded block: the
-    *     corpus floor is near the threshold, and at scale "shorter
-    *     than 3k chars" is its own tiny length-banded partition);
-    *  4. candidates are verified with the banded O(k·n) levenshtein
-    *     (threshold form — returns -1 past k), plus lang and ±k
-    *     length filters.
+    *     (short posting lists), never the full inverted index. The
+    *     join carries lang as an equi-key and |Δlen| ≤ k as a
+    *     residual, pruning before candidates ever materialize;
+    *  3. the global gram-frequency order comes from a broadcast map
+    *     when the occurrence-numbered vocabulary is bounded (char
+    *     q-grams are alphabet-bounded, so this is the common case —
+    *     prefix selection becomes a scan-side local sort, no window
+    *     shuffle); vocabularies past [[PrefixBroadcastVocab]] fall
+    *     back to the window formulation;
+    *  4. docs too short to own q·k+1 grams index their whole multiset
+    *     (against a long doc the pigeonhole is one-sided, t =
+    *     n_long − q·k ≥ 1, and may need every short-side elem);
+    *     short×short pairs, where the bound is vacuous on both sides,
+    *     fall back to a per-language banded join;
     *
-    * The oracle is the definitional all-pairs filter, so any prefix
-    * accounting error (a missed candidate) hash-fails the gate.
+    * Both paths verify candidates with the banded O(k·n) levenshtein
+    * (threshold form — returns -1 past k), plus lang and ±k length
+    * filters. The oracle is the definitional all-pairs filter, so any
+    * candidate-accounting error (a missed pair) hash-fails the gate.
     */
-  def editDistancePairs(docs: DataFrame, k: Int = EditK, q: Int = EditQ): DataFrame = {
+  def editDistancePairs(docs: DataFrame, k: Int = EditK, q: Int = EditQ,
+      maxBroadcastVocab: Long = PrefixBroadcastVocab,
+      maxBandedPairsPerDoc: Long = EditBandedPairsPerDoc): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
     val prefixLen = q * k + 1
-    val base = docs.select(col("doc_id"), col("lang"), col("text"),
-      length(col("text")).as("len")).localCheckpoint()
-    // positional q-grams; transform() is interpreted, but it runs once
-    // per doc in a single projection pass (no shuffle amplification)
-    val grams = base
-      .select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(1, length(text) - ${q - 1}), i -> substring(text, i, $q))"))
-          .as(Seq("pos", "gram")))
-    val occ = grams
-      .withColumn("occn", row_number().over(
-        Window.partitionBy(col("doc_id"), col("gram")).orderBy(col("pos"))))
-      .select(col("doc_id"), xxhash64(col("gram"), col("occn")).as("elem"))
-    val freq = occ.groupBy("elem").agg(count(lit(1)).as("f"))
-    val prefixes = occ.join(freq, "elem")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("f"), col("elem"))))
-      .filter(col("rk") <= prefixLen)
-      .select(col("doc_id"), col("elem"))
-    val candPrefix = prefixes.as("x").join(prefixes.as("y"), "elem")
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    // short-doc fallback: fewer than prefixLen gram occurrences means
-    // the pigeonhole bound is vacuous — pair them within language
-    val shorts = base.filter(col("len") - (q - 1) < prefixLen)
-      .select(col("doc_id"), col("lang"))
-    val candShort = shorts.as("a")
-      .join(shorts.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val cands = candPrefix.unionAll(candShort).distinct()
+    val base0 = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+      col("lang"), col("text"), length(col("text")).as("len"))
+    // the candidate paths below are shuffle-free, so they inherit the
+    // scan's partitioning — spread a small scan (one parquet split)
+    // across the cluster first or the posting-join probes run on one
+    // core; at scale the scan is already ≥ this wide and the branch
+    // is a no-op
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val base = (if (base0.rdd.getNumPartitions < parts) base0.repartition(parts)
+      else base0).localCheckpoint()
+    val banded = base.withColumn("band", floor(col("len") / k).cast(LongType))
+
+    // strategy probe: the (lang, band) histogram is vocabulary-sized
+    // (langs × length range / k rows), so the collect is bounded; a
+    // histogram past the cap can only mean a corpus where banding is
+    // hopeless anyway
+    val histCap = 100000
+    val hist = banded.groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n")).limit(histCap + 1).collect()
+    val bandedPairsEst: Option[Long] =
+      if (hist.length > histCap) None
+      else {
+        val m = hist.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+        Some(m.iterator.map { case ((lang, band), n) =>
+          n * (n - 1) / 2 + n * m.getOrElse((lang, band + 1), 0L)
+        }.sum)
+      }
+    val nDocs = hist.map(_.getLong(2)).sum
+
+    def bandedCands(in: DataFrame): DataFrame = {
+      val l = in.select(col("doc_id"), col("lang"), col("len"), col("band"))
+      val same = l.as("a").join(l.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.len") - col("b.len")) <= k)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val next = l.as("a").join(l.as("b"),
+          col("a.lang") === col("b.lang") && col("a.band") + 1 === col("b.band") &&
+            abs(col("a.len") - col("b.len")) <= k)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      // disjoint band combinations — each unordered pair appears once,
+      // no distinct shuffle needed
+      same.unionAll(next)
+    }
+
+    val cands: DataFrame = if (bandedPairsEst.exists(_ <= maxBandedPairsPerDoc * nDocs)) {
+      bandedCands(banded)
+    } else {
+      // one compact (doc, lang, len, elems) row per doc — the multiset
+      // stays an array until the (tiny) prefix is selected, so nothing
+      // corpus-sized is exploded through a shuffle
+      val elemArr = banded.select(col("doc_id"), col("lang"), col("len"), col("text"))
+        .as[(Long, String, Int, String)]
+        .map { case (id, lang, len, text) => (id, lang, len, edGramElems(text, q)) }
+        .toDF("doc_id", "lang", "len", "elems").localCheckpoint()
+      val freq = elemArr.select(explode(col("elems")).as("elem"))
+        .groupBy("elem").agg(count(lit(1)).as("f"))
+      // vocabulary probe, driver-bounded (same idiom as prefixRows)
+      val probe = freq.limit((maxBroadcastVocab + 1).toInt).collect()
+      val prefixes =
+        if (probe.length <= maxBroadcastVocab) {
+          val fMap = spark.sparkContext.broadcast(
+            probe.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+          elemArr.as[(Long, String, Int, Array[Long])]
+            .flatMap { case (id, lang, len, elems) =>
+              if (elems.length <= prefixLen) {
+                elems.iterator.map(e => (e, id, lang, len))
+              } else {
+                val m = fMap.value
+                elems.map(e => (m(e), e)).sortBy(identity)
+                  .take(prefixLen).iterator.map { case (_, e) => (e, id, lang, len) }
+              }
+            }.toDF("elem", "doc_id", "lang", "len")
+        } else {
+          val sh = elemArr
+            .select(col("doc_id"), col("lang"), col("len"),
+              explode(col("elems")).as("elem"))
+          sh.join(freq, "elem")
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("doc_id")).orderBy(col("f"), col("elem"))))
+            .filter(col("rk") <= prefixLen)
+            .select(col("elem"), col("doc_id"), col("lang"), col("len"))
+        }
+      val candPrefix = prefixes.as("x").join(prefixes.as("y"),
+          col("x.elem") === col("y.elem") && col("x.lang") === col("y.lang") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            abs(col("x.len") - col("y.len")) <= k)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // short×short fallback: the pigeonhole bound is vacuous on both
+      // sides, so band-join the sub-prefixLen slice of the corpus
+      val candShort = bandedCands(
+        banded.filter(col("len") - (q - 1) < prefixLen))
+      candPrefix.unionAll(candShort).distinct()
+    }
     cands
       .join(base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
         col("text").as("text_a"), col("len").as("len_a")), "doc_a")

@@ -123,7 +123,14 @@ object Ann {
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(queries)
     val bp = spark.sparkContext.broadcast(probedCells)
-    val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
+    // the scan-side heap pass is shuffle-free: spread a small corpus
+    // (one parquet split) across the cluster or the
+    // |queries|·|corpus| dot products run on one core; a no-op at
+    // scale where the scan is already ≥ this wide
+    val src = emb.select(col("vec_id").cast(LongType), col("embedding"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val spread = if (src.rdd.getNumPartitions < parts) src.repartition(parts) else src
+    val partials = spread
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bq.value

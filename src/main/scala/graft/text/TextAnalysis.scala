@@ -407,6 +407,161 @@ object TextAnalysis {
     SELECT lang, CAST(rn AS BIGINT) AS rn, g AS bigram, n, n_docs
     FROM r WHERE rn <= $NgramTopK ORDER BY lang, rn"""
 
+  /** Vocabulary size for [[textVocab]]. */
+  val VocabTopK = 50
+
+  /** Corpus vocabulary build — the first step of tokenizer training:
+    * global top-[[VocabTopK]] words by occurrence count with document
+    * frequency and corpus fraction. One word-level aggregation
+    * (map-side combined — the shuffle carries one row per distinct
+    * word, not per occurrence) feeds a single-partition top-k window
+    * over the aggregated rows; rank on (count desc, word asc) and a
+    * 6-dp fraction keep it engine-exact. At 100 TB the distinct-word
+    * table is still vocabulary-sized, so the plan is unchanged.
+    */
+  def textVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+    val total = words.count()
+    val w = Window.orderBy(col("n").desc, col("w"))
+    words.groupBy("w")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= VocabTopK)
+      .withColumn("frac", round(col("n").cast(DoubleType) / total.toDouble, 6))
+      .select(col("rn"), col("w").as("word"), col("n"), col("n_docs"), col("frac"))
+      .orderBy("rn")
+  }
+
+  val textVocabSql: String = s"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tot AS (SELECT COUNT(*) AS t FROM words),
+    cnt AS (SELECT w, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+            FROM words GROUP BY 1),
+    r AS (SELECT w, n, n_docs,
+            ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rn FROM cnt)
+    SELECT CAST(rn AS BIGINT) AS rn, w AS word, n, n_docs,
+      ROUND(CAST(n AS DOUBLE) / (SELECT t FROM tot), 6) AS frac
+    FROM r WHERE rn <= $VocabTopK ORDER BY rn"""
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021
+    * §A1.1 use duplicate-line / duplicate-n-gram fractions as quality
+    * filters): top-word concentration and the fraction of repeated
+    * bigram occurrences. Two word-keyed aggregations whose shuffles
+    * carry per-(doc, gram) counts — repetitive docs COMPRESS here
+    * (fewer distinct grams), so the skew a repetitive corpus induces
+    * shows up as smaller shuffles, not hotter keys. Integer counts +
+    * 6-dp ratios keep both engines bit-identical.
+    */
+  def repetitionScored(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val wstats = wc.groupBy("doc_id").agg(
+      sum(col("n")).as("n_words"),
+      count(lit(1)).as("n_distinct_words"),
+      max(col("n")).as("top_word_n"))
+    val bstats = bigramRows(docs)
+      .select(col("doc_id"), concat_ws(" ", col("a"), col("b")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(
+        sum(col("n")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    wstats.join(bstats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        col("top_word_n"),
+        round(col("top_word_n").cast(DoubleType) / col("n_words"), 6)
+          .as("top_word_frac"),
+        coalesce(
+          round((col("n_bigrams") - col("n_distinct_bigrams")).cast(DoubleType) /
+            col("n_bigrams"), 6), lit(0.0)).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionScored(Tables.documents(spark, dir))
+
+  val textRepetitionSql: String = """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    wc AS (SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY 1, 2),
+    ws AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+             COUNT(*) AS n_distinct_words, MAX(n) AS top_word_n
+           FROM wc GROUP BY 1),
+    sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+                 FROM sp)),
+    bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+    bs AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             COUNT(*) AS n_distinct_bigrams
+           FROM bc GROUP BY 1)
+    SELECT ws.doc_id, n_words, n_distinct_words, top_word_n,
+      ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+      COALESCE(ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) /
+        n_bigrams, 6), 0.0) AS dup_bigram_frac
+    FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    ORDER BY ws.doc_id"""
+
+  /** PII patterns shared by both engines — RE2 (DuckDB) and Java
+    * (Spark) compatible: no backreferences, ASCII word boundaries.
+    */
+  val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PiiIp = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  val PiiPhone = """\b[0-9]{3}-[0-9]{3,4}-[0-9]{4}\b"""
+  val PiiLongNum = """\b[0-9]{9,}\b"""
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before text ships: count and replace emails, IPv4s, phone
+    * shapes, and long digit runs with typed placeholder tokens.
+    * Pure codegen'd regexp_count/regexp_replace projections — no
+    * shuffle at all until the final sort, so the pass is
+    * embarrassingly parallel over document splits at any scale.
+    * Replacement order (email → ip → phone → longnum) is pinned on
+    * both engines so nested matches resolve identically. The shipped
+    * corpus is PII-free (all-zero counts, identity scrub) — the
+    * oracle certifies the plumbing; the spec plants PII to prove
+    * detection and redaction.
+    */
+  def piiScrubbed(docs: DataFrame): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), lit(PiiEmail), lit("<EMAIL>")),
+            lit(PiiIp), lit("<IP>")),
+          lit(PiiPhone), lit("<PHONE>")),
+        lit(PiiLongNum), lit("<NUM>"))
+    docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        regexp_count(col("text"), lit(PiiEmail)).cast(LongType).as("n_email"),
+        regexp_count(col("text"), lit(PiiIp)).cast(LongType).as("n_ip"),
+        regexp_count(col("text"), lit(PiiPhone)).cast(LongType).as("n_phone"),
+        regexp_count(col("text"), lit(PiiLongNum)).cast(LongType).as("n_longnum"),
+        md5(scrubbed.cast(BinaryType)).as("scrubbed_fp"))
+      .orderBy("doc_id")
+  }
+
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame =
+    piiScrubbed(Tables.documents(spark, dir))
+
+  val textPiiScrubSql: String = s"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '$PiiEmail')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '$PiiIp')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(text, '$PiiPhone')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '$PiiLongNum')) AS BIGINT) AS n_longnum,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '$PiiEmail', '<EMAIL>', 'g'),
+        '$PiiIp', '<IP>', 'g'),
+        '$PiiPhone', '<PHONE>', 'g'),
+        '$PiiLongNum', '<NUM>', 'g')) AS scrubbed_fp
+    FROM documents ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -416,5 +571,8 @@ object TextAnalysis {
     Op("text_tfidf", textTfidf, Some(textTfidfSql)),
     Op("text_ngrams", textNgrams, Some(textNgramsSql)),
     Op("text_perplexity", textPerplexity, Some(textPerplexitySql)),
+    Op("text_vocab", textVocab, Some(textVocabSql)),
+    Op("text_repetition", textRepetition, Some(textRepetitionSql)),
+    Op("text_pii_scrub", textPiiScrub, Some(textPiiScrubSql)),
   )
 }

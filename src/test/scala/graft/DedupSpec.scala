@@ -156,4 +156,44 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(docs).collect()
     assert(pairs.isEmpty)
   }
+
+  // prefixLen = q·k+1 = 73 grams ⇒ docs under 75 chars are "short"
+  // (vacuous pigeonhole); the planted set covers long↔long,
+  // short↔short, and short↔long pairs plus a cross-lang exact copy
+  // that must NOT pair.
+  private lazy val edPlanted = {
+    val s = spark
+    import s.implicits._
+    val d0 = "abcdefghij" * 20                  // 200 chars, long
+    val d1 = d0.substring(0, 50) + "XYZ" + d0.substring(55) // ed 5 (3 sub + 2 del)
+    val d2 = "mnopqr" * 10                      // 60 chars, short
+    val d3 = d2.substring(0, 30) + "QQ" + d2.substring(32)  // ed 2
+    val d4 = "stuvwx" * 13 + "yz"               // 80 chars, long
+    val d5 = d4.substring(0, 70)                // short; ed(d4,d5) = 10
+    val d6 = "qrstuvwxyz" * 20                  // unrelated long
+    Seq(
+      (0L, "en", d0), (1L, "en", d1), (2L, "en", d2), (3L, "en", d3),
+      (4L, "en", d4), (5L, "en", d5), (6L, "en", d6),
+      (7L, "de", d0)                            // exact copy, other lang
+    ).toDF("doc_id", "lang", "text")
+  }
+
+  test("editDistancePairs finds long↔long, short↔short, and short↔long planted pairs") {
+    val pairs = Dedup.editDistancePairs(edPlanted).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.keySet === Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(pairs((0L, 1L)) <= 5 && pairs((2L, 3L)) === 2 && pairs((4L, 5L)) === 10)
+  }
+
+  test("editDistancePairs: banded, prefix-broadcast, and prefix-window paths agree") {
+    val banded = rowsOf(Dedup.editDistancePairs(edPlanted))
+    assert(banded === rowsOf(
+      Dedup.editDistancePairs(edPlanted, maxBandedPairsPerDoc = 0)))
+    assert(banded === rowsOf(Dedup.editDistancePairs(edPlanted,
+      maxBandedPairsPerDoc = 0, maxBroadcastVocab = 0)))
+    // and on the real corpus
+    val docs = Tables.documents(spark, sfDir)
+    assert(rowsOf(Dedup.dedupEditDistance(spark, sfDir)) === rowsOf(
+      Dedup.editDistancePairs(docs, maxBandedPairsPerDoc = 0)))
+  }
 }

@@ -374,6 +374,74 @@ object GraphOps {
     verts.map(v => (v, rank.get(v))).toSeq.toDF("vertex", "rank")
   }
 
+  private def localPpr(spark: SparkSession, e: DataFrame, seeds: Seq[Long],
+      iters: Int, d: Double): DataFrame = {
+    import spark.implicits._
+    val es = collectPairs(e)
+    val verts = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val seedSet = seeds.toSet
+    val reset = new java.util.HashMap[Long, Double]()
+    verts.foreach(v => reset.put(v, if (seedSet(v)) 1.0 / seeds.size else 0.0))
+    val outdeg = new java.util.HashMap[Long, Long]()
+    es.foreach { case (s, _) => outdeg.merge(s, 1L, _ + _) }
+    var rank = new java.util.HashMap[Long, Double]()
+    verts.foreach(v => rank.put(v, reset.get(v)))
+    for (_ <- 1 to iters) {
+      val acc = new java.util.HashMap[Long, Double]()
+      es.foreach { case (s, t) =>
+        acc.merge(t, rank.get(s) / outdeg.get(s), _ + _)
+      }
+      val next = new java.util.HashMap[Long, Double]()
+      verts.foreach { v =>
+        next.put(v, (1.0 - d) * reset.get(v) + d * acc.getOrDefault(v, 0.0))
+      }
+      rank = next
+    }
+    verts.map(v => (v, rank.get(v))).toSeq.toDF("vertex", "rank")
+  }
+
+  /** Personalized PageRank (random walk with restart to a seed set):
+    * the reset mass (1−d) returns to the seeds instead of spreading
+    * uniformly, so rank measures proximity *to the seeds* — the
+    * "find more like these" primitive under seed-expansion sampling
+    * of a web/citation graph. Same fixed-iteration push loop as
+    * [[pagerank]] (one join + one aggregation per round, shuffled on
+    * the vertex id; dangling mass dropped by the same convention on
+    * both engines); the seed set rides along as a broadcast literal
+    * — it is user-input-sized, not graph-sized.
+    */
+  def ppr(edges: DataFrame, seeds: Seq[Long], iters: Int, d: Double = 0.85,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    require(seeds.nonEmpty, "PPR needs a non-empty seed set")
+    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    if (e.count() <= maxLocalEdges) {
+      val out = localPpr(edges.sparkSession, e, seeds, iters, d)
+      e.unpersist()
+      return out
+    }
+    val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val seedCol = col("v").isInCollection(seeds)
+    val reset = verts.withColumn("s",
+      when(seedCol, lit(1.0 / seeds.size)).otherwise(lit(0.0)))
+      .localCheckpoint()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = reset.select(col("v"), col("s").as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = e.join(outdeg, "src")
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("r") / col("od")).as("c"))
+      ranks = reset.join(contribs.groupBy("v").agg(sum("c").as("s2")), Seq("v"), "left")
+        .select(col("v"), col("s"),
+          (lit(1.0 - d) * col("s") + lit(d) * coalesce(col("s2"), lit(0.0))).as("r"))
+        .localCheckpoint()
+        .select(col("v"), col("r"))
+    }
+    e.unpersist(); outdeg.unpersist()
+    ranks.select(col("v").as("vertex"), col("r").as("rank"))
+  }
+
   /** k-core decomposition membership: iteratively strip vertices of
     * undirected degree < k until fixpoint; returns each surviving
     * vertex with its degree inside the core subgraph. Each round is

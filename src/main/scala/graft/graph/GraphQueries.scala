@@ -197,6 +197,51 @@ object GraphQueries {
        |SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""".stripMargin
   }
 
+  /** Seed-set size for personalized PageRank. */
+  val PprSeeds = 8
+
+  /** Personalized PageRank from the [[PprSeeds]] lowest vertex ids of
+    * the hash graph — "find more like these" seed expansion. The
+    * derived graph is checkpointed once (seed selection and the rank
+    * loop both read it); the oracle unrolls the same 3 rounds with
+    * the reset mass pinned to the seeds.
+    */
+  def graphPpr(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint()
+    val seeds = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().orderBy("v").limit(PprSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    GraphOps.ppr(e, seeds, iters = 3)
+      .select(col("vertex"), round(col("rank"), 6).as("rank"))
+      .orderBy("vertex")
+  }
+
+  val graphPprSql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT rv.v, (1.0 - 0.85) * rv.s
+         |         + 0.85 * COALESCE(SUM($prev.r / od.od), 0.0) AS r
+         |  FROM rv
+         |  LEFT JOIN he ON he.dst = rv.v
+         |  LEFT JOIN od ON od.src = he.src
+         |  LEFT JOIN $prev ON $prev.v = he.src
+         |  GROUP BY rv.v, rv.s)""".stripMargin
+    s"""WITH ${DerivedGraphs.hashEdgesSql(2048)},
+       |verts AS (SELECT src AS v FROM he UNION SELECT dst FROM he),
+       |seeds AS (SELECT v FROM verts ORDER BY v LIMIT $PprSeeds),
+       |ns AS (SELECT COUNT(*) AS n FROM seeds),
+       |rv AS (SELECT verts.v,
+       |         CASE WHEN seeds.v IS NOT NULL
+       |              THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS s
+       |       FROM verts LEFT JOIN seeds ON seeds.v = verts.v),
+       |od AS (SELECT src, COUNT(*) AS od FROM he GROUP BY src),
+       |p0 AS (SELECT v, s AS r FROM rv),
+       |${iter("p0", "p1")},
+       |${iter("p1", "p2")},
+       |${iter("p2", "p3")}
+       |SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""".stripMargin
+  }
+
   /** k-core membership (k=3) on the nation graph. The engine iterates
     * to fixpoint; the oracle unrolls 6 prune rounds — measured
     * convergence is 2 rounds at every shipped SF, so both reach the
@@ -445,6 +490,7 @@ object GraphQueries {
     Op("graph_cc", graphCc, Some(graphCcSql)),
     Op("graph_cc_large", graphCcLarge, None),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
+    Op("graph_ppr", graphPpr, Some(graphPprSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),

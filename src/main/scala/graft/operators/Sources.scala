@@ -92,8 +92,49 @@ object Sources {
     summarize(readCsv(spark, out))
   }
 
+  /** Bucketed-table layout: write orders and lineitem bucketed (8
+    * buckets) AND sorted by the join key, then sort-merge-join them
+    * with NO shuffle on either side — Spark reads each bucket pair
+    * co-located, so the join exchanges nothing (the only Exchange in
+    * the plan belongs to the final tiny groupBy; the spec pins
+    * exactly that). This is the layout move that matters most at
+    * 100 TB: a fact-fact join on pre-bucketed tables skips the
+    * dominant shuffle entirely, every run, for the cost of one
+    * bucketed write. `hint("merge")` pins SMJ so the plan shape (and
+    * the zero-shuffle property) is stable across stats changes.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratch("bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    Tables.orders(spark, dir).select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$out/orders").saveAsTable("graft_orders_b")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$out/lineitem").saveAsTable("graft_lineitem_b")
+    val o = spark.table("graft_orders_b")
+    val l = spark.table("graft_lineitem_b")
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  val bucketedJoinSql: String = """
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
   def ops: Seq[Op] = Seq(
     Op("source_jsonl", sourceJsonl, Some(summarizeSql)),
     Op("source_csv", sourceCsv, Some(summarizeSql)),
+    Op("source_bucketed", bucketedJoin, Some(bucketedJoinSql)),
   )
 }

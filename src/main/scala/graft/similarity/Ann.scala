@@ -118,7 +118,8 @@ object Ann {
       emb: DataFrame,
       queries: Array[(Long, Array[Float], Double)],
       k: Int,
-      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None): DataFrame = {
+      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None,
+      mips: Boolean = false): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val bq = spark.sparkContext.broadcast(queries)
@@ -152,7 +153,7 @@ object Ann {
             if (visible && id != qid) {
               var s = 0.0; var i = 0
               while (i < v.length) { s += qv(i).toDouble * v(i); i += 1 }
-              val score = round6(s / (qn * nrm))
+              val score = if (mips) round6(s) else round6(s / (qn * nrm))
               val h = heaps(qid)
               h.enqueue((score, id))
               if (h.size > k) h.dequeue()
@@ -181,6 +182,35 @@ object Ann {
 
   def annTopkBruteforce(spark: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(spark, dir))
+
+  /** Maximum-inner-product top-k (unnormalized dot product): the
+    * retrieval scoring used when vector magnitude carries signal
+    * (e.g. popularity-weighted two-tower embeddings) — cosine's
+    * normalization would erase it. Same per-partition bounded-heap
+    * scan as brute-force cosine; at 100 TB the same IVF/LSH candidate
+    * paths apply after the standard MIPS→cosine reduction (augment
+    * each vector with sqrt(M²−‖v‖²)).
+    */
+  def mipsTopK(emb: DataFrame, k: Int = K): DataFrame =
+    heapTopK(emb, collectQueries(emb), k, mips = true)
+
+  def annMips(spark: SparkSession, dir: String): DataFrame =
+    mipsTopK(Tables.embeddings(spark, dir))
+
+  val annMipsSql: String = s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < $NumQueries),
+    s AS (SELECT q.qid, v.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> qv[i] * v.v[i])), 6) + 0.0 AS score
+          FROM q JOIN v ON v.vec_id != q.qid),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
 
   val annTopkBruteforceSql: String = s"""
     WITH v AS (SELECT vec_id,
@@ -525,5 +555,6 @@ object Ann {
     Op("ann_pq", annPq, None),
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
+    Op("ann_mips", annMips, Some(annMipsSql)),
   )
 }

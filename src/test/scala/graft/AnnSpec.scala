@@ -94,4 +94,20 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === expected)
   }
+
+  test("mipsTopK ranks by raw dot product — magnitude beats direction") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val data = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (20L, v(0.9, 0, 0, 0)),  // perfectly aligned, small magnitude
+      (21L, v(5, 5, 0, 0)),    // 45 degrees off but huge: dot 5 > 0.9
+      (22L, v(0, 0, 1, 0))     // orthogonal: dot 0
+    ).toDF("vec_id", "embedding")
+    val top = Ann.mipsTopK(data, k = 3).where($"qid" === 0L)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.map(_._1).toSeq === Seq(21L, 20L, 22L)) // cosine would pick 20 first
+    assert(top.head._2 === 5.0 && top(1)._2 === 0.9 && top.last._2 === 0.0)
+  }
 }

@@ -176,4 +176,27 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === local)
   }
+
+  test("ppr: mass concentrates at seeds, fades with distance; paths agree") {
+    val s = spark
+    import s.implicits._
+    // chain 1 -> 2 -> 3 -> 4 -> 5 plus an isolated-ish pair 10 -> 11
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val pr = GraphOps.ppr(e, seeds = Seq(1L), iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // fixed-iteration PPR: the seed keeps its reset mass every round,
+    // the initial probe mass travels as a wave (3 hops after 3 iters)
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(near(pr(1L), 0.15))
+    assert(near(pr(2L), 0.85 * 0.15) && near(pr(3L), 0.85 * 0.85 * 0.15))
+    assert(near(pr(4L), 0.85 * 0.85 * 0.85)) // the wavefront
+    assert(pr(5L) === 0.0)                   // not reached yet
+    // nothing reaches the disconnected pair
+    assert(pr(10L) === 0.0 && pr(11L) === 0.0)
+    val dist = GraphOps.ppr(e, seeds = Seq(1L), iters = 3, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist.view.mapValues(v => math.rint(v * 1e6)).toMap ===
+      pr.view.mapValues(v => math.rint(v * 1e6)).toMap)
+  }
 }

@@ -56,4 +56,25 @@ class SourcesSpec extends SparkSpec {
     // no priority-only marginal was computed (that's the point vs cube)
     assert(!out.exists(r => r.getString(0) == "ALL" && r.getString(1) != "ALL"))
   }
+
+  test("bucketedJoin: the fact-fact join itself exchanges nothing") {
+    val df = graft.operators.Sources.bucketedJoin(spark, sfDir)
+    val byStatus = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // inspect the final (post-AQE) plan: sparkPlan predates
+    // EnsureRequirements and never shows exchanges
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // final AQE plan only
+    assert(plan.contains("SortMergeJoin"))
+    // everything BELOW the join — its two bucketed scan inputs — must
+    // be exchange-free; the groupBy/sort shuffles above it are fine
+    val joinSubtree = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join sides should not shuffle, plan:\n$plan")
+    val direct = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStatus === direct)
+  }
 }

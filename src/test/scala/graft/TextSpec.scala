@@ -117,4 +117,53 @@ class TextSpec extends SparkSpec {
     assert(out(0L)._2 < out(1L)._2)
     assert(out(0L) === out(2L)) // identical docs, identical score
   }
+
+  test("textVocab: ranks by count desc then word, fractions sum to ≤ 1") {
+    val out = TextAnalysis.textVocab(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= TextAnalysis.VocabTopK)
+    val ns = out.map(_.getLong(2))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+    // each frac is rounded to 6 dp (±5e-7); with the whole vocabulary
+    // inside top-k the rounded sum can exceed 1 by ≤ n·5e-7
+    assert(out.map(_.getDouble(4)).sum <= 1.0 + out.length * 5e-7)
+    // ranks are 1..n dense
+    assert(out.map(_.getLong(0)).toSeq === (1L to out.length).toSeq)
+  }
+
+  test("repetitionScored: repetitive doc scores high, diverse doc scores 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, Seq.fill(50)("spam").mkString(" ")),          // one word repeated
+      (1L, (1 to 50).map(i => s"w$i").mkString(" ")),    // all distinct
+      (2L, "a b a b a b a b")                            // alternating pair
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionScored(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getDouble(4) === 1.0)      // top_word_frac
+    assert(r(0L).getDouble(5) > 0.9)        // dup bigrams dominate
+    assert(r(1L).getDouble(5) === 0.0)      // every bigram unique
+    assert(r(1L).getDouble(4) === 0.02)     // 1/50
+    assert(r(2L).getLong(1) === 8L && r(2L).getLong(2) === 2L)
+    assert(r(2L).getDouble(5) === 0.714286) // 7 bigrams, 2 distinct
+  }
+
+  test("piiScrubbed: plants are counted and redacted, clean text untouched") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "mail me at jane.doe+x@example.co.uk or bob@site.org today"),
+      (1L, "server 10.0.255.3 called 555-123-4567 with id 123456789012"),
+      (2L, "no personal data in this row at all")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrubbed(docs).collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getLong(1) === 2L)                      // two emails
+    assert(r(1L).getLong(2) === 1L && r(1L).getLong(3) === 1L && r(1L).getLong(4) === 1L)
+    // scrubbed fingerprint matches the expected redacted strings
+    def md5of(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0L).getString(5) === md5of("mail me at <EMAIL> or <EMAIL> today"))
+    assert(r(1L).getString(5) === md5of("server <IP> called <PHONE> with id <NUM>"))
+    assert(r(2L).getString(5) === md5of("no personal data in this row at all"))
+  }
 }

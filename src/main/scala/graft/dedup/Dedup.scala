@@ -96,7 +96,13 @@ object Dedup {
   def docShingleArrays(docs: DataFrame, n: Int = NgramN): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast(LongType), col("text"))
+    // spread a one-split scan before the shuffle-free shingling pass
+    // (and everything scan-side downstream of it — prefix selection,
+    // signature folds); a no-op at scale
+    val src = docs.select(col("doc_id").cast(LongType), col("text"))
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val spread = if (src.rdd.getNumPartitions < parts) src.repartition(parts) else src
+    spread
       .as[(Long, String)]
       .map { case (id, text) =>
         val hs = gramHashes(text, n)
@@ -130,9 +136,11 @@ object Dedup {
     ORDER BY doc_id"""
 
   /** Exact-Jaccard verification of (doc_a, doc_b) candidate pairs over
-    * the per-doc shingle-hash arrays: |A∩B| = size(array_intersect),
-    * |A∪B| from the two array sizes (one compact row per doc);
-    * integer-ratio arithmetic → bit-identical across engines.
+    * the per-doc shingle-hash arrays: |A∩B| by `graft_isect` (a
+    * codegen'd merge count over the sorted arrays — see
+    * [[graft.functions.SortedIntersectCount]]), |A∪B| from the two
+    * array sizes (one compact row per doc); integer-ratio arithmetic
+    * → bit-identical across engines.
     */
   private def verifyJaccard(cand: DataFrame, docArr: DataFrame, tau: Double): DataFrame =
     // no broadcast hint: the array frame is whole-corpus-sized, so AQE
@@ -140,7 +148,10 @@ object Dedup {
     cand
       .join(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
-      .withColumn("ninter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      // graft_isect: codegen'd merge count over the sorted arrays —
+      // size(array_intersect) builds a hash set + output array per
+      // evaluation, and Catalyst inlines it twice into the filter
+      .withColumn("ninter", expr("graft_isect(sa, sb)"))
       .withColumn("na", size(col("sa")).cast(LongType))
       .withColumn("nb", size(col("sb")).cast(LongType))
       .withColumn("jaccard", round(col("ninter") / (col("na") + col("nb") - col("ninter")), 6))
@@ -177,16 +188,16 @@ object Dedup {
           else {
             val m = dfMap.value
             arr.map(s => (m(s), s)).sortBy(identity)
-              .take(k).iterator.map { case (_, s) => (id, s) }
+              .take(k).iterator.map { case (_, s) => (id, s, arr.length) }
           }
-        }.toDF("doc_id", "s")
+        }.toDF("doc_id", "s", "n_sh")
     } else {
       val w = Window.partitionBy("doc_id").orderBy(col("df"), col("s"))
       sh.join(broadcast(dfreq), "s")
         .withColumn("rk", row_number().over(w))
         // n_sh carried from the array — no count-over-partition window
         .where(col("rk") <= col("n_sh") - ceil(lit(tauEff) * col("n_sh")) + 1)
-        .select("doc_id", "s")
+        .select("doc_id", "s", "n_sh")
     }
   }
 
@@ -198,6 +209,11 @@ object Dedup {
     * quadratic blowup never happens). Exact verification then computes
     * true Jaccard over the full shingle sets.
     */
+  private[dedup] def prefixRowsForProbe(docArr: DataFrame, tau: Double): DataFrame =
+    prefixRows(docArr, tau)
+  private[dedup] def verifyJaccardForProbe(cand: DataFrame, docArr: DataFrame, tau: Double): DataFrame =
+    verifyJaccard(cand, docArr, tau)
+
   def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One shingling pass, checkpointed: every downstream consumer
@@ -207,9 +223,15 @@ object Dedup {
     // (df, string).
     val docArr = docShingleArrays(docs).localCheckpoint()
     val prefix = prefixRows(docArr, tau)
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("s"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
-      .where(col("doc_a") < col("doc_b"))
+    // AllPairs length filter inside the posting join: J ≥ τ forces
+    // τ·max(|A|,|B|) ≤ min(|A|,|B|), so size-mismatched pairs never
+    // reach (or pay for) exact verification — on a repetitive
+    // vocabulary this is the main candidate cut after rarity prefixes
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("s"), col("n_sh").as("na"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("s"), col("n_sh").as("nb")), Seq("s"))
+      .where(col("doc_a") < col("doc_b") &&
+        lit(tau) * greatest(col("na"), col("nb")) <=
+          least(col("na"), col("nb")) + lit(1e-9))
       .select("doc_a", "doc_b").distinct()
     verifyJaccard(cand, docArr, tau)
   }
@@ -475,7 +497,7 @@ object Dedup {
       .join(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("containment",
-        round(size(array_intersect(col("sa"), col("sb"))).cast(LongType) /
+        round(expr("graft_isect(sa, sb)") /
           size(col("sa")).cast(LongType), 6))
       .where(col("containment") >= tau)
       .select(col("doc_a"), col("doc_b"), col("containment"))

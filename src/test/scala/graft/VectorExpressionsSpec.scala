@@ -38,4 +38,27 @@ class VectorExpressionsSpec extends SparkSpec {
       .head
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("graft_isect equals size(array_intersect) on sorted deduped arrays") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      def arr() = Array.fill(rng.nextInt(60))(rng.nextInt(40).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.selectExpr("id",
+      "graft_isect(a, b) AS fast",
+      "CAST(size(array_intersect(a, b)) AS BIGINT) AS ref").collect()
+    cmp.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getLong(0)}"))
+    // edges: empty and disjoint
+    val e = spark.sql(
+      """SELECT graft_isect(array(), CAST(array(1, 2) AS ARRAY<BIGINT>)),
+        |       graft_isect(CAST(array(1, 3) AS ARRAY<BIGINT>), CAST(array(2, 4) AS ARRAY<BIGINT>)),
+        |       graft_isect(CAST(array(1, 2, 3) AS ARRAY<BIGINT>), CAST(array(1, 2, 3) AS ARRAY<BIGINT>))""".stripMargin)
+      .head
+    assert(e.getLong(0) === 0L && e.getLong(1) === 0L && e.getLong(2) === 3L)
+  }
 }

@@ -353,6 +353,36 @@ object GraphQueries {
        |       THEN ROUND((COUNT(*) - 1) / SUM(d), 6) ELSE 0.0 END AS closeness
        |FROM sp GROUP BY s ORDER BY vertex""".stripMargin
 
+  /** Out-eccentricity on the directed nation graph (max hop distance
+    * to any reachable vertex, with the reachable count) — the
+    * diameter/radius building block; same single multi-source tagged
+    * BFS as closeness, different final aggregate.
+    */
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.nationEdges(spark, dir).localCheckpoint()
+    val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v").as("vertex"), col("v").as("tag"))
+    GraphOps.bfs(e, sources)
+      .groupBy(col("tag").as("vertex"))
+      .agg(count(lit(1)).as("n_reached"),
+        max(col("level")).cast("long").as("ecc"))
+      .orderBy("vertex")
+  }
+
+  val graphEccentricitySql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
+       |verts AS (SELECT src AS v FROM ne UNION SELECT dst FROM ne),
+       |r AS (
+       |  SELECT v AS s, v AS t, 0 AS d FROM verts
+       |  UNION
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |),
+       |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2)
+       |SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(MAX(d) AS BIGINT) AS ecc
+       |FROM sp GROUP BY s ORDER BY vertex""".stripMargin
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -495,6 +525,7 @@ object GraphQueries {
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),
     Op("graph_closeness", graphCloseness, Some(graphClosenessSql)),
+    Op("graph_eccentricity", graphEccentricity, Some(graphEccentricitySql)),
     Op("graph_hits", graphHits, Some(graphHitsSql)),
     Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),

@@ -407,6 +407,47 @@ object TextAnalysis {
     SELECT lang, CAST(rn AS BIGINT) AS rn, g AS bigram, n, n_docs
     FROM r WHERE rn <= $NgramTopK ORDER BY lang, rn"""
 
+  /** Document-frequency cap for [[substrDupPairs]]: fingerprints in
+    * more than this many docs are boilerplate (common phrases), not
+    * copy evidence — MOSS drops them for the same reason; the cap
+    * also bounds the posting self-join at df².
+    */
+  val SubstrMaxDf = 10
+
+  /** Minimum shared (rare) fingerprints for a reported pair — one
+    * shared window can be hash luck; two is a real shared span.
+    */
+  val SubstrMinShared = 2
+
+  /** Cross-document substring duplication (MOSS-style): pairs of docs
+    * sharing ≥ [[SubstrMinShared]] rare winnowing fingerprints — i.e.
+    * verbatim shared spans ≥ w+k−1 chars, the "quoted/copied passage"
+    * signal that word-level Jaccard dilutes away on long docs. The
+    * inverted-index self-join runs over RARE fingerprints only
+    * (df ≤ [[SubstrMaxDf]]): common-phrase fingerprints are noise for
+    * copy detection AND the quadratic hazard, so one df aggregate
+    * prunes both at once. rows-only (the rolling hash is
+    * engine-internal); the spec plants a copied passage.
+    */
+  def substrDupPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+      maxDf: Int = SubstrMaxDf, minShared: Int = SubstrMinShared): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w).select("doc_id", "fp").distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+      .select("fp")
+    val keyed = fps.join(rare, "fp")
+    keyed.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(keyed.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def textSubstrDups(spark: SparkSession, dir: String): DataFrame =
+    substrDupPairs(Tables.documents(spark, dir))
+
   /** Vocabulary size for [[textVocab]]. */
   val VocabTopK = 50
 
@@ -574,5 +615,6 @@ object TextAnalysis {
     Op("text_vocab", textVocab, Some(textVocabSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_pii_scrub", textPiiScrub, Some(textPiiScrubSql)),
+    Op("text_substr_dups", textSubstrDups, None),
   )
 }

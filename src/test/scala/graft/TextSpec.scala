@@ -148,6 +148,23 @@ class TextSpec extends SparkSpec {
     assert(r(2L).getDouble(5) === 0.714286) // 7 bigrams, 2 distinct
   }
 
+  test("substrDupPairs finds a copied passage, ignores unrelated docs") {
+    val s = spark
+    import s.implicits._
+    val passage = "the forty two secrets of highly effective graph engines"
+    val docs = Seq(
+      (0L, s"intro words here $passage and some trailing content too"),
+      (1L, s"totally different opening but $passage appears verbatim"),
+      (2L, "nothing in common with anything else whatsoever right here"),
+      (3L, "another unrelated string of words that shares no long span")
+    ).toDF("doc_id", "text")
+    val pairs = TextAnalysis.substrDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs((0L, 1L)) >= 2L) // a 55-char shared span yields many windows
+    assert(!pairs.keySet.exists { case (a, b) => a >= 2L || b >= 2L })
+  }
+
   test("piiScrubbed: plants are counted and redacted, clean text untouched") {
     val s = spark
     import s.implicits._

@@ -350,17 +350,31 @@ object Dedup {
           Iterator.single((id, sim))
         }
       }.toDF("doc_id", "sim")
+    hammingBlockPairs(packed, "sim", maxHamming)
+  }
+
+  /** Hamming-distance ≤ k pairs over 64-bit signatures via the
+    * pigeonhole block join: split each signature into 4 × 16-bit
+    * blocks — any pair within Hamming ≤ 3 matches exactly on at least
+    * one block, so candidates come from 4 bucket equi-joins, never
+    * all-pairs. Shared by [[simhashPairs]] and the multimodal
+    * perceptual-hash pairing. Input: (doc_id, <sigCol>).
+    */
+  private[graft] def hammingBlockPairs(sigs: DataFrame, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4x16 pigeonhole blocks guarantee recall only to Hamming 3")
+    val packed = sigs.select(col("doc_id"), col(sigCol).as("sig"))
     val blockCols = (0 until 4).map { k =>
-      struct(lit(k).as("k"), shiftright(col("sim"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
+      struct(lit(k).as("k"), shiftright(col("sig"), k * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))
     }
-    val blocks = packed.select(col("doc_id"), col("sim"), explode(array(blockCols: _*)).as("blk"))
-      .select(col("doc_id"), col("sim"), col("blk.k").as("k"), col("blk.bv").as("bv"))
-    blocks.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"), col("k"), col("bv"))
-      .join(blocks.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"), col("k"), col("bv")),
+    val blocks = packed.select(col("doc_id"), col("sig"), explode(array(blockCols: _*)).as("blk"))
+      .select(col("doc_id"), col("sig"), col("blk.k").as("k"), col("blk.bv").as("bv"))
+    blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("k"), col("bv"))
+      .join(blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("k"), col("bv")),
         Seq("k", "bv"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sim_a ^ sim_b)").cast(LongType).as("hamming"))
+        expr("bit_count(sig_a ^ sig_b)").cast(LongType).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

@@ -229,11 +229,83 @@ object Multimodal {
     FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
     ORDER BY keep_id"""
 
+  /** Hamming radius for perceptual-hash pairing (4×16 pigeonhole
+    * blocks guarantee exact recall to 3).
+    */
+  val PhashMaxHamming = 3
+
+  /** 64-bit perceptual hash (aHash shape) per payload + Hamming-block
+    * near-dup pairs: each payload splits into 64 byte blocks; bit j is
+    * whether block j's mean exceeds the payload's global mean —
+    * compared by integer cross-multiplication, so there is no float
+    * anywhere. Near-identical media (re-encoded, few bytes touched)
+    * land within a small Hamming distance where exact-hash mm_dedup
+    * sees two unrelated payloads. Pairing reuses the dedup engine's
+    * pigeonhole block join ([[graft.dedup.Dedup.hammingBlockPairs]])
+    * — 4 bucket equi-joins, never all-pairs. rows-only (the hash is
+    * engine-internal); spec plants a byte-tweaked copy.
+    */
+  def phashPairs(docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame =
+    graft.dedup.Dedup.hammingBlockPairs(phashSigs(docs), "ph", maxHamming)
+
+  /** (doc_id, ph): the 64-bit signature per ≥64-byte payload. */
+  private def phashSigs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        // payloads under 64 bytes have empty blocks — no signature
+        // (an all-zero hash would pair every tiny payload with every
+        // other), same convention as simhashPairs
+        if (n < 64) Iterator.empty
+        else {
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            val b = ((i.toLong * 64L) / n).toInt
+            val v = bytes(i) & 0xff
+            sums(b) += v; cnts(b) += 1; tot += v
+            i += 1
+          }
+          var h = 0L
+          var j = 0
+          // block_mean > global_mean  ⇔  sums(j)·n > tot·cnts(j)
+          while (j < 64) { if (sums(j) * n > tot * cnts(j)) h |= (1L << j); j += 1 }
+          Iterator.single((id, h))
+        }
+      }.toDF("doc_id", "ph")
+  }
+
+  /** Gate view of the perceptual hash: one row per (≥64-byte) payload
+    * with its 64-bit signature and the count of Hamming-≤3 neighbors
+    * — per-doc rather than pairs-only so the rows-only gate entry is
+    * non-vacuous on a corpus with no planted near-identical media
+    * (the shipped one); the spec covers the pairing itself.
+    */
+  def phashSummary(docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
+    val sigs = phashSigs(docs).localCheckpoint()
+    val pairs = graft.dedup.Dedup.hammingBlockPairs(sigs, "ph", maxHamming)
+    val near = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    sigs.join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"), hex(col("ph")).as("phash_hex"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+      .orderBy("doc_id")
+  }
+
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    phashSummary(Tables.documents(spark, dir))
+
   def ops: Seq[Op] = Seq(
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
+    Op("mm_phash", mmPhash, None),
   )
 }

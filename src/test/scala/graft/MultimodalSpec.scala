@@ -78,4 +78,18 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getLong(3) === 2L)
     assert(r.getLong(4) === 98L)
   }
+
+  test("phashPairs: identical payloads at Hamming 0, one-block tweak at 1, unrelated unpaired") {
+    // 128-byte payloads → 2 bytes per block; strong block contrast so
+    // the global-mean comparison has no marginal bits
+    val a = "a" * 64 + "z" * 64
+    val tweaked = "a" * 64 + "z" * 62 + "aa" // block 63 flips, others far from the mean
+    val other = "az" * 64                     // every block mean == global mean → all-zero hash
+    val pairs = Multimodal.phashPairs(
+      fakeDocs(0L -> a, 1L -> a, 2L -> tweaked, 3L -> other))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((0L, 1L)) === 0L)
+    assert(pairs((0L, 2L)) === 1L && pairs((1L, 2L)) === 1L)
+    assert(pairs.size === 3) // doc 3 pairs with nothing (Hamming 32)
+  }
 }

@@ -603,6 +603,68 @@ object TextAnalysis {
         '$PiiLongNum', '<NUM>', 'g')) AS scrubbed_fp
     FROM documents ORDER BY doc_id"""
 
+  /** Benchmark decontamination (n-gram overlap): flag corpus documents
+    * that share any `DecontamN`-word shingle with a pinned held-out
+    * benchmark set (docs with doc_id % 25 == 3 stand in for an eval
+    * suite). This is the standard pre-training hygiene pass — eval
+    * questions leaking into training data inflate benchmark scores.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the
+    * corpus at any scale (eval suites are fixed-size; the corpus is
+    * the 100 TB side), so it broadcasts and the corpus side is one
+    * shingling pass + a broadcast hash join — no shuffle before the
+    * per-doc aggregation, which carries matched rows only.
+    */
+  val DecontamN = 8
+  private val BenchMod = 25
+  private val BenchRes = 3
+
+  def decontaminated(docs: DataFrame): DataFrame = {
+    val grams = shingleRows(docs, DecontamN)
+    val bench = grams.where(col("doc_id") % BenchMod === BenchRes)
+      .select(col("doc_id").as("bench_id"), col("g")).distinct()
+    val corpus = grams.where(col("doc_id") % BenchMod =!= BenchRes)
+    val hits = corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(countDistinct("g").as("n_hit_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+    docs.select(col("doc_id").cast(LongType).as("doc_id"))
+      .where(col("doc_id") % BenchMod =!= BenchRes)
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        coalesce(col("n_bench_docs"), lit(0L)).as("n_bench_docs"),
+        (coalesce(col("n_hit_grams"), lit(0L)) > 0).cast(IntegerType)
+          .as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  def textDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminated(Tables.documents(spark, dir))
+
+  val textDecontaminateSql: String = {
+    val gram = (0 until DecontamN).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    gr AS (SELECT doc_id, $gram AS g
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - ${DecontamN - 1}, 0))) AS i
+                 FROM w)),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM gr WHERE doc_id % $BenchMod = $BenchRes),
+    corpus AS (SELECT doc_id, g FROM gr WHERE doc_id % $BenchMod <> $BenchRes),
+    hits AS (SELECT c.doc_id,
+               COUNT(DISTINCT c.g) AS n_hit_grams,
+               COUNT(DISTINCT b.bench_id) AS n_bench_docs
+             FROM corpus c JOIN bench b ON b.g = c.g GROUP BY 1)
+    SELECT d.doc_id,
+      CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+      CAST(COALESCE(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+      CAST(COALESCE(h.n_hit_grams, 0) > 0 AS INTEGER) AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % $BenchMod <> $BenchRes
+    ORDER BY d.doc_id"""
+  }
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -616,5 +678,6 @@ object TextAnalysis {
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_pii_scrub", textPiiScrub, Some(textPiiScrubSql)),
     Op("text_substr_dups", textSubstrDups, None),
+    Op("text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
   )
 }

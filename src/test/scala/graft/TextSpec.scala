@@ -67,6 +67,26 @@ class TextSpec extends SparkSpec {
     assert(again === fps)
   }
 
+  test("textDecontaminate flags docs sharing an 8-gram with the benchmark split") {
+    val s = spark
+    import s.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leaked = "intro words then alpha beta gamma delta epsilon zeta eta theta more tail"
+    val clean = "one two three four five six seven eight nine ten eleven twelve"
+    // doc_id 3 is in the benchmark split (3 % 25 == 3); 4 and 5 are corpus docs.
+    val docs = Seq(
+      (3L, benchText, "en", "s", benchText.length.toLong),
+      (4L, leaked, "en", "s", leaked.length.toLong),
+      (5L, clean, "en", "s", clean.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = withFakeTable(docs)(d => TextAnalysis.textDecontaminate(spark, d))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(out.keySet === Set(4L, 5L)) // benchmark doc excluded from output
+    // leaked doc shares exactly one 8-gram window: alpha..theta
+    assert(out(4L) === ((1L, 1L, 1)))
+    assert(out(5L) === ((0L, 0L, 0)))
+  }
+
   /** Writes `docs` as a documents table in a temp sf dir and runs `f`. */
   private def withFakeTable(docs: org.apache.spark.sql.DataFrame)(
       f: String => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {

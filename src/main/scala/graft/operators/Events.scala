@@ -263,8 +263,69 @@ object Events {
                  RANGE BETWEEN $WindowSec PRECEDING AND CURRENT ROW)
     ORDER BY event_id"""
 
+  /** SCD2 history build (slowly-changing dimension, type 2): collapse
+    * each user's event-type stream into validity intervals
+    * [valid_from, valid_to) with an is_current flag — the
+    * change-stream → dimension-history materialization every warehouse
+    * maintains. Gaps-and-islands via two window passes (lag → change
+    * flag → running sum = run id), then one aggregation per run: two
+    * shuffles on user_id total, no iteration, no driver state; at
+    * 100 TB both windows share one hash partitioning on user_id so
+    * the second pass is exchange-free.
+    */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val runs = eventsSec(spark, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("chg",
+        when(col("prev_type").isNull || col("prev_type") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id",
+        sum(col("chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts_sec")).as("valid_from"), count(lit(1)).as("n_events"))
+    // run_id is strictly increasing in event order per user, so it (not
+    // valid_from, which can tie across adjacent runs within one second)
+    // orders the history deterministically.
+    val h = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.select(col("user_id"), col("event_type"), col("valid_from"),
+        lead(col("valid_from"), 1).over(h).as("valid_to"),
+        lead(col("valid_from"), 1).over(h).isNull.cast(IntegerType).as("is_current"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
+  val qScd2Sql: String = """
+    WITH es AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec
+      FROM events),
+    tagged AS (
+      SELECT user_id, event_id, event_type, ts_sec,
+        CASE WHEN LAG(event_type) OVER w IS NULL
+                  OR LAG(event_type) OVER w <> event_type
+             THEN 1 ELSE 0 END AS chg
+      FROM es
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+    runs AS (
+      SELECT user_id, event_type, ts_sec,
+        SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM tagged),
+    hist AS (
+      SELECT user_id, run_id, event_type,
+        MIN(ts_sec) AS valid_from, COUNT(*) AS n_events
+      FROM runs GROUP BY 1, 2, 3)
+    SELECT user_id, event_type, valid_from,
+      LEAD(valid_from) OVER h AS valid_to,
+      CAST(LEAD(valid_from) OVER h IS NULL AS INTEGER) AS is_current,
+      n_events
+    FROM hist
+    WINDOW h AS (PARTITION BY user_id ORDER BY run_id)
+    ORDER BY user_id, valid_from, event_type"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_scd2", qScd2, Some(qScd2Sql)),
     Op("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     Op("q_events_json", qEventsJson, Some(qEventsJsonSql)),
     Op("q_events_window", qEventsWindow, Some(qEventsWindowSql)),

@@ -461,8 +461,45 @@ object Relational {
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   }
 
+  /** Incremental materialized-view maintenance: the per-(status, month)
+    * revenue MV is kept as mergeable partials — counts and decimal
+    * sums — so a late-arriving delta batch folds in by re-aggregating
+    * (base partials ∪ delta partials), never rescanning the base fact.
+    * Here the pivot date splits orders into the "stored MV" side and
+    * the "new arrivals" side; at 100 TB the base side is a stored
+    * partial-agg table of ~|groups| rows and each refresh costs one
+    * scan of the delta plus a |groups|-sized merge shuffle. The oracle
+    * is the full recompute over all orders — equality is exactly the
+    * MV-consistency invariant (decimal sums make the merge
+    * order-independent).
+    */
+  val IncrPivot = "2000-01-01 00:00:00"
+
+  def qIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus").as("status"),
+          date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("o_totalprice"))).as("rev"))
+    val base  = partials(o.where(col("o_orderdate") < ts(IncrPivot)))
+    val delta = partials(o.where(col("o_orderdate") >= ts(IncrPivot)))
+    base.unionAll(delta)
+      .groupBy(col("status"), col("mon"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("rev")).cast(DoubleType).as("revenue"))
+      .orderBy(col("status"), col("mon"))
+  }
+
+  val qIncrementalSql: String = """
+    SELECT o_orderstatus AS status,
+      date_trunc('month', o_orderdate) AS mon,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def ops: Seq[Op] = Seq(
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    Op("q_incremental", qIncremental, Some(qIncrementalSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),

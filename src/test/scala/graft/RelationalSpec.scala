@@ -13,6 +13,43 @@ class RelationalSpec extends SparkSpec {
     assert(maxErr <= 0.05, s"max relative error $maxErr")
   }
 
+  test("q_incremental merge of base+delta partials equals the one-shot aggregation") {
+    val o = Tables.orders(spark, sfDir)
+    val direct = o.groupBy(col("o_orderstatus").as("status"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy("status", "mon")
+    assert(rowsOf(operators.Relational.qIncremental(spark, sfDir)) === rowsOf(direct))
+    // the split is non-trivial: both sides of the pivot hold orders
+    val pivot = lit(operators.Relational.IncrPivot).cast("timestamp")
+    assert(o.where(col("o_orderdate") < pivot).limit(1).count() === 1)
+    assert(o.where(col("o_orderdate") >= pivot).limit(1).count() === 1)
+  }
+
+  test("q_scd2: intervals chain per user, one current row, events conserved") {
+    val hist = Events.qScd2(spark, sfDir).collect()
+    val ev = Events.eventsSec(spark, sfDir)
+    val byUser = hist.groupBy(_.getLong(0))
+    val evCount = ev.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (u, rows) =>
+      // exactly one open (is_current) interval, and it is the last one
+      assert(rows.count(_.getInt(4) === 1) === 1)
+      val sorted = rows.sortBy(_.getLong(2))
+      assert(sorted.last.getInt(4) === 1 && sorted.last.isNullAt(3))
+      // valid_to of each closed row equals the next row's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) === b.getLong(2))
+          assert(a.getString(1) !== b.getString(1)) // runs alternate types
+        case _ =>
+      }
+      assert(rows.map(_.getLong(5)).sum === evCount(u))
+    }
+  }
+
   test("q17_small_qty agrees with a direct recomputation") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()

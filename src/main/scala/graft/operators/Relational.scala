@@ -497,9 +497,52 @@ object Relational {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** Runtime-filter (bloom) semi-join reduction: build a bloom filter
+    * over the filtered dim's join keys, probe it on the fact side
+    * BEFORE the join shuffle, then run the exact equi-join — false
+    * positives are removed by the join, so the result is exact and
+    * oracle-able. This is the explicit form of Spark's row-level
+    * runtime filtering (`spark.sql.optimizer.runtime.bloomFilter.*`,
+    * which injects the same agg+probe pair automatically when stats
+    * warrant); written out as an operator because the SQL surface of
+    * this build does not register `bloom_filter_agg`/`might_contain`.
+    * At 100 TB the win is shuffle volume: fact rows that cannot join
+    * (here ~80 %) are dropped at the scan, for one broadcast of a
+    * ~1.2 MB bitset; the probe is a UDF by necessity (sketch
+    * membership has no builtin Column form) but evaluates after
+    * column pruning, so it scans two columns, not the row.
+    */
+  def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    // The dim build cost (one count + one agg over the small side) is
+    // the inherent price of any runtime filter.
+    val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val probe = udf((k: Long) => bcast.value.mightContainLong(k))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .where(probe(col("l_orderkey")))
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec2(col("l_extendedprice"))).cast(DoubleType).as("revenue"))
+      .orderBy(col("status"))
+  }
+
+  val qBloomSemijoinSql: String = """
+    SELECT o_orderstatus AS status,
+      CAST(COUNT(*) AS BIGINT) AS n_items,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1"""
+
   def ops: Seq[Op] = Seq(
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
     Op("q_incremental", qIncremental, Some(qIncrementalSql)),
+    Op("q_bloom_semijoin", qBloomSemijoin, Some(qBloomSemijoinSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),
     Op("q_cube", qCube, Some(qCubeSql)),
     Op("q_grouping_sets", qGroupingSets, Some(qGroupingSetsSql)),

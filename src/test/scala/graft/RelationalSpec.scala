@@ -50,6 +50,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_bloom_semijoin: bloom prunes non-joining fact rows, never true matches") {
+    val o = Tables.orders(spark, sfDir).where(col("o_orderpriority") === "1-URGENT")
+    val keys = o.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val bf = o.stat.bloomFilter("o_orderkey", math.max(keys.size, 1).toLong, 0.01)
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey").collect().map(_.getLong(0))
+    val survivors = li.count(bf.mightContainLong)
+    val trueMatches = li.count(keys.contains)
+    assert(survivors >= trueMatches) // no false negatives, ever
+    assert(survivors < li.length)    // and it actually prunes
+    // exact result survives the bloom's false positives
+    val direct = Tables.lineitem(spark, sfDir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+      .orderBy("status")
+    assert(rowsOf(operators.Relational.qBloomSemijoin(spark, sfDir)) === rowsOf(direct))
+  }
+
   test("q17_small_qty agrees with a direct recomputation") {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_partkey", "l_quantity", "l_extendedprice").collect()

@@ -410,8 +410,79 @@ object Streaming {
       .toDF("stage", "n_users").orderBy("stage")
   }
 
+  case class LatestEv(user_id: Long, event_id: Long, event_type: String,
+      value: Double, ts_sec: Long, ts_ev: java.sql.Timestamp)
+  case class LatestState(ts: Long, id: Long, tpe: String, v: Double, maxTs: Long)
+  case class LatestOut(user_id: Long, last_ts: Long, last_event_id: Long,
+      last_type: String, last_value: Double)
+
+  /** CDC-style latest-state materialization: per key, hold the
+    * newest record (event-time, event-id tie-break) in state and emit
+    * the materialized row when the key goes quiet — the streaming
+    * upsert view every change-data-capture pipeline maintains
+    * (Kafka-compacted-topic semantics). Arrival order never matters:
+    * the fold keeps the lexicographic max of (ts, id), so a late
+    * out-of-order record can't overwrite a newer one — that is the
+    * CDC correctness property, and what separates this from a naive
+    * "last write wins". The value rides through untouched (no
+    * arithmetic), so it is bit-identical to the batch argmax oracle.
+    */
+  def streamLatestState(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-latest")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "0 seconds")
+      .select(col("user_id").cast(LongType).as("user_id"), col("event_id"),
+        col("event_type"), col("value"), col("ts_sec"), col("ts_ev"))
+      .as[LatestEv]
+    val latest = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LatestState, LatestOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[LatestEv], state: GroupState[LatestState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(LatestOut(uid, s.ts, s.id, s.tpe, s.v))
+          } else {
+            var s = state.getOption.getOrElse(
+              LatestState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+            rows.foreach { e =>
+              if (e.ts_sec > s.ts || (e.ts_sec == s.ts && e.event_id > s.id))
+                s = s.copy(ts = e.ts_sec, id = e.event_id, tpe = e.event_type, v = e.value)
+              if (e.ts_sec > s.maxTs) s = s.copy(maxTs = e.ts_sec)
+            }
+            state.update(s)
+            state.setTimeoutTimestamp((s.maxTs + 1) * 1000L)
+            Iterator.empty
+          }
+      }
+    val name = "graft_stream_latest_state"
+    val q = latest.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      driveSentinels(spark, schema, inDir, q)
+    } finally q.stop()
+    spark.table(name).where(col("user_id") =!= SentinelUser)
+      .orderBy("user_id")
+  }
+
+  val streamLatestStateSql: String = """
+    SELECT user_id, ts_sec AS last_ts, event_id AS last_event_id,
+      event_type AS last_type, value AS last_value
+    FROM (SELECT user_id, event_id, event_type, value,
+            epoch_ns(ts)//1000000000 AS ts_sec,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts)//1000000000 DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id"""
+
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
+    Op("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
     Op("stream_funnel", streamFunnel, Some(Events.qEventsFunnelSql)),
     Op("stream_window_append", streamWindowAppend, Some(streamWindowAggSql)),
     Op("stream_sessionize", streamSessionize, Some(Events.qEventsSessionizeSql)),

@@ -38,6 +38,20 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rowsOf(stream) === rowsOf(batch))
   }
 
+  test("stream_latest_state equals the batch per-key argmax") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    val batch = Events.eventsSec(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("ts_sec").as("last_ts"),
+        col("event_id").as("last_event_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"))
+    val stream = Streaming.streamLatestState(spark, sfDir)
+    assert(rowsOf(stream) === rowsOf(batch))
+  }
+
   test("stream_window_agg equals the batch window agg (sans distinct users)") {
     val batch = Events.qEventsWindow(spark, sfDir)
       .select("window_start", "event_type", "n_events", "total_value")

@@ -807,4 +807,46 @@ object GraphOps {
     import scala.jdk.CollectionConverters._
     counts.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "n_tri")
   }
+
+  /** Deterministic seeded random walks — the corpus-sampling primitive
+    * under DeepWalk/node2vec-style graph embeddings. Each walk steps
+    * to the out-neighbor minimizing an integer hash of
+    * (vertex, candidate, step, walk_id): a seeded shuffle, so walks
+    * are reproducible at any scale and on any executor layout — no
+    * `rand()`, no driver state. Dead ends simply end the walk.
+    *
+    * Shape per step: positions ⋈ edges on the current vertex, then an
+    * argmin (min of a (hash, dst) struct) per walk — at scale that is
+    * one shuffle join on `src` per step with positions ~ |walks|, the
+    * standard distributed walk-sampling plan; here AQE broadcasts the
+    * tiny position frame. Each step is checkpointed so the per-step
+    * frames union lazily without re-deriving the chain.
+    *
+    * @param walks (walk_id, seed-vertex) pairs; walk_id feeds the hash
+    *              so multiple walks from one seed diverge.
+    */
+  def randomWalks(edges: DataFrame, walks: Seq[(Long, Long)], len: Int): DataFrame = {
+    require(walks.nonEmpty, "randomWalks needs at least one walk")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    // Duplicate edges cannot change an argmin, so no distinct() pass.
+    val e = edges.select(col("src").cast(LongType).as("src"),
+      col("dst").cast(LongType).as("dst"))
+    var pos = walks.toDF("walk_id", "seed")
+      .select(col("walk_id"), col("seed"), lit(0).as("step"), col("seed").as("vertex"))
+    val frames = scala.collection.mutable.Buffer(pos)
+    for (step <- 1 to len) {
+      val h = (col("vertex") * 1000003L + col("dst") * 7919L
+        + lit(step.toLong) * 104729L + col("walk_id") * 31L) % 999983L
+      pos = pos.join(e, col("vertex") === col("src"))
+        .groupBy(col("walk_id"), col("seed"))
+        .agg(min(struct(h.as("h"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("seed"), lit(step).as("step"),
+          col("m.dst").as("vertex"))
+        .localCheckpoint()
+      frames += pos
+    }
+    frames.reduce(_ unionAll _)
+  }
 }

@@ -242,6 +242,53 @@ object GraphQueries {
        |SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""".stripMargin
   }
 
+  /** Deterministic seeded random walks on the hash graph: 2 walks of
+    * length 4 from each of the 4 lowest-id vertices — the
+    * DeepWalk/node2vec sampling primitive (see
+    * [[GraphOps.randomWalks]]). Oracle = unrolled per-step CTEs with
+    * the identical integer hash and (hash, dst) tie-break, so every
+    * hop is engine-exact.
+    */
+  val WalkLen = 4
+  val WalkSeeds = 4
+  val WalksPerSeed = 2
+
+  def graphRandomWalk(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.hashEdges(spark, dir, 2048).localCheckpoint()
+    val seeds = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().orderBy("v").limit(WalkSeeds)
+      .collect().map(_.getLong(0)).toSeq
+    val walks = for {
+      (s, i) <- seeds.zipWithIndex
+      r <- 0 until WalksPerSeed
+    } yield (i.toLong * WalksPerSeed + r, s)
+    GraphOps.randomWalks(e, walks, WalkLen).orderBy("walk_id", "step")
+  }
+
+  val graphRandomWalkSql: String = {
+    def step(i: Int): String =
+      s"""s$i AS (
+         |  SELECT walk_id, seed, $i AS step, dst AS vertex FROM (
+         |    SELECT p.walk_id, p.seed, he.dst,
+         |      ROW_NUMBER() OVER (PARTITION BY p.walk_id
+         |        ORDER BY (p.vertex*1000003 + he.dst*7919 + $i*104729 + p.walk_id*31) % 999983,
+         |          he.dst) AS rn
+         |    FROM s${i - 1} p JOIN he ON he.src = p.vertex)
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to WalkLen).map(step).mkString(",\n")
+    val unions = (0 to WalkLen).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH ${DerivedGraphs.hashEdgesSql(2048)},
+       |verts AS (SELECT src AS v FROM he UNION SELECT dst FROM he),
+       |seeds AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS si
+       |          FROM (SELECT v FROM verts ORDER BY v LIMIT $WalkSeeds)),
+       |walks AS (SELECT si * $WalksPerSeed + r AS walk_id, v AS seed
+       |          FROM seeds CROSS JOIN (VALUES (0), (1)) t(r)),
+       |s0 AS (SELECT walk_id, seed, 0 AS step, seed AS vertex FROM walks),
+       |$steps
+       |SELECT walk_id, seed, step, vertex FROM ($unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** k-core membership (k=3) on the nation graph. The engine iterates
     * to fixpoint; the oracle unrolls 6 prune rounds — measured
     * convergence is 2 rounds at every shipped SF, so both reach the
@@ -521,6 +568,7 @@ object GraphQueries {
     Op("graph_cc_large", graphCcLarge, None),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     Op("graph_ppr", graphPpr, Some(graphPprSql)),
+    Op("graph_random_walk", graphRandomWalk, Some(graphRandomWalkSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),

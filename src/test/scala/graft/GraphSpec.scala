@@ -199,4 +199,24 @@ class GraphSpec extends SparkSpec {
     assert(dist.view.mapValues(v => math.rint(v * 1e6)).toMap ===
       pr.view.mapValues(v => math.rint(v * 1e6)).toMap)
   }
+
+  test("randomWalks: walks follow edges, diverge by walk_id, stop at dead ends") {
+    // 1→{2,3}, 2→{1,3}, 3→1 plus an isolated dead-end chain 7→8
+    val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 7L -> 8L)
+    val walks = Seq((0L, 1L), (1L, 1L), (2L, 7L))
+    val out = GraphOps.randomWalks(e, walks, len = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    val adj = Map(1L -> Set(2L, 3L), 2L -> Set(1L, 3L), 3L -> Set(1L), 7L -> Set(8L))
+    // every hop follows an edge
+    for (((w, s), v) <- out if s > 0) assert(adj(out((w, s - 1))).contains(v))
+    // both walks from seed 1 run the full length and start at the seed
+    assert(out((0L, 0)) === 1L && out((1L, 0)) === 1L)
+    assert(out.contains((0L, 4)) && out.contains((1L, 4)))
+    // the dead-end walk stops after 8 (8 has no out-edges)
+    assert(out((2L, 1)) === 8L && !out.contains((2L, 2)))
+    // determinism: a second run is identical
+    val again = GraphOps.randomWalks(e, walks, len = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(again === out)
+  }
 }

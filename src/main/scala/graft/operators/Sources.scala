@@ -132,9 +132,43 @@ object Sources {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
+  /** Partition-pruned (hive-layout) scan — the other half of the
+    * layout story next to bucketing: orders written
+    * `partitionBy(o_year)`, then read with a year predicate. The
+    * filter resolves against directory names, so non-matching years
+    * are never listed, opened, or scanned (`PartitionFilters` in the
+    * scan node — the spec pins it); at 100 TB partitioning on the
+    * dominant filter column is the difference between scanning one
+    * year and scanning all of them. The oracle runs the same
+    * aggregation + predicate over the unpartitioned original, so any
+    * row lost or duplicated by the layout round-trip hash-fails.
+    */
+  val PartYear = 1997
+
+  def partitionedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${scratch("partitioned")}/orders"
+    Tables.orders(spark, dir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .where(col("o_year") === PartYear)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("status")
+  }
+
+  val partitionedScanSql: String = s"""
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders WHERE EXTRACT(year FROM o_orderdate) = $PartYear
+    GROUP BY 1 ORDER BY 1"""
+
   def ops: Seq[Op] = Seq(
     Op("source_jsonl", sourceJsonl, Some(summarizeSql)),
     Op("source_csv", sourceCsv, Some(summarizeSql)),
     Op("source_bucketed", bucketedJoin, Some(bucketedJoinSql)),
+    Op("source_partitioned", partitionedScan, Some(partitionedScanSql)),
   )
 }

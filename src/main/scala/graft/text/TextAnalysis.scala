@@ -665,6 +665,41 @@ object TextAnalysis {
     ORDER BY d.doc_id"""
   }
 
+  /** Compression-ratio quality signal (the zlib filter from the Gopher
+    * / MassiveText cleaning recipe): highly repetitive or
+    * boilerplate text compresses far below natural prose, so
+    * deflate(text).length / text.length is a cheap one-pass quality
+    * feature. Computed in a typed mapPartitions with one reused
+    * Deflater per partition (JIT'd, zero shuffle until the final
+    * sort — embarrassingly parallel over document splits at 100 TB).
+    * rows-only in the gate: the exact deflate byte count is a zlib
+    * implementation detail, so the spec pins the invariants (ordering
+    * of repetitive vs diverse text, determinism, bounds) instead of
+    * an oracle.
+    */
+  def compressionRatios(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          (id, raw.length.toLong, n,
+            if (raw.length == 0) 1.0 else math.rint(n.toDouble / raw.length * 1e6) / 1e6)
+        }
+      }.toDF("doc_id", "raw_len", "comp_len", "comp_ratio")
+      .orderBy("doc_id")
+  }
+
+  def textCompressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressionRatios(Tables.documents(spark, dir))
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -679,5 +714,6 @@ object TextAnalysis {
     Op("text_pii_scrub", textPiiScrub, Some(textPiiScrubSql)),
     Op("text_substr_dups", textSubstrDups, None),
     Op("text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
+    Op("text_compress_ratio", textCompressRatio, None),
   )
 }

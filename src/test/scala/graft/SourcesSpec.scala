@@ -77,4 +77,19 @@ class SourcesSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byStatus === direct)
   }
+
+  test("partitionedScan: the year predicate prunes partitions at the scan") {
+    val df = graft.operators.Sources.partitionedScan(spark, sfDir)
+    val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the filter must be a partition filter on the scan, not a data filter
+    val scan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("o_year"), s"expected o_year in PartitionFilters, got: $scan")
+    val direct = Tables.orders(spark, sfDir)
+      .where(year(col("o_orderdate")) === graft.operators.Sources.PartYear)
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === direct)
+  }
 }

@@ -87,6 +87,30 @@ class TextSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, 0)))
   }
 
+  test("textCompressRatio orders repetitive below diverse text, deterministic") {
+    val s = spark
+    import s.implicits._
+    val repetitive = Array.fill(200)("spam").mkString(" ")
+    val diverse = (1 to 200).map(i => s"w${i * 7919}x${i * 104729}").mkString(" ")
+    val docs = Seq(
+      (1L, repetitive, "en", "s", repetitive.length.toLong),
+      (2L, diverse, "en", "s", diverse.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = withFakeTable(docs)(d => TextAnalysis.textCompressRatio(spark, d))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 === repetitive.length.toLong)
+    assert(out(1L)._3 < 0.1)             // pure repetition crushes
+    assert(out(2L)._3 > out(1L)._3 * 3)  // diverse text compresses far less
+    out.values.foreach { case (raw, comp, r) =>
+      assert(comp > 0L && comp <= raw + 64)
+      assert(r > 0.0 && r === math.rint(comp.toDouble / raw * 1e6) / 1e6)
+    }
+    // corpus run is deterministic across invocations
+    val a = TextAnalysis.textCompressRatio(spark, sfDir).collect().toSeq
+    val b = TextAnalysis.textCompressRatio(spark, sfDir).collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
   /** Writes `docs` as a documents table in a temp sf dir and runs `f`. */
   private def withFakeTable(docs: org.apache.spark.sql.DataFrame)(
       f: String => org.apache.spark.sql.DataFrame): Array[org.apache.spark.sql.Row] = {

@@ -56,7 +56,23 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfDir"}"""
+    println(full)
+    // The harness captures only a bounded stdout tail (~2000 chars); at
+    // 101+ queries the full line overflows it and the LEADING keys
+    // ("metric"/"value") fall outside the capture window (BENCH_r06/r07
+    // had parsed:null for exactly this reason). Two defenses:
+    //  1. Persist the full JSON to a file next to the build so per-query
+    //     timings are always recoverable regardless of stdout capture.
+    //  2. Print a tiny self-contained headline line LAST — the tail keeps
+    //     the END of stdout, so this line always survives and parses even
+    //     when the big line is truncated mid-JSON.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // bench must not fail on an unwritable cwd
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -1,10 +1,42 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Benchmark entrypoint. Runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_REPEATS times (default 3), and
+  * reports the per-query MEDIAN (plus min) so a single contended run
+  * cannot breach the regression gate: round-8's 250 s total included
+  * 4-12x swings on queries whose code had not changed in rounds —
+  * pure container noise at SFs where per-query cost is dominated by
+  * fixed scheduler/codegen overhead (BASELINE.md).
+  *
+  * Output contract:
+  *  - stdout: ONE small self-contained headline JSON line (the
+  *    harness captures only a bounded stdout tail; the full per-query
+  *    map overflows it and truncates the leading keys — BENCH_r06/r07
+  *    had parsed:null for exactly that).
+  *  - BENCH_FULL.json: the full detail ("metric":"total_detail" so a
+  *    scanner that reads every JSON line never double-counts it as a
+  *    second "total"), with queries (=median), queries_min, and the
+  *    per-run totals.
+  */
 object Bench {
+  private def f2(v: Double): String = {
+    val s = "%.2f".format(v)
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n == 0) 0.0 else if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt.max(1)
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]"),
       shufflePartitions = cpus.toInt
@@ -16,13 +48,14 @@ object Bench {
     // parquet scan cost stays inside the measured queries.
     val warm = spark.range(1000000).selectExpr("id % 100 AS k", "id AS v")
     warm.groupBy("k").agg(sum("v")).join(warm.limit(50), "k").collect()
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // SPARK_GRAFT_ONLY (comma-separated prefixes): fast local iteration;
     // the driver leaves it unset (same contract as Verify).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
-      .map { case (name, fn) =>
+
+    def runSuite(): Seq[(String, Double)] = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Fingerprint action, not count(): hashing every column forces the
       // full projection to be computed (count() lets Catalyst prune
@@ -39,40 +72,37 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Timings rounded to 2 dp with trailing zeros stripped: ±10 ms
-    // precision is below run-to-run noise, and the compact line
-    // (~20 bytes/query) keeps the whole JSON inside the harness's
-    // bounded 2000-char stdout-tail capture — full nanosecond doubles
-    // pushed the line past it, truncating the leading fields
-    // ("metric"/"value") out of the capture window. "failed" is only
-    // emitted when non-empty for the same reason.
-    def f2(v: Double): String = {
-      val s = "%.2f".format(v)
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+
+    val runs: Seq[Seq[(String, Double)]] = (1 to repeats).map { i =>
+      val r = runSuite()
+      System.err.println(s"BENCH run $i/$repeats: total ${f2(r.map(_._2).sum)} s")
+      r
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f2(v) }
-      .mkString("{", ",", "}")
+    val byName: Map[String, Seq[Double]] =
+      runs.flatten.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val med = queries.map { case (name, _) => name -> median(byName(name)) }
+    val mins = queries.map { case (name, _) => name -> byName(name).min }
+    val total = med.map(_._2).sum
+
+    def qmap(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    val runTotals = runs.map(r => f2(r.map(_._2).sum)).mkString("[", ",", "]")
     val fs =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val full = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs$fs,"sf":"$sfDir"}"""
-    println(full)
-    // The harness captures only a bounded stdout tail (~2000 chars); at
-    // 101+ queries the full line overflows it and the LEADING keys
-    // ("metric"/"value") fall outside the capture window (BENCH_r06/r07
-    // had parsed:null for exactly this reason). Two defenses:
-    //  1. Persist the full JSON to a file next to the build so per-query
-    //     timings are always recoverable regardless of stdout capture.
-    //  2. Print a tiny self-contained headline line LAST — the tail keeps
-    //     the END of stdout, so this line always survives and parses even
-    //     when the big line is truncated mid-JSON.
+    val full =
+      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)}$fs,"sf":"$sfDir"}"""
+    // Full detail goes ONLY to the file: printing it to stdout risks a
+    // truncated half-JSON line in the bounded tail capture.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // bench must not fail on an unwritable cwd
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
+    } catch {
+      case NonFatal(e) => // bench must not fail on an unwritable cwd
+        System.err.println(s"BENCH: could not write BENCH_FULL.json: $e")
+    }
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"n_queries":${queries.size},"n_failed":${failed.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

@@ -155,6 +155,45 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bloom-filter membership probe with whole-stage-codegen support:
+  * `graft_might_contain(serialized_filter, key)`. The filter argument
+  * must be foldable (a binary literal of
+  * `org.apache.spark.util.sketch.BloomFilter.writeTo` bytes); it is
+  * deserialized once per JVM and installed as a codegen reference
+  * object, so the generated probe is a single virtual call inside the
+  * scan's WholeStageCodegen stage — unlike a Scala UDF probe, which
+  * forces a codegen break (ser/deser of every row) on the fact-side
+  * scan. This build's SQL surface registers no builtin
+  * `might_contain`, hence the custom expression (same extension point
+  * as `graft_dot`).
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_might_contain"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter = {
+    require(left.foldable, "graft_might_contain: filter argument must be foldable")
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    filter.mightContainLong(b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bf = ctx.addReferenceObj("graftBloom", filter,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, y) => s"${ev.value} = $bf.mightContainLong($y);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Register `graft_dot` / `graft_norm` — injected through
     * `SparkSessionExtensions` (the public extension API) by
@@ -179,5 +218,10 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         SortedIntersectCount(Cast(children(0), ArrayType(LongType)),
           Cast(children(1), ArrayType(LongType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomMightContain(children(0), Cast(children(1), LongType))))
   }
 }

@@ -508,9 +508,11 @@ object Relational {
     * this build does not register `bloom_filter_agg`/`might_contain`.
     * At 100 TB the win is shuffle volume: fact rows that cannot join
     * (here ~80 %) are dropped at the scan, for one broadcast of a
-    * ~1.2 MB bitset; the probe is a UDF by necessity (sketch
-    * membership has no builtin Column form) but evaluates after
-    * column pruning, so it scans two columns, not the row.
+    * ~1.2 MB bitset; the probe is the codegen'd
+    * [[graft.functions.BloomMightContain]] expression (the filter
+    * ships as a binary literal → codegen reference object), so the
+    * fact scan keeps one unbroken WholeStageCodegen stage — a Scala
+    * UDF here forced a codegen break on every scanned row.
     */
   def qBloomSemijoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.orders(spark, dir)
@@ -519,11 +521,10 @@ object Relational {
     // The dim build cost (one count + one agg over the small side) is
     // the inherent price of any runtime filter.
     val bf = dim.stat.bloomFilter("o_orderkey", math.max(dim.count(), 1L), 0.01)
-    val bcast = spark.sparkContext.broadcast(bf)
-    val probe = udf((k: Long) => bcast.value.mightContainLong(k))
+    val bytes = { val os = new java.io.ByteArrayOutputStream(); bf.writeTo(os); os.toByteArray }
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
-      .where(probe(col("l_orderkey")))
+      .where(call_function("graft_might_contain", lit(bytes), col("l_orderkey")))
       .join(dim, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n_items"),

@@ -305,27 +305,35 @@ object Ann {
     * exact rerank. Candidate generation is a bucket equi-join — no
     * all-pairs work.
     */
-  def lshTopK(emb: DataFrame, k: Int = K): DataFrame = {
+  /** (vec_id, tbl, key) hyperplane bucket keys — the candidate
+    * generator shared by [[lshTopK]] (few broadcast queries) and
+    * [[knnJoinLsh]] (full self-join, more bits per key).
+    */
+  private def lshKeyed(emb: DataFrame, tables: Int, bits: Int, seed: Long): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val nPlanes = LshTables * LshBits
-    val keyed = emb.select(col("vec_id").cast(LongType), col("embedding"))
+    val nPlanes = tables * bits
+    emb.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var pl: Array[Array[Double]] = null
         it.flatMap { case (id, v) =>
-          if (pl == null) pl = planes(v.length, nPlanes, seed = 13L)
-          (0 until LshTables).iterator.map { t =>
+          if (pl == null) pl = planes(v.length, nPlanes, seed)
+          (0 until tables).iterator.map { t =>
             var key = 0L
             var b = 0
-            while (b < LshBits) {
-              if (dot(pl(t * LshBits + b), v) > 0) key |= (1L << b)
+            while (b < bits) {
+              if (dot(pl(t * bits + b), v) > 0) key |= (1L << b)
               b += 1
             }
             (id, t, key)
           }
         }
       }.toDF("vec_id", "tbl", "key")
+  }
+
+  def lshTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val keyed = lshKeyed(emb, LshTables, LshBits, seed = 13L)
     val qKeys = keyed.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("tbl"), col("key"))
     val cand = keyed.join(broadcast(qKeys), Seq("tbl", "key"))
@@ -347,23 +355,72 @@ object Ann {
   /** k for the all-vectors k-NN join (kept small: output is n·k). */
   val KnnJoinK = 3
 
-  /** k-NN self-join: every vector's top-k cosine neighbors — the
-    * primitive under near-dup clustering and diversity sampling. The
-    * full vector set broadcasts into the same bounded per-partition
-    * heaps as [[bruteForceTopK]] (exact); that is the right shape up
-    * to broadcast-sized corpora, and the documented 100 TB path for
-    * larger ones is the LSH/IVF candidate join ([[lshTopK]]) — exact
-    * all-pairs k-NN at that scale is a deliberate non-goal.
+  /** Above this corpus row count [[knnJoin]] routes to the LSH
+    * candidate join instead of the exact broadcast path: 500k × 64-dim
+    * double vectors ≈ 280 MB pinned on the driver AND every executor —
+    * past that the collect+broadcast OOMs long before the O(n²) dot
+    * products get slow.
     */
-  def knnJoin(emb: DataFrame, k: Int = KnnJoinK): DataFrame = {
-    val all = emb.select("vec_id", "embedding").collect()
+  val KnnBroadcastMaxRows = 500000L
+
+  /** LSH tables for the kNN-join candidate generator; bits per key are
+    * sized from the corpus (see [[knnJoinLsh]]).
+    */
+  val KnnLshTables = 16
+
+  /** k-NN self-join: every vector's top-k cosine neighbors — the
+    * primitive under near-dup clustering and diversity sampling.
+    * Adaptive (same pattern as [[graft.graph.GraphOps.LocalEdgeThreshold]]):
+    * up to [[KnnBroadcastMaxRows]] the full vector set broadcasts into
+    * the same bounded per-partition heaps as [[bruteForceTopK]] —
+    * exact, and the gate corpus takes this path, so the DuckDB oracle
+    * stays hash-green; above it, [[knnJoinLsh]] generates candidates
+    * with a bucket self-join and reranks exactly (approximate recall,
+    * the only shape that survives 100 TB). AnnSpec pins the LSH path's
+    * recall against the exact path on the shipped corpus.
+    */
+  def knnJoin(emb: DataFrame, k: Int = KnnJoinK,
+      maxBroadcastRows: Long = KnnBroadcastMaxRows): DataFrame = {
+    val src = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .localCheckpoint() // counted, then re-read by whichever path wins
+    val n = src.count()
+    if (n > maxBroadcastRows) return knnJoinLsh(src, n, k)
+    val all = src.collect()
       .map { r =>
         val v = r.getSeq[Float](1).toArray
         var s = 0.0; var i = 0
         while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
         (r.getLong(0), v, math.sqrt(s))
       }.sortBy(_._1)
-    heapTopK(emb, all, k)
+    heapTopK(src, all, k)
+  }
+
+  /** Distributed kNN self-join: bucket self-join on hyperplane keys →
+    * exact cosine rerank → top-k. Bits per key scale with the corpus
+    * (`bits ≈ log2(n / 32)`, clamped to [4, 20]) so expected bucket
+    * population — and with it the candidate-join work, tables × Σ
+    * bucket² — stays ~constant per row as n grows; the few-query
+    * [[lshTopK]] keeps fewer bits because only query buckets are
+    * probed there. No driver state: keys, candidates, and rerank are
+    * all shuffle joins.
+    */
+  def knnJoinLsh(emb: DataFrame, n: Long, k: Int = KnnJoinK,
+      tables: Int = KnnLshTables): DataFrame = {
+    val bits = math.min(20, math.max(4,
+      (math.log(math.max(n, 2L).toDouble / 32.0) / math.log(2.0)).ceil.toInt))
+    val keyed = lshKeyed(emb, tables, bits, seed = 13L)
+    val cand = keyed
+      .join(keyed.select(col("vec_id").as("qid"), col("tbl"), col("key")), Seq("tbl", "key"))
+      .where(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id").distinct()
+    val vecs = withNorm(emb)
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs, "vec_id")
+      .withColumn("score",
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
+      .select("qid", "vec_id", "score")
+    globalTopK(scored, k)
   }
 
   def annKnnJoin(spark: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,28 @@ class AnnSpec extends SparkSpec {
     assert(top.last._2 === -1.0)
   }
 
+  test("knnJoin LSH scale path: high recall vs exact, scores exact (rerank)") {
+    val exact = Ann.knnJoin(emb)
+    // maxBroadcastRows = 0 forces the distributed LSH candidate path —
+    // the same pinning pattern as GraphSpec's maxLocalEdges = 0.
+    val lshDf = Ann.knnJoin(emb, maxBroadcastRows = 0L)
+    val ex = neighborSets(exact)
+    val ap = neighborSets(lshDf)
+    val recalls = ex.map { case (q, s) =>
+      ap.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean kNN-join LSH recall ${recalls.sum / recalls.size}")
+    // the rerank is exact: every returned (qid, vec_id) carries the
+    // true rounded cosine the exact path computes
+    val n = emb.count().toInt
+    val bfScores = Ann.knnJoin(emb, k = n).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lshDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
   test("rangeSearch returns exactly the brute-force pairs at/above tau") {
     val emb = Tables.embeddings(spark, sfDir)
     val tau = Ann.RangeTau

@@ -68,6 +68,25 @@ class RelationalSpec extends SparkSpec {
           .cast("double").as("revenue"))
       .orderBy("status")
     assert(rowsOf(operators.Relational.qBloomSemijoin(spark, sfDir)) === rowsOf(direct))
+    // the probe is a native codegen expression, not a UDF: it must sit
+    // inside a WholeStageCodegen stage ("*(n) Filter ...") with no
+    // ScalaUDF codegen break on the fact scan
+    val qe = operators.Relational.qBloomSemijoin(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("graft_might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
+    // the generated code of the scan stage contains the probe call —
+    // i.e. it compiled INTO WholeStageCodegen rather than breaking it
+    // (AQE wraps the plan pre-execution and reports 0 subtrees, so
+    // turn it off for this one plan-shape assertion)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val codegen = operators.Relational.qBloomSemijoin(spark, sfDir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+      assert(codegen.contains("mightContainLong"),
+        "bloom probe missing from WholeStageCodegen generated code")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("q17_small_qty agrees with a direct recomputation") {

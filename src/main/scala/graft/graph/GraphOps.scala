@@ -218,6 +218,21 @@ object GraphOps {
     order.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("pos", "vertex")
   }
 
+  /** Terminal ("leaf") vertices of a traversal from `source` — the
+    * race-independent core of the reference DFS's output
+    * (dfs_bfs.h:70-77: the reference returns vertices that spawned no
+    * child threads, i.e. the last vertex on each thread's path; WHICH
+    * already-visited-neighbor vertices qualify is thread-race
+    * dependent, but a reachable vertex with no out-neighbors always
+    * does). Deterministic contract: reachable ∧ out-degree 0. One
+    * frontier reach + one anti-join against the distinct src set.
+    */
+  def dfsLeaves(edges: DataFrame, source: DataFrame): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint()
+    reach(e, source)
+      .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
+  }
+
   /** Per-vertex in/out/total degree — one shuffle via tagged union. */
   def degrees(edges: DataFrame): DataFrame =
     canonEdges(edges)
@@ -526,13 +541,29 @@ object GraphOps {
 
   /** Strongly connected components of the DIRECTED graph:
     * (vertex, scc) with scc = min vertex id of the component.
-    * Distributed path: min-label forward/backward propagation peeling
-    * (Hong/Slota FW-BW coloring) — per round, propagate the minimum
-    * reaching id along forward and along backward edges to fixpoint;
-    * vertices whose two labels agree form the SCC of that label and
-    * peel off. Sub-threshold graphs run Kosaraju on the driver.
+    *
+    * Distributed path: FW-BW min-label coloring with CLASS REFINEMENT
+    * (Orzan 2004 / Hong-Slota): per round, propagate the minimum id
+    * forward and backward to fixpoint *within each class*; vertices
+    * whose two labels agree form the SCC of that label and peel off,
+    * and every remaining (fwd, bwd) label pair becomes its own class
+    * for the next round — label pairs cannot collide across classes
+    * (labels are vertex ids of the class itself), so refinement is
+    * exact. The refinement is the fix for the naive peel's worst case:
+    * a chain of K small SCCs with ascending ids peels ONE component
+    * per round naively (fwd = global min everywhere), but refines into
+    * K singleton-class SCCs in one round here — the planted
+    * chain-of-cycles spec pins this. Sub-threshold graphs run Kosaraju
+    * on the driver.
+    *
+    * `maxRounds` bounds the refinement generations; a remainder that
+    * resists that many refinements (each round strictly refines, so
+    * this needs an adversarial nesting ≥ maxRounds deep) falls back to
+    * driver Kosaraju, guarded by [[LocalEdgeThreshold]] — past both,
+    * the op fails loudly rather than grinding.
     */
-  def scc(edges: DataFrame, maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+  def scc(edges: DataFrame, maxLocalEdges: Long = LocalEdgeThreshold,
+      maxRounds: Int = 64): DataFrame = {
     val ce = canonEdges(edges).where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
     val verts = ce.select(col("src").as("v")).unionAll(ce.select(col("dst").as("v")))
@@ -557,23 +588,44 @@ object GraphOps {
     }
 
     val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var vs = verts
+    // class of v = (cf, cb), refined each round; one initial class
+    var cls = verts.select(col("v"), lit(0L).as("cf"), lit(0L).as("cb"))
     var e = ce
-    var remaining = vs.count()
-    while (remaining > 0) {
-      val fwd = minReach(e, vs, "src", "dst")
-      val bwd = minReach(e, vs, "dst", "src")
-      val assigned = fwd.join(bwd.withColumnRenamed("lab", "blab"), "v")
-        .where(col("lab") === col("blab"))
+    var remaining = verts.count()
+    var rounds = 0
+    while (remaining > 0 && rounds < maxRounds) {
+      rounds += 1
+      // restrict edges to within-class: labels must not cross class
+      // borders. New classes refine old ones, so the restricted edge
+      // set from the previous round can be reused as the input here.
+      val eC = e
+        .join(cls.select(col("v").as("src"), col("cf").as("f1"), col("cb").as("b1")), "src")
+        .join(cls.select(col("v").as("dst"), col("cf").as("f2"), col("cb").as("b2")), "dst")
+        .where(col("f1") === col("f2") && col("b1") === col("b2"))
+        .select("src", "dst").localCheckpoint()
+      val vs = cls.select("v")
+      val fwd = minReach(eC, vs, "src", "dst")
+      val bwd = minReach(eC, vs, "dst", "src")
+      val both = fwd.join(bwd.withColumnRenamed("lab", "blab"), "v").localCheckpoint()
+      out += both.where(col("lab") === col("blab"))
         .select(col("v").as("vertex"), col("lab").as("scc"))
+      cls = both.where(col("lab") =!= col("blab"))
+        .select(col("v"), col("lab").as("cf"), col("blab").as("cb"))
         .localCheckpoint()
-      out += assigned
-      vs = vs.join(assigned.select(col("vertex").as("v")), Seq("v"), "left_anti")
+      remaining = cls.count()
+      e = eC
+    }
+    if (remaining > 0) {
+      // adversarial-depth fallback: the remainder is a strict
+      // refinement maxRounds deep — run it on the driver if it fits
+      val remEdges = e
+        .join(cls.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(cls.select(col("v").as("dst")), Seq("dst"), "left_semi")
         .localCheckpoint()
-      e = e.join(vs.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(vs.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .localCheckpoint()
-      remaining = vs.count()
+      require(remEdges.count() <= maxLocalEdges,
+        s"scc: $remaining vertices unresolved after $maxRounds refinement rounds " +
+          "and the remainder exceeds the driver fallback threshold")
+      out += localScc(edges.sparkSession, remEdges, cls.select(col("v")))
     }
     out.reduce(_ unionAll _)
   }
@@ -625,6 +677,190 @@ object GraphOps {
       }
     }
     vs.map(v => (v, comp.get(v))).toSeq.toDF("vertex", "scc")
+  }
+
+  /** Vertex count above which all-sources exact BFS (closeness /
+    * eccentricity) refuses to run: the tagged frontier is
+    * O(V · reachable-set) state — inherently quadratic. Above this,
+    * [[closeness]]/[[eccentricity]] switch to [[hyperBall]] sketches
+    * (O(diameter) rounds of O(V · 2^p) state).
+    */
+  val ExactAllSourcesVerts: Long = 10000L
+
+  /** splitmix64 — pure-arithmetic 64-bit mix, identical on every JVM
+    * and executor (the determinism contract of all graft hashing).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** HyperLogLog estimate with the standard small-range linear
+    * counting correction (Flajolet et al. 2007). Registers only grow,
+    * and callers clamp to the previous estimate, so the per-vertex
+    * series is monotone.
+    */
+  private def hllEstimate(regs: Array[Byte]): Double = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = alpha * m * m / sum
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
+  /** HyperBall (Boldi, Rosa & Vigna, "HyperANF: approximating the
+    * neighbourhood function of very large graphs on a budget", WWW
+    * 2011): per-vertex HLL sketches of the out-reachability ball,
+    * grown one hop per round — B(v,t) = B(v,t−1) ∪ ⋃_{v→u} B(u,t−1) —
+    * by element-wise register max. State is O(V · 2^p) bytes and the
+    * round count is the graph diameter, which is what makes
+    * closeness/eccentricity feasible at 100 TB where the exact
+    * all-sources BFS (O(V · reachable-set) frontier state) is not.
+    *
+    * Per round: one shuffle join (edges ⋈ sketches on dst) + one
+    * register-max reduce per src (`reduceGroups` — map-side partial
+    * merge) + one outer join back. Deterministic: splitmix64 hashing,
+    * no sampling.
+    *
+    * Returns (vertex, n_reached_est, sum_dist_est, ecc):
+    * `sum_dist_est` accumulates t · (|B_t| − |B_{t−1}|) (the
+    * closeness denominator), `ecc` is the last round v's ball grew.
+    */
+  def hyperBall(edges: DataFrame, p: Int = 10, maxIter: Int = 256): DataFrame = {
+    require(p >= 4 && p <= 16, s"hyperBall register exponent p=$p out of [4,16]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
+    var st = verts.as[Long].map { v =>
+      val regs = new Array[Byte](m)
+      val h = splitmix64(v)
+      val idx = (h & (m - 1)).toInt
+      // rank of the remaining bits, sentinel-bounded to ≤ 64−p+1
+      val w = (h >>> p) | (1L << (64 - p))
+      regs(idx) = (java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
+      (v, regs, hllEstimate(regs), 0.0, 0L)
+    }.toDF("v", "regs", "est", "sum", "ecc").localCheckpoint()
+    var t = 0
+    var active = 1L
+    while (active > 0 && t < maxIter) {
+      t += 1
+      val tt = t
+      // neighbor sketches arriving at src, reduced by register max
+      val msgs = e.join(st.select(col("v").as("dst"), col("regs")), "dst")
+        .select(col("src"), col("regs"))
+        .as[(Long, Array[Byte])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .reduceGroups { (a: Array[Byte], b: Array[Byte]) =>
+          val r = a.clone()
+          var i = 0
+          while (i < r.length) { if (b(i) > r(i)) r(i) = b(i); i += 1 }
+          r
+        }
+        .map { case (v, regs) => (v, regs) }
+        .toDF("mv", "mregs")
+      val next = st.join(msgs, col("v") === col("mv"), "left")
+        .select(col("v"), col("regs"), col("est"), col("sum"), col("ecc"), col("mregs"))
+        .as[(Long, Array[Byte], Double, Double, Long, Array[Byte])]
+        .map { case (v, regs, est, sum, ecc, mregs) =>
+          if (mregs == null) (v, regs, est, sum, ecc, false)
+          else {
+            var changed = false
+            val merged = regs.clone()
+            var i = 0
+            while (i < merged.length) {
+              if (mregs(i) > merged(i)) { merged(i) = mregs(i); changed = true }
+              i += 1
+            }
+            if (!changed) (v, regs, est, sum, ecc, false)
+            else {
+              // clamp: the LC→raw estimator handoff is not perfectly
+              // monotone even though registers are
+              val ne = math.max(hllEstimate(merged), est)
+              (v, merged, ne, sum + tt * (ne - est), tt.toLong, true)
+            }
+          }
+        }
+        .toDF("v", "regs", "est", "sum", "ecc", "changed")
+        .localCheckpoint()
+      active = next.where(col("changed")).count()
+      st = next.drop("changed")
+    }
+    e.unpersist()
+    st.select(col("v").as("vertex"), col("est").as("n_reached_est"),
+      col("sum").as("sum_dist_est"), col("ecc"))
+  }
+
+  /** All-sources exact BFS stats — every vertex a tag of one
+    * multi-source tagged BFS. O(V · reachable-set) frontier state:
+    * correct, and only sane sub-threshold (see [[ExactAllSourcesVerts]]).
+    */
+  private def allSourcesExact(edges: DataFrame): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint()
+    val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct()
+      .select(col("v").as("vertex"), col("v").as("tag"))
+    bfs(e, sources)
+      .groupBy(col("tag").as("vertex"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("level")).as("sum_dist"),
+        max(col("level")).cast("long").as("ecc"))
+  }
+
+  /** Out-closeness centrality, adaptive: exact all-sources BFS up to
+    * [[ExactAllSourcesVerts]] vertices (integer hop sums — the oracle
+    * path), HyperBall sketches above (same schema, estimated counts).
+    * (vertex, n_reached, closeness = (reached−1)/Σdist, 0 when nothing
+    * is reached.)
+    */
+  def closeness(edges: DataFrame, maxExactVerts: Long = ExactAllSourcesVerts): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint()
+    val nv = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().count()
+    if (nv <= maxExactVerts)
+      allSourcesExact(e)
+        .select(col("vertex"), col("n_reached"),
+          when(col("sum_dist") > 0,
+            round((col("n_reached") - 1) / col("sum_dist"), 6))
+            .otherwise(lit(0.0)).as("closeness"))
+    else
+      hyperBall(e)
+        .select(col("vertex"),
+          round(col("n_reached_est")).cast("long").as("n_reached"),
+          when(col("sum_dist_est") > 0,
+            round((col("n_reached_est") - 1) / col("sum_dist_est"), 6))
+            .otherwise(lit(0.0)).as("closeness"))
+  }
+
+  /** Out-eccentricity (+ reachable count), adaptive like [[closeness]]:
+    * exact sub-threshold, HyperBall sketch ecc (last round the ball
+    * grew) above. (vertex, n_reached, ecc.)
+    */
+  def eccentricity(edges: DataFrame, maxExactVerts: Long = ExactAllSourcesVerts): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint()
+    val nv = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().count()
+    if (nv <= maxExactVerts)
+      allSourcesExact(e).select(col("vertex"), col("n_reached"), col("ecc"))
+    else
+      hyperBall(e)
+        .select(col("vertex"),
+          round(col("n_reached_est")).cast("long").as("n_reached"), col("ecc"))
   }
 
   /** Synchronous label propagation (community detection), fully

@@ -125,6 +125,30 @@ object GraphQueries {
        |)
        |SELECT v AS vertex FROM r ORDER BY vertex""".stripMargin
 
+  /** Reference op 3 terminal-vertex variant (dfs_bfs.h:70-77): the
+    * reachable sinks from the source — see [[GraphOps.dfsLeaves]] for
+    * the determinism argument. Runs on the supply graph (bipartite
+    * customer→supplier: supplier vertices are genuine sinks at every
+    * scale factor, unlike the hash graph, whose sinks vanish once all
+    * residues appear).
+    */
+  def graphDfsLeaves(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.supplyEdges(spark, dir).localCheckpoint()
+    val src = e.agg(min(col("src")).as("vertex"))
+    GraphOps.dfsLeaves(e, src).orderBy("vertex")
+  }
+
+  val graphDfsLeavesSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.supplyEdgesSql},
+       |s0 AS (SELECT MIN(src) AS v FROM se),
+       |r AS (
+       |  SELECT v FROM s0
+       |  UNION
+       |  SELECT se.dst FROM r JOIN se ON se.src = r.v
+       |)
+       |SELECT v AS vertex FROM r
+       |WHERE v NOT IN (SELECT src FROM se) ORDER BY vertex""".stripMargin
+
   /** Reference op 3 (ordering parity): lexicographic DFS preorder,
     * driver-side on a small graph. rows-only in the driver gate.
     */
@@ -165,10 +189,26 @@ object GraphQueries {
        |SELECT start AS vertex, MIN(reach) AS component
        |FROM r GROUP BY start ORDER BY vertex""".stripMargin
 
-  /** CC at scale (supply graph) — rows-only; spec checks invariants. */
+  /** CC at scale (supply graph, ~1.6k vertices at sf0.01) — the same
+    * recursive-closure oracle as the nation graph; feasible because
+    * the giant component's closure is ~|V|² ≈ 2.6M rows in DuckDB.
+    */
   def graphCcLarge(spark: SparkSession, dir: String): DataFrame =
     GraphOps.connectedComponents(DerivedGraphs.supplyEdges(spark, dir))
       .orderBy("vertex")
+
+  val graphCcLargeSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.supplyEdgesSql},
+       |u AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+       |verts AS (SELECT src AS v FROM se UNION SELECT dst FROM se),
+       |r AS (
+       |  SELECT v AS start, v AS reach FROM verts
+       |  UNION
+       |  SELECT r.start, u.dst FROM r JOIN u ON u.src = r.reach
+       |)
+       |SELECT CAST(start AS BIGINT) AS vertex,
+       |  CAST(MIN(reach) AS BIGINT) AS component
+       |FROM r GROUP BY start ORDER BY vertex""".stripMargin
 
   /** Damped PageRank, 3 iterations, on the hash graph. */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
@@ -366,25 +406,16 @@ object GraphQueries {
        |FROM r a JOIN r b ON b.s = a.t AND b.t = a.s
        |GROUP BY a.s ORDER BY vertex""".stripMargin
 
-  /** Out-closeness centrality on the directed nation graph: every
-    * vertex is a tag of one multi-source tagged BFS, closeness =
-    * (reached−1)/Σdist (0 when nothing is reached). Exercises the
-    * all-sources traversal path; integer hop sums → engine-exact.
+  /** Out-closeness centrality on the directed nation graph —
+    * [[GraphOps.closeness]] is adaptive: the sub-threshold gate graph
+    * takes the exact all-sources BFS path (integer hop sums →
+    * engine-exact vs the oracle); past
+    * [[GraphOps.ExactAllSourcesVerts]] it switches to HyperBall
+    * sketches (GraphSpec pins sketch vs exact here).
     */
-  def graphCloseness(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.nationEdges(spark, dir).localCheckpoint()
-    val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
-      .distinct()
-      .select(col("v").as("vertex"), col("v").as("tag"))
-    GraphOps.bfs(e, sources)
-      .groupBy(col("tag").as("vertex"))
-      .agg(count(lit(1)).as("n_reached"), sum(col("level")).as("sum_dist"))
-      .select(col("vertex"), col("n_reached"),
-        when(col("sum_dist") > 0,
-          round((col("n_reached") - 1) / col("sum_dist"), 6))
-          .otherwise(lit(0.0)).as("closeness"))
+  def graphCloseness(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.closeness(DerivedGraphs.nationEdges(spark, dir))
       .orderBy("vertex")
-  }
 
   val graphClosenessSql: String =
     s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
@@ -402,20 +433,12 @@ object GraphQueries {
 
   /** Out-eccentricity on the directed nation graph (max hop distance
     * to any reachable vertex, with the reachable count) — the
-    * diameter/radius building block; same single multi-source tagged
-    * BFS as closeness, different final aggregate.
+    * diameter/radius building block; adaptive exact/HyperBall like
+    * closeness ([[GraphOps.eccentricity]]).
     */
-  def graphEccentricity(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.nationEdges(spark, dir).localCheckpoint()
-    val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
-      .distinct()
-      .select(col("v").as("vertex"), col("v").as("tag"))
-    GraphOps.bfs(e, sources)
-      .groupBy(col("tag").as("vertex"))
-      .agg(count(lit(1)).as("n_reached"),
-        max(col("level")).cast("long").as("ecc"))
+  def graphEccentricity(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.eccentricity(DerivedGraphs.nationEdges(spark, dir))
       .orderBy("vertex")
-  }
 
   val graphEccentricitySql: String =
     s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
@@ -562,10 +585,11 @@ object GraphQueries {
     Op("graph_bfs", graphBfs, Some(graphBfsSql)),
     Op("graph_bfs_deep", graphBfsDeep, Some(graphBfsDeepSql)),
     Op("graph_dfs_reach", graphDfsReach, Some(graphDfsReachSql)),
+    Op("graph_dfs_leaves", graphDfsLeaves, Some(graphDfsLeavesSql)),
     Op("graph_dfs_preorder", graphDfsPreorder, None),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_cc", graphCc, Some(graphCcSql)),
-    Op("graph_cc_large", graphCcLarge, None),
+    Op("graph_cc_large", graphCcLarge, Some(graphCcLargeSql)),
     Op("graph_pagerank", graphPagerank, Some(graphPagerankSql)),
     Op("graph_ppr", graphPpr, Some(graphPprSql)),
     Op("graph_random_walk", graphRandomWalk, Some(graphRandomWalkSql)),

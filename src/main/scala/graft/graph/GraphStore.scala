@@ -43,7 +43,10 @@ object GraphStore {
         load(spark, workDir, name).unionAll(
           newEdges.select(col("src").cast("long"), col("dst").cast("long"))).distinct()
       else newEdges
-    val staging = s"$target.staging"
+    // unique staging path per writer: two in-flight upserts must not
+    // overwrite each other's staging output — each stages privately,
+    // then the swaps serialize at the rename (last writer wins whole)
+    val staging = s"$target.staging-${java.util.UUID.randomUUID}"
     merged.select(col("src").cast("long"), col("dst").cast("long"))
       .write.mode(SaveMode.Overwrite).parquet(staging)
     fs.delete(new Path(target), true)

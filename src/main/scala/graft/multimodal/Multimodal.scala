@@ -300,12 +300,46 @@ object Multimodal {
   def mmPhash(spark: SparkSession, dir: String): DataFrame =
     phashSummary(Tables.documents(spark, dir))
 
+  /** The aHash is pure integer arithmetic over the payload bytes, so
+    * it IS SQL-expressible (ADVICE r8 asked for exactly this): block
+    * sums via cross-multiplied mean compare, bit_or of shifted bits
+    * (DuckDB's `1 << 63` overflows BIGINT — bit 63 is the min-Long
+    * literal spelled to stay in int64), n_near by brute-force Hamming
+    * self-join — the pigeonhole block join is exact to radius 3, so
+    * brute force is the same set. DuckDB's hex(BIGINT) matches
+    * Spark's (uppercase, trimmed, two's complement).
+    */
+  val mmPhashSql: String = s"""
+    WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents WHERE octet_length(encode(text)) >= 64),
+    b AS (SELECT doc_id, n, CAST((i * 64) // n AS INT) AS blk,
+            ascii(substring(text, CAST(i AS INT) + 1, 1)) AS v
+          FROM (SELECT doc_id, text, n, unnest(generate_series(0, n - 1)) AS i FROM d)),
+    blocks AS (SELECT doc_id, n, blk, SUM(v) AS s, COUNT(*) AS c
+               FROM b GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, SUM(v) AS t FROM b GROUP BY 1),
+    sigs AS (SELECT blocks.doc_id,
+               bit_or(CASE WHEN s * n > t.t * c THEN
+                 (CASE WHEN blk = 63 THEN (-9223372036854775807 - 1)
+                       ELSE (1::BIGINT << blk) END) ELSE 0 END) AS ph
+             FROM blocks JOIN tot t ON t.doc_id = blocks.doc_id
+             GROUP BY 1),
+    near AS (SELECT a.doc_id, COUNT(*) AS n_near
+             FROM sigs a JOIN sigs bb ON a.doc_id != bb.doc_id
+               AND bit_count(xor(a.ph, bb.ph)) <= $PhashMaxHamming
+             GROUP BY 1)
+    SELECT s.doc_id, hex(s.ph) AS phash_hex,
+      CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near
+    FROM sigs s LEFT JOIN near n ON n.doc_id = s.doc_id
+    ORDER BY s.doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
-    Op("mm_phash", mmPhash, None),
+    Op("mm_phash", mmPhash, Some(mmPhashSql)),
   )
 }

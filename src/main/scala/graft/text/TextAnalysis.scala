@@ -276,6 +276,45 @@ object TextAnalysis {
   def textWinnow(spark: SparkSession, dir: String): DataFrame =
     winnowFingerprints(Tables.documents(spark, dir))
 
+  /** Shared winnowing CTE for the DuckDB oracles (ADVICE r8: the
+    * rolling hash is an integer polynomial, so it IS SQL-expressible).
+    * The JVM's wrap-around Long arithmetic is reproduced in HUGEINT:
+    * hash = Σ byte·257^(k−1−j) mod 2^64, re-signed. The winnow pick
+    * (rightmost minimum of each w-window) is a ROW_NUMBER over
+    * (hash ASC, pos DESC); selected positions are non-decreasing as
+    * the window slides, so the Scala path's consecutive-position
+    * dedupe equals a global DISTINCT.
+    */
+  private def winnowCteSql(k: Int = WinnowK, w: Int = WinnowW): String = {
+    val pows = Array.iterate(1L, k)(_ * HashBase) // 257^0 .. 257^(k-1)
+    val terms = (0 until k).map { j =>
+      s"ascii(substring(text, CAST(i AS INT) + $j + 1, 1))::HUGEINT * ${pows(k - 1 - j)}::HUGEINT"
+    }.mkString(" + ")
+    s"""d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+       |         CAST(octet_length(encode(text)) AS BIGINT) - $k + 1 AS n
+       |       FROM documents WHERE octet_length(encode(text)) >= $k),
+       |hs AS (SELECT doc_id, n, i,
+       |         (CASE WHEN m >= 9223372036854775808::HUGEINT
+       |               THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS h
+       |       FROM (SELECT doc_id, n, i,
+       |               ($terms) % 18446744073709551616::HUGEINT AS m
+       |             FROM (SELECT doc_id, text, n,
+       |                     unnest(generate_series(0, n - 1)) AS i FROM d))),
+       |win AS (SELECT doc_id, s FROM (SELECT doc_id, n,
+       |          unnest(generate_series(0, greatest(n - $w, 0))) AS s FROM d)),
+       |cand AS (SELECT w.doc_id, w.s, h.i, h.h,
+       |           ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.s
+       |             ORDER BY h.h ASC, h.i DESC) AS rn
+       |         FROM win w JOIN hs h ON h.doc_id = w.doc_id
+       |           AND h.i BETWEEN w.s AND w.s + ${w - 1}),
+       |fps AS (SELECT DISTINCT doc_id, i, h AS fp FROM cand WHERE rn = 1)""".stripMargin
+  }
+
+  val textWinnowSql: String =
+    s"""WITH ${winnowCteSql()}
+       |SELECT doc_id, CAST(i AS BIGINT) AS pos, fp
+       |FROM fps ORDER BY doc_id, pos""".stripMargin
+
   /** Top distinctive shingles per language by tf-idf (tf = occurrences
     * within the language, df = documents containing the shingle,
     * idf = ln(n_docs/df)). Token-level tf-idf is degenerate on this
@@ -447,6 +486,18 @@ object TextAnalysis {
 
   def textSubstrDups(spark: SparkSession, dir: String): DataFrame =
     substrDupPairs(Tables.documents(spark, dir))
+
+  val textSubstrDupsSql: String =
+    s"""WITH ${winnowCteSql()},
+       |rare AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+       |         GROUP BY fp HAVING COUNT(*) <= $SubstrMaxDf),
+       |keyed AS (SELECT DISTINCT doc_id, fps.fp
+       |          FROM fps JOIN rare ON rare.fp = fps.fp)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM keyed a JOIN keyed b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $SubstrMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Vocabulary size for [[textVocab]]. */
   val VocabTopK = 50
@@ -704,7 +755,7 @@ object TextAnalysis {
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)),
-    Op("text_winnow", textWinnow, None),
+    Op("text_winnow", textWinnow, Some(textWinnowSql)),
     Op("text_langid", textLangid, Some(textLangidSql)),
     Op("text_tfidf", textTfidf, Some(textTfidfSql)),
     Op("text_ngrams", textNgrams, Some(textNgramsSql)),
@@ -712,7 +763,7 @@ object TextAnalysis {
     Op("text_vocab", textVocab, Some(textVocabSql)),
     Op("text_repetition", textRepetition, Some(textRepetitionSql)),
     Op("text_pii_scrub", textPiiScrub, Some(textPiiScrubSql)),
-    Op("text_substr_dups", textSubstrDups, None),
+    Op("text_substr_dups", textSubstrDups, Some(textSubstrDupsSql)),
     Op("text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Op("text_compress_ratio", textCompressRatio, None),
   )

@@ -39,6 +39,19 @@ class GraphSpec extends SparkSpec {
     assert(order === Seq(1L, 2L, 3L, 5L, 6L))
   }
 
+  test("dfsLeaves returns exactly the reachable sinks") {
+    val s = spark
+    import s.implicits._
+    // 1 → {2,3}, 2 → 4, 3 → 4; sinks 4 and (unreachable) 9 ← 8
+    val e = edgeDf((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (8L, 9L))
+    val leaves = GraphOps.dfsLeaves(e, Seq(1L).toDF("vertex"))
+      .collect().map(_.getLong(0)).toSet
+    assert(leaves === Set(4L)) // 9 is a sink but not reachable from 1
+    // a cycle has no sinks
+    val ring = edgeDf((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(GraphOps.dfsLeaves(ring, Seq(1L).toDF("vertex")).count() === 0L)
+  }
+
   test("bfs levels are min-hop distances") {
     // 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3.
     val e = edgeDf((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
@@ -175,6 +188,75 @@ class GraphSpec extends SparkSpec {
     val dist = GraphOps.scc(e, maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === local)
+  }
+
+  test("scc class refinement: chain of cycles resolves in 2 rounds (naive peel needs K)") {
+    // Six 3-cycles chained one-way with ascending ids: the naive
+    // min-label peel assigns ONE cycle per FW-BW generation (fwd = 1
+    // everywhere); class refinement splits all six cycles apart after
+    // round 1 — maxRounds = 3 proves the bound (and the fallback never
+    // fires: output must still be exact).
+    val cycles = (0 until 6).flatMap { i =>
+      val b = i * 3 + 1L
+      Seq((b, b + 1), (b + 1, b + 2), (b + 2, b)) ++
+        (if (i < 5) Seq((b + 2, b + 3)) else Nil)
+    }
+    val e = edgeDf(cycles: _*)
+    val local = GraphOps.scc(e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0 until 6).flatMap { i =>
+      val b = i * 3 + 1L
+      Seq(b -> b, (b + 1) -> b, (b + 2) -> b)
+    }.toMap
+    assert(local === expected)
+    val dist = GraphOps.scc(e, maxLocalEdges = 0L, maxRounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+  }
+
+  test("hyperBall closeness/eccentricity track the exact all-sources path") {
+    // nation graph at sf0.001: 25 vertices — the exact path is the
+    // oracle; forcing maxExactVerts = 0 pins the HyperBall sketch
+    // against it (deterministic hashing → stable assertions)
+    val e = DerivedGraphs.nationEdges(spark, sfDir)
+    val exactC = GraphOps.closeness(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val skC = GraphOps.closeness(e, maxExactVerts = 0L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(skC.keySet === exactC.keySet)
+    exactC.foreach { case (v, (n, c)) =>
+      val (ns, cs) = skC(v)
+      assert(math.abs(ns - n) <= math.max(1.0, 0.1 * n),
+        s"vertex $v n_reached sketch $ns vs exact $n")
+      assert(math.abs(cs - c) <= math.max(0.02, 0.15 * c),
+        s"vertex $v closeness sketch $cs vs exact $c")
+    }
+    val exactE = GraphOps.eccentricity(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val skE = GraphOps.eccentricity(e, maxExactVerts = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    exactE.foreach { case (v, ecc) =>
+      assert(math.abs(skE(v) - ecc) <= 1L, s"vertex $v ecc sketch ${skE(v)} vs exact $ecc")
+    }
+  }
+
+  test("GraphStore upserts: sequenced writers union, readers see whole snapshots") {
+    // Reference contract (primary_server.c:62-107): writers are
+    // sequenced (writers-preference); re-expressed as snapshot-replace
+    // where each upsert merges the LATEST committed snapshot.
+    val dir = Files.createTempDirectory("graft-store").toString
+    GraphStore.save(spark, dir, "g", edgeDf((1L, 2L)))
+    GraphStore.upsert(spark, dir, "g", edgeDf((3L, 4L)))
+    // a reader between the two commits sees the full first merge
+    val mid = GraphStore.load(spark, dir, "g").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mid === Set((1L, 2L), (3L, 4L)))
+    // second writer merges on top of the first writer's commit (its
+    // snapshot read happens after the swap), and duplicates dedupe
+    GraphStore.upsert(spark, dir, "g", edgeDf((5L, 6L), (3L, 4L)))
+    val fin = GraphStore.load(spark, dir, "g").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin === Set((1L, 2L), (3L, 4L), (5L, 6L)))
+    assert(GraphStore.load(spark, dir, "g").count() === 3L) // no dup rows
   }
 
   test("ppr: mass concentrates at seeds, fades with distance; paths agree") {

@@ -383,6 +383,49 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(spark, dir))
 
+  /** SimHash IS SQL-expressible — every step is integer arithmetic:
+    * FNV-1a per word reproduced with `list_reduce` in HUGEINT mod-2^64
+    * (re-signed through BIGINT for the xor), the positional gram
+    * polynomial unrolled over [[NgramN]] word hashes, and the 64
+    * sign-of-weighted-bit-sum terms generated as one SELECT. Pairing
+    * is brute-force Hamming ≤ 3 — the engine's 4×16 pigeonhole block
+    * join is exact to radius 3, so the sets coincide.
+    */
+  val dedupSimhashSql: String = {
+    val U = "18446744073709551616::HUGEINT" // 2^64
+    val H = "9223372036854775808::HUGEINT" // 2^63
+    val P = "1099511628211::HUGEINT" // 0x100000001b3
+    val Off = "14695981039346656037::HUGEINT" // 0xcbf29ce484222325 unsigned
+    val fnv = s"list_reduce(list_prepend($Off, list_transform(split(w, ''), " +
+      s"c -> ascii(c)::HUGEINT)), " +
+      s"(h, b) -> ((xor((CASE WHEN h >= $H THEN h - $U ELSE h END)::BIGINT, " +
+      s"b::BIGINT)::HUGEINT + $U) % $U * $P) % $U)"
+    val gram = (1 to NgramN).foldLeft(Off) { (acc, j) =>
+      s"(($acc * $P + whs[CAST(i AS INT) + $j]) % $U)"
+    }
+    val terms = (0 until 64).map { j =>
+      val bit = if (j == 63) "(-9223372036854775807 - 1)" else s"(1::BIGINT << $j)"
+      s"(CASE WHEN 2 * SUM(wt * ((g >> $j) & 1)) - SUM(wt) > 0 THEN $bit ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |             string_split(text, ' ') AS ws FROM documents),
+       |wh AS (SELECT doc_id, list_transform(ws, w -> $fnv) AS whs
+       |       FROM d WHERE len(ws) >= $NgramN),
+       |grams AS (SELECT doc_id,
+       |            (CASE WHEN m >= $H THEN m - $U ELSE m END)::BIGINT AS g
+       |          FROM (SELECT doc_id, $gram AS m
+       |                FROM (SELECT doc_id, whs,
+       |                        unnest(generate_series(0, len(whs) - $NgramN)) AS i
+       |                      FROM wh))),
+       |freq AS (SELECT doc_id, g, COUNT(*)::BIGINT AS wt FROM grams GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, $terms AS sim FROM freq GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= $SimhashMaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Embedding near-dup summary: for each vector, how many lower-id
     * vectors sit within cosine ≥ τ (0 ⇒ the vector survives dedup).
     * Candidates come from 8×8-bit random-hyperplane LSH blocks (see
@@ -864,7 +907,7 @@ object Dedup {
     Op("dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     Op("dedup_ngram_jaccard", dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     Op("dedup_minhash_lsh", dedupMinhashLsh, Some(dedupNgramJaccardSql)),
-    Op("dedup_simhash", dedupSimhash, None),
+    Op("dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     Op("dedup_containment", dedupContainment, Some(dedupContainmentSql)),
     Op("dedup_cluster", dedupCluster, Some(dedupClusterSql)),
     Op("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),

@@ -242,8 +242,8 @@ object Multimodal {
     * land within a small Hamming distance where exact-hash mm_dedup
     * sees two unrelated payloads. Pairing reuses the dedup engine's
     * pigeonhole block join ([[graft.dedup.Dedup.hammingBlockPairs]])
-    * — 4 bucket equi-joins, never all-pairs. rows-only (the hash is
-    * engine-internal); spec plants a byte-tweaked copy.
+    * — 4 bucket equi-joins, never all-pairs. Oracle-checked (integer
+    * aHash in SQL below); spec plants a byte-tweaked copy.
     */
   def phashPairs(docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame =
     graft.dedup.Dedup.hammingBlockPairs(phashSigs(docs), "ph", maxHamming)
@@ -281,7 +281,7 @@ object Multimodal {
 
   /** Gate view of the perceptual hash: one row per (≥64-byte) payload
     * with its 64-bit signature and the count of Hamming-≤3 neighbors
-    * — per-doc rather than pairs-only so the rows-only gate entry is
+    * — per-doc rather than pairs-only so the gate entry is
     * non-vacuous on a corpus with no planted near-identical media
     * (the shipped one); the spec covers the pairing itself.
     */

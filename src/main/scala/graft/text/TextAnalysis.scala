@@ -222,7 +222,7 @@ object TextAnalysis {
     * of length ≥ W + K - 1 between two documents yields a shared
     * fingerprint — the local, position-robust document fingerprint
     * that md5 content hashing can't give. Pure JIT'd flatMap; output
-    * is engine-specific (rows-only in the gate, spec pins the
+    * is oracle-checked (HUGEINT mod-2^64 SQL twin below; spec pins the
     * guarantee and exact values).
     */
   val WinnowK = 8
@@ -465,8 +465,8 @@ object TextAnalysis {
     * inverted-index self-join runs over RARE fingerprints only
     * (df ≤ [[SubstrMaxDf]]): common-phrase fingerprints are noise for
     * copy detection AND the quadratic hazard, so one df aggregate
-    * prunes both at once. rows-only (the rolling hash is
-    * engine-internal); the spec plants a copied passage.
+    * prunes both at once. Oracle-checked via the shared winnow
+    * CTE; the spec plants a copied passage.
     */
   def substrDupPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
       maxDf: Int = SubstrMaxDf, minShared: Int = SubstrMinShared): DataFrame = {

@@ -352,6 +352,56 @@ object Ann {
   def annLsh(spark: SparkSession, dir: String): DataFrame =
     lshTopK(Tables.embeddings(spark, dir))
 
+  /** Testdata embedding dimensionality — baked into the generated
+    * oracle SQL only (the operators stay dim-agnostic; the oracle runs
+    * exclusively against the shipped gate tables, which are 64-d).
+    */
+  private val OracleDim = 64
+
+  /** LSH oracle: the Gaussian hyperplane constants are rendered into
+    * the SQL verbatim from the same [[planes]] call the operator uses
+    * (java.util.Random is algorithm-specified and `Double.toString`
+    * round-trips), so DuckDB reproduces bucket keys, the candidate
+    * equi-join, and the exact rerank bit-for-bit. Sign tests are safe
+    * across engines: summation-order noise is ~1e-16 while |dot|
+    * effectively never lands that close to zero.
+    */
+  val annLshSql: String = {
+    val pls = planes(OracleDim, LshTables * LshBits, seed = 13L)
+    val vals = pls.zipWithIndex
+      .map { case (row, p) => s"($p,[${row.mkString(",")}]::DOUBLE[])" }
+      .mkString(",\n")
+    s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    planes(p, coefs) AS (VALUES
+    $vals),
+    d AS (SELECT n.vec_id, pl.p // $LshBits AS tbl, pl.p % $LshBits AS b,
+            list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> pl.coefs[i] * n.v[i])) AS dp
+          FROM n CROSS JOIN planes pl),
+    keys AS (SELECT vec_id, tbl, SUM(CASE WHEN dp > 0 THEN 1 << b ELSE 0 END) AS key
+             FROM d GROUP BY vec_id, tbl),
+    qk AS (SELECT vec_id AS qid, tbl, key FROM keys WHERE vec_id < $NumQueries),
+    cand AS (SELECT DISTINCT qk.qid, k.vec_id
+             FROM keys k JOIN qk ON k.tbl = qk.tbl AND k.key = qk.key
+             WHERE k.vec_id != qk.qid),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    s AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+  }
+
   /** k for the all-vectors k-NN join (kept small: output is n·k). */
   val KnnJoinK = 3
 
@@ -504,8 +554,7 @@ object Ann {
     * trick that lets 100 TB of vectors scan as ~M bytes each. The top
     * [[PqRerank]] ADC candidates per query are then reranked exactly,
     * so returned scores are true cosines (spec-pinned against brute
-    * force); the op is rows-only in the gate (code assignment is
-    * engine-specific).
+    * force, and oracle-checked end-to-end by [[annPqSql]]).
     */
   def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
     val spark = emb.sparkSession
@@ -605,11 +654,67 @@ object Ann {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir))
 
+  /** PQ oracle: fully data-derived — codebooks are the first
+    * [[PqCentroids]] vectors' subvectors, so the whole encode → ADC →
+    * rerank pipeline is plain SQL (no engine-side constants at all).
+    * Assignment ties break to the lower centroid id on both engines;
+    * ADC scores are rounded to 6 dp before the candidate cut, matching
+    * [[pqTopK]].
+    */
+  val annPqSql: String = {
+    val sub = OracleDim / PqSubspaces
+    s"""
+    WITH v AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    cb AS (SELECT n.vec_id AS c, ms.m,
+             list_slice(n.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+           FROM n CROSS JOIN ms WHERE n.vec_id < $PqCentroids),
+    enc0 AS (SELECT n.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, $sub),
+                 i -> (n.v[cb.m * $sub + i] - cb.cv[i]) * (n.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
+             FROM n CROSS JOIN cb),
+    enc AS (SELECT vec_id, m, c AS code FROM (
+              SELECT vec_id, m, c,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+              FROM enc0)
+            WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    adc AS (SELECT q.qid, cb.m, cb.c,
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
+            FROM q CROSS JOIN cb),
+    approx AS (SELECT q.qid, e.vec_id,
+                 ROUND(SUM(adc.t) / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
+               FROM q
+               JOIN enc e ON e.vec_id != q.qid
+               JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
+               JOIN n ON n.vec_id = e.vec_id
+               GROUP BY q.qid, e.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+               FROM approx) WHERE arn <= $PqRerank),
+    s AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+  }
+
   def ops: Seq[Op] = Seq(
     Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
-    Op("ann_lsh", annLsh, None),
-    Op("ann_pq", annPq, None),
+    Op("ann_lsh", annLsh, Some(annLshSql)),
+    Op("ann_pq", annPq, Some(annPqSql)),
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     Op("ann_mips", annMips, Some(annMipsSql)),

@@ -41,6 +41,18 @@ object ScaleUp {
 
   def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     if (keys.isEmpty) return df
+    // collision guard: the per-copy shift is only collision-free while
+    // every source key sits below Stride — chaining ScaleUp on its own
+    // output (keys already shifted up to (factor-1)·Stride) or any
+    // source with keys ≥ Stride would silently alias keys across
+    // copies, breaking PK uniqueness and FK resolution
+    val maxRow = df.agg(keys.map(k => max(col(k)).cast("long")).head,
+      keys.map(k => max(col(k)).cast("long")).tail: _*).first()
+    val maxKey = keys.indices
+      .map(i => if (maxRow.isNullAt(i)) 0L else maxRow.getLong(i)).max
+    require(maxKey < Stride,
+      s"ScaleUp: max key $maxKey >= Stride $Stride — copies would collide " +
+        s"(keys: ${keys.mkString(",")}); rescale from an unshifted source")
     val copies = df.sparkSession.range(factor).select(col("id").as("_copy"))
     val crossed = df.crossJoin(broadcast(copies))
     keys.foldLeft(crossed) { (d, k) =>

@@ -732,8 +732,12 @@ object Dedup {
 
   /** Character-level near-duplicate pairs: levenshtein(a, b) ≤ k
     * within a language, found ED-Join-style (Xiao et al., VLDB 2008)
-    * rather than all-pairs. Candidate generation is adaptive, decided
-    * by one tiny (lang, ⌊len/k⌋) histogram aggregate:
+    * rather than all-pairs. Step 0 collapses exact duplicates to one
+    * representative per distinct (lang, text) — on duplicate-heavy
+    * corpora (the realistic shape) every downstream cost scales with
+    * DISTINCT texts, not docs. Candidate generation over the
+    * representatives is adaptive, decided by one tiny (lang, ⌊len/k⌋)
+    * histogram aggregate:
     *
     * **Banded path** — any pair within distance k has |Δlen| ≤ k, so
     * candidates are the same-band + adjacent-band self-join on the
@@ -781,16 +785,33 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val prefixLen = q * k + 1
-    val base0 = docs.select(col("doc_id").cast(LongType).as("doc_id"),
+    val all = docs.select(col("doc_id").cast(LongType).as("doc_id"),
       col("lang"), col("text"), length(col("text")).as("len"))
+    // Exact-duplicate collapse FIRST: a real corpus at this stage of a
+    // pipeline is duplicate-heavy (the ScaleUp stress shape is 90%
+    // exact copies), and every copy of a text has identical grams,
+    // prefixes, and distances — running candidate generation over
+    // copies multiplies join work by the squared copy count for zero
+    // information. One linear (lang, text)-keyed shuffle nominates
+    // min(doc_id) as each distinct text's representative; the ED
+    // machinery below then runs on distinct texts only, and doc-level
+    // pairs are recovered at the end by joining members back in:
+    // within-group pairs are ed=0 by definition, cross-group pairs
+    // inherit the verified rep-pair distance (levenshtein is a
+    // function of the texts, not the ids).
+    val wg = Window.partitionBy(col("lang"), col("text"))
+    val members = all.withColumn("rep_id", min(col("doc_id")).over(wg))
+      .localCheckpoint()
+    val reps = members.where(col("doc_id") === col("rep_id"))
+      .select("doc_id", "lang", "text", "len")
     // the candidate paths below are shuffle-free, so they inherit the
-    // scan's partitioning — spread a small scan (one parquet split)
-    // across the cluster first or the posting-join probes run on one
-    // core; at scale the scan is already ≥ this wide and the branch
-    // is a no-op
+    // collapse's partitioning — spread a small corpus across the
+    // cluster first or the posting-join probes run on one core; at
+    // scale the shuffle is already ≥ this wide and the branch is a
+    // no-op
     val parts = spark.sessionState.conf.numShufflePartitions
-    val base = (if (base0.rdd.getNumPartitions < parts) base0.repartition(parts)
-      else base0).localCheckpoint()
+    val base = (if (reps.rdd.getNumPartitions < parts) reps.repartition(parts)
+      else reps).localCheckpoint()
     val banded = base.withColumn("band", floor(col("len") / k).cast(LongType))
 
     // strategy probe: the (lang, band) histogram is vocabulary-sized
@@ -876,7 +897,7 @@ object Dedup {
         banded.filter(col("len") - (q - 1) < prefixLen))
       candPrefix.unionAll(candShort).distinct()
     }
-    cands
+    val repPairs = cands
       .join(base.select(col("doc_id").as("doc_a"), col("lang").as("lang_a"),
         col("text").as("text_a"), col("len").as("len_a")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"),
@@ -886,7 +907,22 @@ object Dedup {
       .withColumn("ed", levenshtein(col("text_a"), col("text_b"), k))
       .filter(col("ed").between(0, k))
       .select(col("doc_a"), col("doc_b"), col("ed").cast(IntegerType).as("ed"))
-      .orderBy("doc_a", "doc_b")
+    // expand rep-level pairs back to doc-level pairs (see collapse
+    // note above); the output is inherently all-pairs within a
+    // duplicate group — that quadratic lives in the ANSWER, not the
+    // join work, and both joins here are equi-joins on rep ids
+    val mem = members.select(col("rep_id"), col("doc_id"))
+    val withinPairs = mem.as("a").join(mem.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        lit(0).cast(IntegerType).as("ed"))
+    val crossPairs = repPairs
+      .join(mem.select(col("rep_id").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(mem.select(col("rep_id").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("ed"))
+    withinPairs.unionAll(crossPairs).orderBy("doc_a", "doc_b")
   }
 
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =

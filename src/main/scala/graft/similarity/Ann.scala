@@ -358,6 +358,24 @@ object Ann {
     */
   private val OracleDim = 64
 
+  /** Shared `v` CTE body for the dim-baking oracles: projects the
+    * embedding to DOUBLE[] and hard-fails (DuckDB `error()`, reached
+    * only through the lazily-evaluated CASE else-branch) on any row
+    * whose dimensionality differs from [[OracleDim]] — a dim drift
+    * would otherwise silently truncate the baked `generate_series(1,
+    * $OracleDim)` dot products (dim > 64) or NULL them via
+    * out-of-range list indexing (dim < 64) and surface as an opaque
+    * hash mismatch.
+    */
+  private def oracleVCte: String =
+    s"""v AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings
+       |      WHERE CASE WHEN len(embedding) = $OracleDim THEN TRUE
+       |        ELSE len(error('oracle expects dim $OracleDim, got '
+       |                       || CAST(len(embedding) AS VARCHAR))) >= 0
+       |        END)""".stripMargin
+
   /** LSH oracle: the Gaussian hyperplane constants are rendered into
     * the SQL verbatim from the same [[planes]] call the operator uses
     * (java.util.Random is algorithm-specified and `Double.toString`
@@ -372,9 +390,7 @@ object Ann {
       .map { case (row, p) => s"($p,[${row.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n")
     s"""
-    WITH v AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+    WITH $oracleVCte,
     n AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM v),
@@ -664,9 +680,7 @@ object Ann {
   val annPqSql: String = {
     val sub = OracleDim / PqSubspaces
     s"""
-    WITH v AS (SELECT vec_id,
-                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
+    WITH $oracleVCte,
     n AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM v),
@@ -689,7 +703,12 @@ object Ann {
                 i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
             FROM q CROSS JOIN cb),
     approx AS (SELECT q.qid, e.vec_id,
-                 ROUND(SUM(adc.t) / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
+                 -- list(ORDER BY m) fixes the FP summation order to match
+                 -- pqTopK's sequential subspace loop: SUM() order within a
+                 -- group is unspecified and FP addition non-associative, so
+                 -- a half-boundary ROUND could otherwise flake the cut
+                 ROUND(list_sum(list(adc.t ORDER BY adc.m))
+                   / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
                FROM q
                JOIN enc e ON e.vec_id != q.qid
                JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code

@@ -506,23 +506,35 @@ object TextAnalysis {
     * global top-[[VocabTopK]] words by occurrence count with document
     * frequency and corpus fraction. One word-level aggregation
     * (map-side combined — the shuffle carries one row per distinct
-    * word, not per occurrence) feeds a single-partition top-k window
-    * over the aggregated rows; rank on (count desc, word asc) and a
-    * 6-dp fraction keep it engine-exact. At 100 TB the distinct-word
-    * table is still vocabulary-sized, so the plan is unchanged.
+    * word, not per occurrence) feeds `orderBy().limit(VocabTopK)` —
+    * TakeOrderedAndProject, per-partition bounded heaps merged on the
+    * driver — never a global sort or an unpartitioned window: a 100 TB
+    * web corpus has 10⁸–10⁹ distinct tokens (typos, URLs, numbers),
+    * so the distinct-word table is NOT small enough to single-sort.
+    * The denominator comes from `sum(n)` over the same aggregate
+    * (vocabulary-sized; ReuseExchange serves both branches from one
+    * shuffle), not a second pass over the exploded words. Rank is
+    * attached over the ≤[[VocabTopK]] surviving rows only; rank on
+    * (count desc, word asc) and a 6-dp fraction keep it engine-exact.
     */
   def textVocab(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val words = docs
       .select(col("doc_id").cast(LongType).as("doc_id"),
         explode(split(col("text"), " ")).as("w"))
-    val total = words.count()
-    val w = Window.orderBy(col("n").desc, col("w"))
-    words.groupBy("w")
+    val cnt = words.groupBy("w")
       .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+    val total = cnt.agg(sum(col("n")).cast(DoubleType).as("_total"))
+    val top = cnt.orderBy(col("n").desc, col("w")).limit(VocabTopK)
+    // constant-valued but non-foldable partition key (a literal would
+    // be stripped by EliminateWindowPartitions, reverting to an
+    // unpartitioned WindowExec): all ≤VocabTopK surviving rows rank in
+    // one task, which is exactly right post-limit
+    val w = Window.partitionBy(pmod(col("n"), lit(1)))
+      .orderBy(col("n").desc, col("w"))
+    top.crossJoin(broadcast(total))
       .withColumn("rn", row_number().over(w).cast(LongType))
-      .where(col("rn") <= VocabTopK)
-      .withColumn("frac", round(col("n").cast(DoubleType) / total.toDouble, 6))
+      .withColumn("frac", round(col("n").cast(DoubleType) / col("_total"), 6))
       .select(col("rn"), col("w").as("word"), col("n"), col("n_docs"), col("frac"))
       .orderBy("rn")
   }

@@ -196,4 +196,33 @@ class DedupSpec extends SparkSpec {
     assert(rowsOf(Dedup.dedupEditDistance(spark, sfDir)) === rowsOf(
       Dedup.editDistancePairs(docs, maxBandedPairsPerDoc = 0)))
   }
+
+  // The ScaleUp stress corpus is ~90% exact copies; without the
+  // exact-duplicate collapse the candidate join multiplies by the
+  // squared copy count (20 copies → 400× the rep-level join work)
+  // for zero information. 31 distinct texts × 20 copies: every
+  // within-group pair is ed=0 by construction, the one planted
+  // near-dup text expands to copy×copy cross pairs, and the forced
+  // prefix path must agree — candidate volume is bounded by distinct
+  // texts either way.
+  test("editDistancePairs on a 95%-duplicate corpus: collapse keeps both paths exact") {
+    val s = spark
+    import s.implicits._
+    // pairwise-far distinct texts: 4 substituted chars per token ×
+    // 12 tokens keeps every unplanted pair well past k=24
+    def text(g: Int) = (0 until 12).map(j => s"g$g$g${g}t$j$g").mkString(" ")
+    val alls = (0 until 30).map(text) :+ ("h" + text(0).drop(1)) // ed 1 vs group 0
+    val docs = alls.zipWithIndex.flatMap { case (t, g) =>
+      (0 until 20).map(c => (g * 100L + c, "en", t))
+    }.toDF("doc_id", "lang", "text")
+    val rows = Dedup.editDistancePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val (within, cross) = rows.partition { case (a, b, _) => a / 100 == b / 100 }
+    assert(within.length === 31 * 190 && within.forall(_._3 == 0))
+    assert(cross.length === 400 && cross.forall { case (a, b, ed) =>
+      a / 100 == 0 && b / 100 == 30 && ed == 1
+    })
+    assert(rows.toSet === Dedup.editDistancePairs(docs, maxBandedPairsPerDoc = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
+  }
 }

@@ -422,12 +422,16 @@ object Ann {
   val KnnJoinK = 3
 
   /** Above this corpus row count [[knnJoin]] routes to the LSH
-    * candidate join instead of the exact broadcast path: 500k × 64-dim
-    * double vectors ≈ 280 MB pinned on the driver AND every executor —
-    * past that the collect+broadcast OOMs long before the O(n²) dot
-    * products get slow.
+    * candidate join instead of the exact broadcast path. The binding
+    * constraint is COMPUTE, not broadcast memory: the exact path is
+    * O(n²·d) dot products (measured 77 s at n=50k/d=64 on 32 cores —
+    * quadrupling with every corpus doubling), while the LSH path's
+    * bucket-join work stays ~linear because bits scale with log n.
+    * 10k² ≈ 6 GFLOP keeps the exact path comfortably sub-second-per-
+    * core while covering every exact-gate corpus; the old 500k
+    * driver-memory bound is irrelevant long before it binds.
     */
-  val KnnBroadcastMaxRows = 500000L
+  val KnnBroadcastMaxRows = 10000L
 
   /** LSH tables for the kNN-join candidate generator; bits per key are
     * sized from the corpus (see [[knnJoinLsh]]).

@@ -67,13 +67,33 @@ object Streaming {
       case _        => unix_timestamp(col("ts").cast(TimestampType)).cast(LongType)
     }
 
-  /** Stage the events parquet as the single starting file of a fresh
-    * streaming input directory (file sources need a directory).
+  /** Stage the events parquet as the starting file(s) of a fresh
+    * streaming input directory (file sources need a directory). The
+    * shipped testdata is a single parquet file; Spark-written tables
+    * (the ScaleUp stress corpus) are a DIRECTORY of part files —
+    * Files.copy on a directory copies only the empty dir entry, which
+    * would silently stream zero events, so stage each part as its own
+    * top-level file (the file source lists only top-level files).
     */
   private def stageEvents(dir: String, prefix: String): String = {
     val inDir = stagingDir(prefix)
-    Files.copy(Paths.get(s"$dir/events.parquet"), Paths.get(s"$inDir/batch0.parquet"),
-      StandardCopyOption.REPLACE_EXISTING)
+    val src = Paths.get(s"$dir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val it = Files.list(src).iterator()
+      var i = 0
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet")) {
+          Files.copy(p, Paths.get(s"$inDir/batch0_$i.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+          i += 1
+        }
+      }
+      require(i > 0, s"stageEvents: no part files under $src")
+    } else {
+      Files.copy(src, Paths.get(s"$inDir/batch0.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
     inDir
   }
 
@@ -401,10 +421,11 @@ object Streaming {
       driveSentinels(spark, schema, inDir, q)
     } finally q.stop()
     val t = spark.table(name).where(col("user_id") =!= SentinelUser)
+    // coalesce: an empty flush must read as zeros, not a NULL-sum crash
     val counts = t.agg(
-      sum(when(col("saw_view"), 1L).otherwise(0L)),
-      sum(when(col("saw_click"), 1L).otherwise(0L)),
-      sum(when(col("saw_purchase"), 1L).otherwise(0L))).head()
+      coalesce(sum(when(col("saw_view"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("saw_click"), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("saw_purchase"), 1L).otherwise(0L)), lit(0L))).head()
     Seq(("1_view", counts.getLong(0)), ("2_view_click", counts.getLong(1)),
       ("3_view_click_purchase", counts.getLong(2)))
       .toDF("stage", "n_users").orderBy("stage")

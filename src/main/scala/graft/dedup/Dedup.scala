@@ -159,6 +159,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
 
+  /** Exact-duplicate collapse for the text-pure pair ops: one
+    * representative (min doc_id) per distinct text. Near-dup measures
+    * (Jaccard, Hamming, edit distance) are functions of the text
+    * alone, so on duplicate-heavy corpora — the realistic shape for a
+    * pre-dedup crawl — the candidate machinery need only see distinct
+    * texts; identical copies would otherwise multiply every posting
+    * list by the copy count and the bucket joins by its square, for
+    * zero information. Returns (members = (rep_id, doc_id) for every
+    * doc, reps = one (doc_id, text) row per distinct text).
+    */
+  private def collapseByText(docs: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val all = docs.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
+    val wg = Window.partitionBy(col("text"))
+    val m0 = all.withColumn("rep_id", min(col("doc_id")).over(wg)).localCheckpoint()
+    (m0.select("rep_id", "doc_id"),
+      m0.where(col("doc_id") === col("rep_id")).select("doc_id", "text"))
+  }
+
+  /** Doc-level expansion of rep-level near-dup pairs (the inverse of
+    * [[collapseByText]]): duplicate-group-internal pairs get the
+    * identity similarity `selfCols`; cross-group pairs inherit their
+    * rep pair's measure columns — both joins are equi-joins on rep
+    * ids, so the within-group quadratic lives only in the ANSWER (the
+    * oracle's all-pairs output), never in join work. `eligibleReps`
+    * restricts which groups pair internally (texts too short to carry
+    * a shingle/signature never pair in the candidate formulations,
+    * and must not pair here either).
+    */
+  private def expandRepPairs(repPairs: DataFrame, members: DataFrame,
+      selfCols: Seq[org.apache.spark.sql.Column],
+      eligibleReps: DataFrame): DataFrame = {
+    val memIn = members.join(eligibleReps, "rep_id")
+    val within = memIn.as("a").join(memIn.as("b"),
+        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
+        selfCols: _*)
+    val measures = repPairs.columns
+      .filterNot(c => c == "doc_a" || c == "doc_b").map(col)
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("da")), "doc_a")
+      .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("db")), "doc_b")
+      .select(least(col("da"), col("db")).as("doc_a") +:
+        greatest(col("da"), col("db")).as("doc_b") +: measures: _*)
+    within.unionAll(cross)
+  }
+
   /** The PPJoin-style prefix: each doc's `n_sh − ⌈τ·n_sh⌉ + 1`
     * globally-rarest shingles by the shared (df, hash) total order —
     * any pair with J(A,B) ≥ τ (or containment C(A→B) ≥ τ on the A
@@ -215,13 +262,14 @@ object Dedup {
     verifyJaccard(cand, docArr, tau)
 
   def ngramJaccardPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // One shingling pass, checkpointed: every downstream consumer
-    // (inverted index, prefix filter, verification) reads the compact
-    // per-doc array frame. The prefix filter only needs SOME global
-    // shingle order shared by all docs — (df, hash) works as well as
-    // (df, string).
-    val docArr = docShingleArrays(docs).localCheckpoint()
+    // Exact-duplicate collapse first (see [[collapseByText]]), then
+    // one shingling pass over the DISTINCT texts, checkpointed: every
+    // downstream consumer (inverted index, prefix filter,
+    // verification) reads the compact per-rep array frame. The prefix
+    // filter only needs SOME global shingle order shared by all docs
+    // — (df, hash) works as well as (df, string).
+    val (members, reps) = collapseByText(docs)
+    val docArr = docShingleArrays(reps).localCheckpoint()
     val prefix = prefixRows(docArr, tau)
     // AllPairs length filter inside the posting join: J ≥ τ forces
     // τ·max(|A|,|B|) ≤ min(|A|,|B|), so size-mismatched pairs never
@@ -233,7 +281,14 @@ object Dedup {
         lit(tau) * greatest(col("na"), col("nb")) <=
           least(col("na"), col("nb")) + lit(1e-9))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, docArr, tau)
+    // identical texts are J = 1 pairs when they carry ≥1 shingle;
+    // texts shorter than the shingle width never pair (0/0 Jaccard),
+    // matching the inverted-index formulation exactly
+    val shingled = docArr.where(size(col("sh")) > 0)
+      .select(col("doc_id").as("rep_id"))
+    expandRepPairs(verifyJaccard(cand, docArr, tau), members,
+      Seq(lit(1.0).as("jaccard")), shingled)
+      .orderBy("doc_a", "doc_b")
   }
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
@@ -268,10 +323,14 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(Perms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    // Signatures fold inside one pass over the per-doc hash arrays —
+    // Exact-duplicate collapse first (identical texts share identical
+    // signatures, so every copy lands in every band bucket together —
+    // quadratic candidate blowup for zero information), then
+    // signatures fold inside one pass over the per-rep hash arrays —
     // no shingle-row shuffle at all; the only exchanges left are the
     // banded bucket join and the verification sort.
-    val docArr = docShingleArrays(docs).localCheckpoint()
+    val (members, reps) = collapseByText(docs)
+    val docArr = docShingleArrays(reps).localCheckpoint()
     val spark = docs.sparkSession
     import spark.implicits._
     // Shingle-less docs (shorter than n words) carry no signature —
@@ -305,7 +364,11 @@ object Dedup {
         Seq("band", "key"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    verifyJaccard(cand, docArr, tau)
+    val shingled = docArr.where(size(col("sh")) > 0)
+      .select(col("doc_id").as("rep_id"))
+    expandRepPairs(verifyJaccard(cand, docArr, tau), members,
+      Seq(lit(1.0).as("jaccard")), shingled)
+      .orderBy("doc_a", "doc_b")
   }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =

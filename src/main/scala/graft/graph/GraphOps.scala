@@ -276,7 +276,10 @@ object GraphOps {
         .unionAll(e.select(col("v").as("s"), col("u").as("d")))
       val mins = bi.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
-      val ls = bi.join(mins, "s").where(col("d") > col("s"))
+      // filter before the join (mins still sees every neighbor); keep
+      // the distinct — on dense graphs many (d, m) candidates repeat,
+      // and deduping here halves what small-star has to shuffle
+      val ls = bi.where(col("d") > col("s")).join(mins, "s")
         .select(least(col("d"), col("m")).as("u"), greatest(col("d"), col("m")).as("v"))
         .where(col("u") =!= col("v")).distinct()
       // small-star: every neighbor ≤ s (and s itself) links to the min
@@ -291,6 +294,8 @@ object GraphOps {
         .select(col("m").as("u"), col("x").as("v"))
         .distinct().localCheckpoint()
       val nsig = checksum(ss)
+      if (sys.env.contains("GRAFT_GRAPH_TRACE"))
+        System.err.println(s"GRAFT_CC round=$rounds edges=${nsig._1}")
       converged = nsig == sig
       sig = nsig
       e = ss

@@ -35,7 +35,11 @@ object GraphOps {
     * matrix per query (secondary_server.c:126-137). Above the threshold
     * the level-synchronous frontier-join loop — the only shape that
     * works at 100 TB — is used unconditionally; specs pin both paths
-    * to identical output by forcing maxLocalEdges = 0.
+    * to identical output by forcing maxLocalEdges = 0. Measured at the
+    * sf1-equivalent supply graph (5.87M edges): collecting a 4M-row
+    * frame costs MORE than one distributed star round over it, so
+    * raising this buys nothing even where driver heap would allow it —
+    * the crossover is row-collect-bound, not memory-bound.
     */
   val LocalEdgeThreshold: Long = 4000000L
 
@@ -100,9 +104,13 @@ object GraphOps {
       // Small frontiers collapse to one partition so the checkpointed
       // frames stay single-task (the visited union then scans L tasks,
       // not L × shuffle-partitions).
+      val t0 = System.nanoTime()
       val next = (if (frontierRows <= 1000000) nextRaw.coalesce(1) else nextRaw)
         .localCheckpoint()
       frontierRows = next.count()
+      if (sys.env.contains("GRAFT_GRAPH_TRACE"))
+        System.err.println(f"GRAFT_BFS level=$level frontier=$frontierRows " +
+          f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
       if (frontierRows > 0) {
         frames += ((level, next))
         recent += next
@@ -299,6 +307,15 @@ object GraphOps {
       converged = nsig == sig
       sig = nsig
       e = ss
+      // adaptive drop-to-local: every star round preserves the
+      // component partition (Kiveris et al. §3), so once the
+      // SHRINKING edge set fits the driver threshold, a union-find
+      // finish is exact and skips the remaining O(log n) distributed
+      // rounds — on the sf1 supply graph round 1 shrinks 5.9M → 4.0M
+      // edges and this cuts the loop from 4 rounds to 1. At true
+      // scale the set stays above threshold and the loop runs on.
+      if (!converged && nsig._1 <= maxLocalEdges)
+        return localCc(edges.sparkSession, e, ce)
     }
     val labels = e.select(col("v").as("vertex"), col("u").as("component"))
       .unionAll(e.select(col("u").as("vertex"), col("u").as("component")))

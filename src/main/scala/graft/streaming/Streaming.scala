@@ -53,7 +53,57 @@ object Streaming {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    try withStateStore(spark)(f) finally spark.conf.set(key, prev)
+  }
+
+  /** State shard count for the gate streams. Streaming state is
+    * sharded by the shuffle-partition setting at query START and never
+    * AQE-coalesced, so it must track key cardinality / executor count,
+    * not data volume: 4 covers the gate's few-thousand-key drains;
+    * `spark.graft.stateShards` / `GRAFT_STATE_SHARDS` re-sizes for
+    * larger corpora (the ScaleUp events table carries ~150k keys).
+    */
+  private def stateShards(spark: SparkSession, default: Int = 4): Int =
+    spark.conf.getOption("spark.graft.stateShards")
+      .orElse(sys.env.get("GRAFT_STATE_SHARDS")).map(_.toInt).getOrElse(default)
+
+  /** processAllAvailable + (env-gated) per-query state metrics — rows
+    * and bytes per stateful operator from the last progress, the
+    * numbers that size executor memory / RocksDB disk at scale.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.processAllAvailable()
+    if (sys.env.contains("GRAFT_STREAM_TRACE")) {
+      val p = q.lastProgress
+      if (p != null) p.stateOperators.foreach { so =>
+        System.err.println(s"GRAFT_STREAM ${q.name} op=${so.operatorName} " +
+          s"stateRows=${so.numRowsTotal} stateBytes=${so.memoryUsedBytes}")
+      }
+    }
+  }
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** State-store selection for every streaming op: Spark's default
+    * HDFS-backed in-memory provider, or RocksDB when
+    * `spark.graft.stateStore=rocksdb` (session conf) or
+    * `GRAFT_STATE_STORE=rocksdb` (env) says so. The default store
+    * holds all state on-heap — right for the gate's bounded drains;
+    * RocksDB spills to local disk with incremental checkpointing and
+    * is the production answer once per-shard key spaces outgrow
+    * executor heap (the 100 TB shape). EventsStreamingSpec pins
+    * result equality across both providers.
+    */
+  private def withStateStore[A](spark: SparkSession)(f: => A): A = {
+    val choice = spark.conf.getOption("spark.graft.stateStore")
+      .orElse(sys.env.get("GRAFT_STATE_STORE")).getOrElse("default")
+    if (choice.equalsIgnoreCase("rocksdb")) {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, RocksProvider)
+      try f finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    } else f
   }
 
   /** Exact integer event seconds from whatever type `ts` actually is:
@@ -128,14 +178,14 @@ object Streaming {
         .findFirst.get
       Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
-      q.processAllAvailable()
+      drain(q)
     }
 
   /** Streamed tumbling-window aggregation (complete mode): same
     * result as the batch `q_events_window`, minus the distinct-user
     * count (DISTINCT aggregates are unsupported in streaming aggs).
     */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-win")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -148,7 +198,7 @@ object Streaming {
     val name = "graft_stream_window_agg"
     val q = agg.writeStream.format("memory").queryName(name)
       .outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    try drain(q) finally q.stop()
     spark.table(name).orderBy("window_start", "event_type")
   }
 
@@ -165,7 +215,7 @@ object Streaming {
     * integer cents so state-order summation matches the decimal
     * oracle bit-for-bit.
     */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     import spark.implicits._
     val gap = Events.GapSec
     val schema = Tables.events(spark, dir).schema
@@ -233,7 +283,7 @@ object Streaming {
     * watermark operator so they advance event time without
     * contributing to any real window.
     */
-  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-append")
     val agg = spark.readStream.schema(schema).parquet(inDir)
@@ -273,7 +323,7 @@ object Streaming {
     * lookback. Inner-join matches emit as rows arrive, so the bounded
     * drain needs no sentinel flush.
     */
-  def streamJoinRecent(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamJoinRecent(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-join")
     def side(tpe: String, prefix: String) =
@@ -295,7 +345,7 @@ object Streaming {
     val name = "graft_stream_join_recent"
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try drain(q) finally q.stop()
     spark.table(name).orderBy("purchase_id", "click_id")
   }
 
@@ -315,7 +365,7 @@ object Streaming {
     * unbounded-key production stream would use
     * `dropDuplicatesWithinWatermark` to cap state.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedup")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -324,7 +374,7 @@ object Streaming {
     val name = "graft_stream_dedup"
     val q = src.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try drain(q) finally q.stop()
     spark.table(name).orderBy("user_id", "event_type")
   }
 
@@ -339,7 +389,7 @@ object Streaming {
     * here covers the whole corpus span, so the bounded drain dedups
     * exactly like the global DISTINCT oracle.
     */
-  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedupwm")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -352,7 +402,7 @@ object Streaming {
     val name = "graft_stream_dedup_wm"
     val q = src.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    try drain(q) finally q.stop()
     spark.table(name).orderBy("user_id", "event_type")
   }
 
@@ -372,7 +422,7 @@ object Streaming {
     * aggregation beyond sessionization: the state is a conditional
     * fold, not a gap partition.
     */
-  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-funnel")
@@ -448,7 +498,7 @@ object Streaming {
     * "last write wins". The value rides through untouched (no
     * arithmetic), so it is bit-identical to the batch argmax oracle.
     */
-  def streamLatestState(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, 4) {
+  def streamLatestState(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-latest")

@@ -75,4 +75,20 @@ class EventsStreamingSpec extends SparkSpec {
     assert(stream === batch)
     assert(stream.nonEmpty)
   }
+
+  // Same results under the RocksDB provider — the production store
+  // once per-shard key spaces outgrow executor heap. The flag routes
+  // through withStateStore; equality (not just rows>0) pins that
+  // state semantics are provider-independent for both an arbitrary-
+  // state op (sessionize) and a dropDuplicates op.
+  test("streaming ops agree under the default and RocksDB state stores") {
+    val sessDefault = rowsOf(streaming.Streaming.streamSessionize(spark, sfDir))
+    val dedupDefault = rowsOf(streaming.Streaming.streamDedup(spark, sfDir))
+    spark.conf.set("spark.graft.stateStore", "rocksdb")
+    try {
+      assert(rowsOf(streaming.Streaming.streamSessionize(spark, sfDir)) === sessDefault)
+      assert(rowsOf(streaming.Streaming.streamDedup(spark, sfDir)) === dedupDefault)
+    } finally spark.conf.unset("spark.graft.stateStore")
+    assert(sessDefault.nonEmpty && dedupDefault.nonEmpty)
+  }
 }

@@ -190,19 +190,28 @@ object Dedup {
     */
   private def expandRepPairs(repPairs: DataFrame, members: DataFrame,
       selfCols: Seq[org.apache.spark.sql.Column],
-      eligibleReps: DataFrame): DataFrame = {
+      eligibleReps: DataFrame, directed: Boolean = false): DataFrame = {
     val memIn = members.join(eligibleReps, "rep_id")
+    // symmetric measures emit each unordered pair once (a < b);
+    // directed measures (containment) emit both orientations and must
+    // preserve the rep pair's direction through the expansion
     val within = memIn.as("a").join(memIn.as("b"),
-        col("a.rep_id") === col("b.rep_id") && col("a.doc_id") < col("b.doc_id"))
+        col("a.rep_id") === col("b.rep_id") &&
+          (if (directed) col("a.doc_id") =!= col("b.doc_id")
+           else col("a.doc_id") < col("b.doc_id")))
       .select(col("a.doc_id").as("doc_a") +: col("b.doc_id").as("doc_b") +:
         selfCols: _*)
     val measures = repPairs.columns
       .filterNot(c => c == "doc_a" || c == "doc_b").map(col)
-    val cross = repPairs
+    val expanded = repPairs
       .join(members.select(col("rep_id").as("doc_a"), col("doc_id").as("da")), "doc_a")
       .join(members.select(col("rep_id").as("doc_b"), col("doc_id").as("db")), "doc_b")
-      .select(least(col("da"), col("db")).as("doc_a") +:
-        greatest(col("da"), col("db")).as("doc_b") +: measures: _*)
+    val cross =
+      if (directed)
+        expanded.select(col("da").as("doc_a") +: col("db").as("doc_b") +: measures: _*)
+      else
+        expanded.select(least(col("da"), col("db")).as("doc_a") +:
+          greatest(col("da"), col("db")).as("doc_b") +: measures: _*)
     within.unionAll(cross)
   }
 
@@ -383,12 +392,16 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // The whole signature folds inside the shingling pass — per doc:
-    // count distinct-gram frequencies locally, add wt·(±1) into 64 bit
-    // sums, pack the sign vector. No shingle-row shuffle at all (the
-    // previous formulation shuffled every weighted shingle row through
-    // a 64-column aggregation).
-    val packed = docs.select(col("doc_id").cast(LongType), col("text"))
+    // Exact-duplicate collapse first (identical texts share the exact
+    // signature, so copies agree on every pigeonhole block — quadratic
+    // candidates for zero information); then the whole signature folds
+    // inside the shingling pass — per rep: count distinct-gram
+    // frequencies locally, add wt·(±1) into 64 bit sums, pack the
+    // sign vector. No shingle-row shuffle at all (the previous
+    // formulation shuffled every weighted shingle row through a
+    // 64-column aggregation).
+    val (members, reps) = collapseByText(docs)
+    val packed = reps.select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val hs = gramHashes(text, NgramN)
@@ -413,7 +426,12 @@ object Dedup {
           Iterator.single((id, sim))
         }
       }.toDF("doc_id", "sim")
-    hammingBlockPairs(packed, "sim", maxHamming)
+        .localCheckpoint() // pair join + eligibility both read it
+    // identical texts pair at Hamming 0 when they carry a signature;
+    // gram-less texts never pair (same as the signature formulation)
+    expandRepPairs(hammingBlockPairs(packed, "sim", maxHamming), members,
+      Seq(lit(0L).as("hamming")), packed.select(col("doc_id").as("rep_id")))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Hamming-distance ≤ k pairs over 64-bit signatures via the
@@ -605,7 +623,12 @@ object Dedup {
     * exact verification intersects the arrays.
     */
   def containmentPairs(docs: DataFrame, tau: Double = ContainTau): DataFrame = {
-    val docArr = docShingleArrays(docs).localCheckpoint()
+    // collapse first (see [[collapseByText]]); containment is directed,
+    // so the expansion keeps rep-pair orientation and emits BOTH
+    // orientations inside a duplicate group (identical texts contain
+    // each other at exactly 1.0)
+    val (members, reps) = collapseByText(docs)
+    val docArr = docShingleArrays(reps).localCheckpoint()
     val sh = docArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val prefixA = prefixRows(docArr, tau)
       .select(col("doc_id").as("doc_a"), col("s"))
@@ -613,7 +636,7 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
       .where(col("doc_a") =!= col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    cand
+    val repPairs = cand
       .join(docArr.select(col("doc_id").as("doc_a"), col("sh").as("sa")), Seq("doc_a"))
       .join(docArr.select(col("doc_id").as("doc_b"), col("sh").as("sb")), Seq("doc_b"))
       .withColumn("containment",
@@ -621,6 +644,10 @@ object Dedup {
           size(col("sa")).cast(LongType), 6))
       .where(col("containment") >= tau)
       .select(col("doc_a"), col("doc_b"), col("containment"))
+    val shingled = docArr.where(size(col("sh")) > 0)
+      .select(col("doc_id").as("rep_id"))
+    expandRepPairs(repPairs, members, Seq(lit(1.0).as("containment")),
+      shingled, directed = true)
       .orderBy("doc_a", "doc_b")
   }
 

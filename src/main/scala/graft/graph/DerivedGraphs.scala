@@ -71,6 +71,10 @@ object DerivedGraphs {
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
+      // nation-pair-sized (≤ 625 rows) after the aggregation, but fed
+      // to two consumers (the mean and the filter) — checkpoint so the
+      // 4-table warehouse join above can never execute twice
+      .localCheckpoint()
     val avgW = w.agg(avg("w").as("aw"))
     w.crossJoin(broadcast(avgW)).where(col("w") > lit(1.3) * col("aw"))
       .select(col("src").cast("long"), col("dst").cast("long"))

@@ -241,14 +241,20 @@ object GraphOps {
       .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
   }
 
-  /** Per-vertex in/out/total degree — one shuffle via tagged union. */
-  def degrees(edges: DataFrame): DataFrame =
-    canonEdges(edges)
+  /** Per-vertex in/out/total degree — one shuffle via tagged union.
+    * The edge frame is checkpointed before the two-branch union: the
+    * caller's derivation (a multi-table warehouse join for the
+    * derived graphs) would otherwise execute once per branch.
+    */
+  def degrees(edges: DataFrame): DataFrame = {
+    val ce = canonEdges(edges).localCheckpoint()
+    ce
       .select(col("src").as("vertex"), lit(1L).as("o"), lit(0L).as("i"))
-      .unionAll(canonEdges(edges).select(col("dst"), lit(0L), lit(1L)))
+      .unionAll(ce.select(col("dst"), lit(0L), lit(1L)))
       .groupBy("vertex")
       .agg(sum("o").as("out_deg"), sum("i").as("in_deg"),
         (sum("o") + sum("i")).as("total_deg"))
+  }
 
   /** Undirected connected components via the alternating
     * large-star/small-star algorithm (Kiveris et al., "Connected
@@ -895,9 +901,10 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, iters: Int,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
-    val und = canonEdges(edges)
+    val ce = canonEdges(edges).localCheckpoint() // one derivation, two branches
+    val und = ce
       .select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(canonEdges(edges).select(col("dst"), col("src")))
+      .unionAll(ce.select(col("dst"), col("src")))
       .where(col("a") =!= col("b")).distinct().localCheckpoint()
     if (und.count() <= maxLocalEdges)
       return localLpa(edges.sparkSession, und, iters)
@@ -1019,9 +1026,10 @@ object GraphOps {
     * pure functions of the neighborhood sets — no iteration.
     */
   def linkPrediction(edges: DataFrame): DataFrame = {
-    val und = canonEdges(edges)
+    val ce = canonEdges(edges).localCheckpoint() // one derivation, two branches
+    val und = ce
       .select(col("src").as("a"), col("dst").as("b"))
-      .unionAll(canonEdges(edges).select(col("dst"), col("src")))
+      .unionAll(ce.select(col("dst"), col("src")))
       .where(col("a") =!= col("b")).distinct().localCheckpoint()
     val deg = und.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     val wedges = und.as("x").join(und.as("y"),

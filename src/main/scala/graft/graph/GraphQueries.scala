@@ -69,7 +69,10 @@ object GraphQueries {
     // Checkpoint the derived graph once: the source aggregate and the
     // traversal loop otherwise each re-run the orders ⋈ lineitem
     // derivation (cache substitution keys on the exact plan subtree).
-    val e = DerivedGraphs.undirect(DerivedGraphs.supplyEdges(spark, dir)).localCheckpoint()
+    // checkpoint the derivation BEFORE undirect doubles it — the
+    // orders ⋈ lineitem join would otherwise run once per union branch
+    val e = DerivedGraphs.undirect(
+      DerivedGraphs.supplyEdges(spark, dir).localCheckpoint()).localCheckpoint()
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.bfsFrom(e, src, maxDepth = 6)
       .select(col("vertex"), col("level").cast("long").as("level"))

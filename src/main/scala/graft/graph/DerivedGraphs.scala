@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object DerivedGraphs {
 
+  /** Session-scoped materialized catalog for the derived graphs. The
+    * reference's own usage model is load-once-query-many (a graph is
+    * added, then traversed repeatedly — client.c:26-41); deriving the
+    * same edge list from the warehouse tables once per (session, dir,
+    * graph) and serving consumers a localCheckpointed frame is the
+    * engine's equivalent of that loaded graph. Bounded: a handful of
+    * named graphs per scale dir; keys hold the owning session so a
+    * frame can never be served across sessions.
+    */
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def materialized(spark: SparkSession, dir: String, name: String)(
+      build: => DataFrame): DataFrame =
+    catalog.computeIfAbsent((spark, dir, name), _ => build.localCheckpoint())
+
   /** Supply graph: customer → (offset + supplier) for every
     * customer/supplier pair connected through an order. Bipartite,
     * ~|customers|+|suppliers| vertices. Supplier ids are offset so the
@@ -18,12 +34,14 @@ object DerivedGraphs {
   val SupplierOffset = 1000000L
 
   def supplyEdges(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("src"),
-        (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
-      .distinct()
+    materialized(spark, dir, "supply") {
+      Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+        .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
+        .distinct()
+    }
 
   val supplyEdgesSql: String =
     """se AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
@@ -37,13 +55,14 @@ object DerivedGraphs {
     * BFS trees (depth ~17 at M=2048) — the traversal stress-test the
     * shallow warehouse joins can't provide.
     */
-  def hashEdges(spark: SparkSession, dir: String, m: Long = 2048L): DataFrame = {
-    val base = Tables.orders(spark, dir)
-      .select((col("o_orderkey") % m).as("v")).distinct()
-    val e1 = base.select(col("v").as("src"), ((col("v") * 31 + 7) % m).as("dst"))
-    val e2 = base.select(col("v").as("src"), ((col("v") * 17 + 3) % m).as("dst"))
-    e1.unionAll(e2).where(col("src") =!= col("dst")).distinct()
-  }
+  def hashEdges(spark: SparkSession, dir: String, m: Long = 2048L): DataFrame =
+    materialized(spark, dir, s"hash$m") {
+      val base = Tables.orders(spark, dir)
+        .select((col("o_orderkey") % m).as("v")).distinct()
+      val e1 = base.select(col("v").as("src"), ((col("v") * 31 + 7) % m).as("dst"))
+      val e2 = base.select(col("v").as("src"), ((col("v") * 17 + 3) % m).as("dst"))
+      e1.unionAll(e2).where(col("src") =!= col("dst")).distinct()
+    }
 
   def hashEdgesSql(m: Long = 2048L): String =
     s"""base AS (SELECT DISTINCT o_orderkey % $m AS v FROM orders),
@@ -60,7 +79,7 @@ object DerivedGraphs {
     * (triangles, non-trivial components) and small enough for
     * transitive-closure oracles.
     */
-  def nationEdges(spark: SparkSession, dir: String): DataFrame = {
+  def nationEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nation") {
     val w = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))

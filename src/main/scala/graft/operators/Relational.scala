@@ -279,38 +279,109 @@ object Relational {
     WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
       AND l_quantity < 0.2 * avg_qty"""
 
-  /** Exact linear-interpolation percentiles per group, computed as a
-    * window rank + neighbor interpolation: one codegen'd sort shuffle
-    * per group instead of Spark's `percentile` aggregate (an
-    * interpreted TypedImperativeAggregate holding a per-group value
-    * map — measured ~4× slower and memory-bound at scale). For each
-    * p, the quantile_cont definition: idx = p·(n-1) (0-based),
-    * v = v_lo + frac·(v_hi − v_lo); 4-dp rounding on both engines
-    * absorbs the last-ulp arithmetic differences.
+  /** Exact linear-interpolation percentiles per group via distributed
+    * selection — NOT a per-group sort: `l_returnflag` has 3 values,
+    * so a `Window.partitionBy(flag)` rank (the obvious plan) sorts
+    * each group in ONE task — a 33M-row-per-task bottleneck at 100 TB
+    * that no cluster width fixes. Instead: (1) compress the multiset
+    * to per-(flag, value) counts — a high-cardinality shuffle with
+    * map-side combine; (2) build a 1024-bucket equi-width histogram
+    * per flag (flag×bucket-sized, collected — ≤ 3k rows by
+    * construction) and locate each target rank's bucket with driver
+    * prefix sums; (3) resolve exact neighbor values with a cumulative
+    * count over ONLY the target buckets' distinct values (a
+    * (flag, bucket)-partitioned window over a vanishing slice). Same
+    * quantile_cont definition: idx = p·(n−1), v = v_lo + frac·(v_hi −
+    * v_lo); 4-dp rounding on both engines absorbs last-ulp noise.
+    * Degenerate distributions (all mass in one bucket) degrade to a
+    * one-task window over that bucket's DISTINCT values — still never
+    * the raw rows.
     */
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val ps: Seq[(String, Double)] =
       Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    val aggs = ps.flatMap { case (name, p) =>
-      val idx = lit(p) * (col("n") - 1) // 0-based fractional index
-      val lo = floor(idx) + 1 // 1-based rank of the lower neighbor
-      Seq(
-        max(when(col("rn") === lo, col("l_extendedprice"))).as(s"${name}_lo"),
-        max(when(col("rn") === lo + 1, col("l_extendedprice"))).as(s"${name}_hi"),
-        max(when(col("rn") === lo, idx - floor(idx))).as(s"${name}_frac"))
+    val NB = 1024
+    val vc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val stats = vc.groupBy("flag")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    def bucketCol: org.apache.spark.sql.Column = {
+      val cases = stats.foldLeft(lit(0)) { case (acc, (f, (lo, hi, _))) =>
+        val width = math.max((hi - lo) / NB, java.lang.Double.MIN_NORMAL)
+        when(col("flag") === f,
+          least(floor((col("v") - lit(lo)) / lit(width)), lit(NB - 1)).cast("int"))
+          .otherwise(acc)
+      }
+      cases
     }
-    ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
-      .select(col("l_returnflag") +: ps.map { case (name, _) =>
-        round(col(s"${name}_lo") + col(s"${name}_frac") *
-          (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")), 4)
-          .as(name)
-      }: _*)
+    val hist = vc.groupBy(col("flag"), bucketCol.as("b"))
+      .agg(sum("c").as("bc")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // driver: target (1-based) ranks per (flag, percentile) and the
+    // bucket holding each, via prefix sums over ≤ NB buckets
+    case class Target(flag: String, name: String, rank: Long, frac: Double, isHi: Boolean)
+    val targets = stats.toSeq.flatMap { case (f, (_, _, n)) =>
+      ps.flatMap { case (name, p) =>
+        val idx = p * (n - 1) // 0-based fractional index
+        val lo = math.floor(idx).toLong + 1
+        val frac = idx - math.floor(idx)
+        Target(f, name, lo, frac, isHi = false) ::
+          (if (lo < n) List(Target(f, name, lo + 1, frac, isHi = true)) else Nil)
+      }
+    }
+    def bucketOf(f: String, rank: Long): Int = {
+      var cum = 0L
+      var b = 0
+      while (b < NB) {
+        cum += hist.getOrElse((f, b), 0L)
+        if (cum >= rank) return b
+        b += 1
+      }
+      NB - 1
+    }
+    def prefixBefore(f: String, b: Int): Long =
+      (0 until b).map(bb => hist.getOrElse((f, bb), 0L)).sum
+    val needed = targets.map(t => (t.flag, bucketOf(t.flag, t.rank))).distinct
+    val bucketFilter = needed.map { case (f, b) =>
+      col("flag") === f && col("b") === b
+    }.reduce(_ || _)
+    // cumulative counts over the target buckets' distinct values only
+    val wb = Window.partitionBy(col("flag"), col("b"))
+      .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slice = vc.withColumn("b", bucketCol).where(bucketFilter)
+      .withColumn("cum", sum(col("c")).over(wb))
+      .select(col("flag"), col("b"), col("v"), col("c"), col("cum"))
+      .collect()
+    // rank r (group-global) lives at the slice row with
+    // prefix + cum − c < r ≤ prefix + cum
+    def valueAt(f: String, rank: Long): Double = {
+      val b = bucketOf(f, rank)
+      val off = rank - prefixBefore(f, b)
+      slice.iterator
+        .filter(r => r.getString(0) == f && r.getInt(1) == b)
+        .find(r => r.getLong(4) - r.getLong(3) < off && off <= r.getLong(4))
+        .map(_.getDouble(2))
+        .getOrElse(sys.error(s"qPercentiles: rank $rank not found for '$f'"))
+    }
+    val out = stats.keys.toSeq.sorted.map { f =>
+      val vals = ps.map { case (name, p) =>
+        val n = stats(f)._3
+        val idx = p * (n - 1)
+        val lo = math.floor(idx).toLong + 1
+        val frac = idx - math.floor(idx)
+        val vLo = valueAt(f, lo)
+        val vHi = if (lo < n) valueAt(f, lo + 1) else vLo
+        BigDecimal(vLo + frac * (vHi - vLo))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (f, vals(0), vals(1), vals(2), vals(3))
+    }
+    out.toDF("l_returnflag", "p25", "p50", "p90", "p99")
       .orderBy("l_returnflag")
   }
 

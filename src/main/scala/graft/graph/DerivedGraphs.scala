@@ -50,6 +50,15 @@ object DerivedGraphs {
   def undirect(edges: DataFrame): DataFrame =
     edges.unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
 
+  /** Undirected supply graph, materialized like its directed twin —
+    * the BFS entry re-derived it (2× the edge list through a
+    * distinct) on every call.
+    */
+  def supplyEdgesUndirected(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "supply-und") {
+      undirect(supplyEdges(spark, dir))
+    }
+
   /** Hash graph: a sparse deterministic digraph over residues of
     * o_orderkey mod M, out-degree ≤ 2 (two affine maps). Gives deep
     * BFS trees (depth ~17 at M=2048) — the traversal stress-test the

@@ -66,13 +66,9 @@ object GraphQueries {
 
   /** Reference op 4: BFS levels on the (undirected) supply graph. */
   def graphBfs(spark: SparkSession, dir: String): DataFrame = {
-    // Checkpoint the derived graph once: the source aggregate and the
-    // traversal loop otherwise each re-run the orders ⋈ lineitem
-    // derivation (cache substitution keys on the exact plan subtree).
-    // checkpoint the derivation BEFORE undirect doubles it — the
-    // orders ⋈ lineitem join would otherwise run once per union branch
-    val e = DerivedGraphs.undirect(
-      DerivedGraphs.supplyEdges(spark, dir).localCheckpoint()).localCheckpoint()
+    // materialized via the derived-graph catalog: the source
+    // aggregate and every traversal level read one checkpointed frame
+    val e = DerivedGraphs.supplyEdgesUndirected(spark, dir)
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.bfsFrom(e, src, maxDepth = 6)
       .select(col("vertex"), col("level").cast("long").as("level"))

@@ -42,17 +42,22 @@ object ScaleUp {
   def replicate(df: DataFrame, keys: Seq[String], factor: Int): DataFrame = {
     if (keys.isEmpty) return df
     // collision guard: the per-copy shift is only collision-free while
-    // every source key sits below Stride — chaining ScaleUp on its own
-    // output (keys already shifted up to (factor-1)·Stride) or any
-    // source with keys ≥ Stride would silently alias keys across
-    // copies, breaking PK uniqueness and FK resolution
-    val maxRow = df.agg(keys.map(k => max(col(k)).cast("long")).head,
-      keys.map(k => max(col(k)).cast("long")).tail: _*).first()
+    // every source key sits in [0, Stride) — chaining ScaleUp on its
+    // own output (keys already shifted up to (factor-1)·Stride) or a
+    // source with negative keys (-5 + Stride aliases Stride-5 + 0)
+    // would silently alias keys across copies, breaking PK uniqueness
+    // and FK resolution. min and max come from ONE aggregate — a
+    // single source scan.
+    val aggCols = keys.flatMap(k =>
+      Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+    val bounds = df.agg(aggCols.head, aggCols.tail: _*).first()
+    val minKey = keys.indices
+      .map(i => if (bounds.isNullAt(2 * i)) 0L else bounds.getLong(2 * i)).min
     val maxKey = keys.indices
-      .map(i => if (maxRow.isNullAt(i)) 0L else maxRow.getLong(i)).max
-    require(maxKey < Stride,
-      s"ScaleUp: max key $maxKey >= Stride $Stride — copies would collide " +
-        s"(keys: ${keys.mkString(",")}); rescale from an unshifted source")
+      .map(i => if (bounds.isNullAt(2 * i + 1)) 0L else bounds.getLong(2 * i + 1)).max
+    require(minKey >= 0L && maxKey < Stride,
+      s"ScaleUp: key range [$minKey, $maxKey] outside [0, $Stride) — copies " +
+        s"would collide (keys: ${keys.mkString(",")}); rescale from an unshifted source")
     val copies = df.sparkSession.range(factor).select(col("id").as("_copy"))
     val crossed = df.crossJoin(broadcast(copies))
     keys.foldLeft(crossed) { (d, k) =>

@@ -297,17 +297,33 @@ object Relational {
     * one-task window over that bucket's DISTINCT values — still never
     * the raw rows.
     */
+  /** Audit tap for the distributed intermediates qPercentiles executes
+    * eagerly: its RETURNED frame is a driver-local toDF (the final
+    * percentiles), so a plan audit of the return value alone would
+    * inspect a LocalTableScan and miss the real work. Tests install a
+    * buffer here (same thread) and get every intermediate frame as
+    * built, pre-execution.
+    */
+  private[graft] val percentileAudit =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  private def audited(df: DataFrame): DataFrame = {
+    val buf = percentileAudit.get()
+    if (buf != null) buf += df
+    df
+  }
+
   def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ps: Seq[(String, Double)] =
       Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
     val NB = 1024
-    val vc = Tables.lineitem(spark, dir)
+    val vc = audited(Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast(DoubleType).as("v"))
-      .agg(count(lit(1)).as("c")).localCheckpoint()
-    val stats = vc.groupBy("flag")
-      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n"))
+      .agg(count(lit(1)).as("c"))).localCheckpoint()
+    val stats = audited(vc.groupBy("flag")
+      .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n")))
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
       .toMap
     def bucketCol: org.apache.spark.sql.Column = {
@@ -319,8 +335,8 @@ object Relational {
       }
       cases
     }
-    val hist = vc.groupBy(col("flag"), bucketCol.as("b"))
-      .agg(sum("c").as("bc")).collect()
+    val hist = audited(vc.groupBy(col("flag"), bucketCol.as("b"))
+      .agg(sum("c").as("bc"))).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     // driver: target (1-based) ranks per (flag, percentile) and the
     // bucket holding each, via prefix sums over ≤ NB buckets
@@ -353,9 +369,9 @@ object Relational {
     // cumulative counts over the target buckets' distinct values only
     val wb = Window.partitionBy(col("flag"), col("b"))
       .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val slice = vc.withColumn("b", bucketCol).where(bucketFilter)
+    val slice = audited(vc.withColumn("b", bucketCol).where(bucketFilter)
       .withColumn("cum", sum(col("c")).over(wb))
-      .select(col("flag"), col("b"), col("v"), col("c"), col("cum"))
+      .select(col("flag"), col("b"), col("v"), col("c"), col("cum")))
       .collect()
     // rank r (group-global) lives at the slice row with
     // prefix + cum − c < r ≤ prefix + cum

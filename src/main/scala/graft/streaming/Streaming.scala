@@ -129,16 +129,19 @@ object Streaming {
     val inDir = stagingDir(prefix)
     val src = Paths.get(s"$dir/events.parquet")
     if (Files.isDirectory(src)) {
-      val it = Files.list(src).iterator()
+      val listing = Files.list(src)
       var i = 0
-      while (it.hasNext) {
-        val p = it.next()
-        if (p.toString.endsWith(".parquet")) {
-          Files.copy(p, Paths.get(s"$inDir/batch0_$i.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-          i += 1
+      try {
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.toString.endsWith(".parquet")) {
+            Files.copy(p, Paths.get(s"$inDir/batch0_$i.parquet"),
+              StandardCopyOption.REPLACE_EXISTING)
+            i += 1
+          }
         }
-      }
+      } finally listing.close()
       require(i > 0, s"stageEvents: no part files under $src")
     } else {
       Files.copy(src, Paths.get(s"$inDir/batch0.parquet"),
@@ -174,8 +177,10 @@ object Streaming {
         byName.getOrElse(f, sys.error(s"driveSentinels: unknown events column '$f'"))): _*)
       spark.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](row), schema)
         .coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = Files.list(Paths.get(scratch)).filter(_.toString.endsWith(".parquet"))
-        .findFirst.get
+      val scratchListing = Files.list(Paths.get(scratch))
+      val part =
+        try scratchListing.filter(_.toString.endsWith(".parquet")).findFirst.get
+        finally scratchListing.close()
       Files.move(part, Paths.get(s"$inDir/sentinel$i.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       drain(q)

@@ -51,10 +51,31 @@ class PlanInvariantsSpec extends SparkSpec {
     p +: (kids ++ p.subqueries).flatMap(allNodes)
   }
 
+  /** Driver-side ops (q_percentiles) execute their distributed work
+    * eagerly inside the function and return a driver-local frame, so
+    * auditing only the RETURNED plan would inspect a LocalTableScan.
+    * The audit tap in Relational hands us every intermediate frame as
+    * built (same thread); their plans are appended to the op's node
+    * list so the invariants run against the real work.
+    */
   private lazy val plans: Map[String, Seq[SparkPlan]] =
     SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> allNodes(fn(spark, sfDir).queryExecution.executedPlan)
+      val tapped = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      graft.operators.Relational.percentileAudit.set(tapped)
+      val returned =
+        try fn(spark, sfDir)
+        finally graft.operators.Relational.percentileAudit.remove()
+      name -> (returned +: tapped.toSeq)
+        .flatMap(df => allNodes(df.queryExecution.executedPlan))
     }.toMap
+
+  test("driver-side q_percentiles exposes its distributed intermediates") {
+    // the value-count agg, stats, histogram, and windowed slice — if the
+    // tap silently unwires, the audit regresses to the LocalTableScan
+    // blind spot this guards against
+    assert(plans("q_percentiles").count(_.isInstanceOf[FileSourceScanExec]) >= 1)
+    assert(plans("q_percentiles").exists(_.isInstanceOf[WindowExec]))
+  }
 
   test("every gate op is audited") {
     assert(plans.keySet === SparkEntry.queries.keySet)

@@ -23,8 +23,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
-  /** Frontiers below this row count are broadcast to the edge join. */
-  private val BroadcastFrontier = 4 * 1000 * 1000
+  /** Frontiers below this row count are broadcast to the edge join.
+    * Overridable (system property) so specs can force the
+    * shuffled-join path on small graphs; production default 4M rows.
+    */
+  private def broadcastFrontier: Long =
+    sys.props.get("graft.bfs.broadcastFrontier").map(_.toLong).getOrElse(4000000L)
 
   /** Edge count below which iterative traversals run on the driver —
     * the same adaptive call AQE makes when it converts a shuffle join
@@ -94,11 +98,31 @@ object GraphOps {
     var visitedBase = frontier
     val recent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var level = 0
+    // Super-broadcast frontiers take a shuffled join. The persisted
+    // edge frame has no partitioner, so every such level would
+    // re-exchange the FULL edge set — O(levels × edges) network, the
+    // scale-killer on a web graph where the frontier exceeds the
+    // broadcast bound within 2-3 hops. On the first such level the
+    // edge frame is re-persisted under HashPartitioning(src) (one
+    // edges-sized exchange, paid once); the cached partitioning then
+    // satisfies the join's required distribution on every later level
+    // and only the frontier side shuffles — O(levels × frontier).
+    // Broadcast-only traversals never pay the repartition.
+    var eBySrc: DataFrame = null
+    def partitionedEdges(): DataFrame = {
+      if (eBySrc == null) {
+        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        eBySrc.count()
+      }
+      eBySrc
+    }
     while (frontierRows > 0 && level < maxDepth) {
       level += 1
       val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
-      val f = if (frontierRows <= BroadcastFrontier) broadcast(frontier) else frontier
-      val nextRaw = e.join(f, e("src") === f("vertex"))
+      val small = frontierRows <= broadcastFrontier
+      val f = if (small) broadcast(frontier) else frontier
+      val ej = if (small) e else partitionedEdges()
+      val nextRaw = ej.join(f, ej("src") === f("vertex"))
         .select(col("tag"), col("dst").as("vertex")).distinct()
         .join(visited, Seq("tag", "vertex"), "left_anti")
       // Small frontiers collapse to one partition so the checkpointed
@@ -123,6 +147,7 @@ object GraphOps {
       frontier = next
     }
     e.unpersist()
+    if (eBySrc != null) eBySrc.unpersist()
     frames.map { case (lvl, df) => df.withColumn("level", lit(lvl)) }
       .reduce(_ unionAll _)
   }
@@ -316,9 +341,18 @@ object GraphOps {
     var sig = checksum(e)
     while (!converged && rounds < 64) {
       rounds += 1
+      // Each star half consumes its bidirected edge frame TWICE on the
+      // same key (the per-s min aggregate, then the equi-join back) —
+      // unpartitioned, that is two edge-sized exchanges per half per
+      // round. Hash-partitioning the frame by s once (checkpointed —
+      // the checkpoint scan keeps the partitioning, so both consumers
+      // and the join's min side plan exchange-free) makes the star
+      // rounds' network cost one edge exchange per half, the geometry
+      // that survives a web-scale edge set.
       // large-star: every neighbor larger than u links to u's min
       val bi = e.select(col("u").as("s"), col("v").as("d"))
         .unionAll(e.select(col("v").as("s"), col("u").as("d")))
+        .repartition(col("s")).localCheckpoint()
       val mins = bi.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
       // filter before the join (mins still sees every neighbor); keep
@@ -331,6 +365,7 @@ object GraphOps {
       val bi2 = ls.select(col("u").as("s"), col("v").as("d"))
         .unionAll(ls.select(col("v").as("s"), col("u").as("d")))
       val low = bi2.where(col("d") <= col("s"))
+        .repartition(col("s")).localCheckpoint()
       val mins2 = low.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
       val ss = low.join(mins2, "s").select(col("d").as("x"), col("m"))

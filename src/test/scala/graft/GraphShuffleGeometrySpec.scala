@@ -1,0 +1,112 @@
+package graft
+
+import graft.graph.GraphOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+/** Shuffle geometry of the iterative graph loops (SURVEY §6 / r10
+  * verdict item 1): when a BFS frontier exceeds the broadcast bound,
+  * the per-level join must NOT re-exchange the edge set — the edge
+  * frame is re-persisted once under HashPartitioning(src) and only the
+  * frontier side shuffles per level.
+  *
+  * Two layers of evidence:
+  *  - a plan-shape check that a join against the partitioned+persisted
+  *    edge frame plans exactly one shuffle (the probe side) — this is
+  *    the Catalyst property the loop relies on;
+  *  - a measured check over a forced-shuffled-path BFS (broadcast
+  *    bound lowered to 0 via system property): total shuffle-WRITE
+  *    bytes recorded by the scheduler stay below what re-exchanging
+  *    the edge set every level would cost, and the traversal's output
+  *    is identical to the broadcast path's.
+  */
+class GraphShuffleGeometrySpec extends SparkSpec {
+
+  /** Exchanges EnsureRequirements had to insert for this query — the
+    * per-query shuffles. Counted from the plan string because AQE's
+    * `inputPlan` tree predates EnsureRequirements (the node list would
+    * miss them), while the one-time REPARTITION_BY_COL exchange inside
+    * the cached relation is deliberately excluded.
+    */
+  private def countRequiredExchanges(df: DataFrame): Int =
+    "ENSURE_REQUIREMENTS".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("a src-partitioned persisted edge frame joins with only the probe side shuffling") {
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = spark.range(0L, 20000L)
+      .select((col("id") % 997).as("src"), ((col("id") * 31 + 7) % 997).as("dst"))
+    val eBySrc = edges.repartition(col("src")).persist()
+    eBySrc.count()
+    try {
+      val frontier = spark.range(0L, 500L).select(col("id").as("vertex"))
+      // disable broadcast so the join must pick a shuffled strategy
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = eBySrc.join(frontier, eBySrc("src") === frontier("vertex"))
+          .select(col("dst"))
+        // one exchange: the frontier. The persisted HashPartitioning(src)
+        // must satisfy the join's required distribution on the edge side.
+        assert(countRequiredExchanges(joined) === 1,
+          joined.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally eBySrc.unpersist()
+  }
+
+  test("forced shuffled-path BFS matches broadcast-path output and bounds shuffle writes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Chain of depth N where every vertex also carries K back-edges to
+    // already-visited vertices: depth stays N (one new vertex per
+    // level, frontier size 1) while the edge set is (K+1)·N rows — so
+    // per-level frontier traffic is negligible against the edge set,
+    // and a regression to re-exchanging edges every level blows the
+    // byte bound by an order of magnitude instead of rounding error.
+    val N = 60L
+    val K = 50
+    val chain = spark.range(0L, N - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val back = spark.range(0L, N).as[Long].flatMap { v =>
+      (1 to K).map(j => (v, math.max(v - j, 0L)))
+    }.toDF("src", "dst").where(col("src") =!= col("dst"))
+    val edges = chain.unionAll(back).localCheckpoint()
+    val edgeBytes = edges.count() * 16 // two longs per row, plan-shape floor
+    val sources = Seq(0L).toDF("vertex")
+
+    val broadcastPath = rowsOf(GraphOps.bfs(edges, sources, maxLocalEdges = 0L))
+
+    @volatile var shuffleWrite = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    // broadcastFrontier=0 forces the shuffled-join path every level;
+    // autoBroadcast off stops the planner from silently broadcasting
+    // the tiny frontier anyway (which would mask a geometry regression)
+    System.setProperty("graft.bfs.broadcastFrontier", "0")
+    val prevAbt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    val shuffledPath =
+      try rowsOf(GraphOps.bfs(edges, sources, maxLocalEdges = 0L))
+      finally {
+        System.clearProperty("graft.bfs.broadcastFrontier")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAbt)
+        Thread.sleep(2000) // listener bus drain (waitUntilEmpty is private[spark])
+        spark.sparkContext.removeSparkListener(listener)
+      }
+
+    assert(shuffledPath === broadcastPath)
+    val levels = shuffledPath.map(_(2).asInstanceOf[Number].longValue).max
+    assert(levels === N - 1, s"chain should give depth ${N - 1}, got $levels")
+    // Re-exchanging the edge set every level writes >= levels × edgeBytes
+    // of shuffle data. The partitioned-edge geometry pays the edge
+    // exchange once plus per-level frontier/visited-sized traffic; half
+    // the naive bound is an ample ceiling that still catches a
+    // regression to per-level edge re-shuffles.
+    assert(shuffleWrite < levels * edgeBytes / 2,
+      s"shuffleWrite=$shuffleWrite levels=$levels edgeBytes=$edgeBytes")
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped materialization catalog shared by the derived-graph
+  * and dedup families: a value derived from a corpus directory is
+  * built once per (session, dir, version) and served to every later
+  * consumer in the session — the engine's equivalent of the
+  * reference's load-once-query-many model. Bounded: a handful of
+  * named entries per scale dir.
+  *
+  * Contract:
+  *  - values are built OUTSIDE the map lock (get/putIfAbsent, not
+  *    computeIfAbsent) so builders may legally nest — a derivation
+  *    that consumes another catalog entry must not deadlock or trip
+  *    ConcurrentHashMap's recursive-update detection;
+  *  - a lost build race serves the winner's value; the loser's
+  *    checkpoint blocks are reclaimed by the ContextCleaner when its
+  *    frame is collected;
+  *  - the key folds in the dir's latest table mtime, so a regenerated
+  *    corpus (ScaleUp rewrites in place) is re-derived instead of
+  *    served stale — superseded entries are bounded (a few per
+  *    regeneration) and dropped with the session;
+  *  - entries are evicted when the owning session's application ends,
+  *    so stopped sessions don't pin frames for the JVM's lifetime.
+  */
+object Materialized {
+
+  private val catalog =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), AnyRef]()
+  private val evictionHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Latest mtime among the dir's table files/dirs — one shallow
+    * directory listing per lookup, O(#tables).
+    */
+  private def dirVersion(dir: String): Long = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return 0L
+    val s = java.nio.file.Files.list(p)
+    try s.mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
+    finally s.close()
+  }
+
+  def of[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A = {
+    val key = (spark, dir, dirVersion(dir), name)
+    val hit = catalog.get(key)
+    if (hit != null) return hit.asInstanceOf[A]
+    if (evictionHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          catalog.keySet.removeIf(_._1 eq spark)
+          evictionHooked.remove(spark)
+        }
+      })
+    }
+    val built = build
+    val prior = catalog.putIfAbsent(key, built)
+    if (prior != null) prior.asInstanceOf[A] else built
+  }
+
+  /** Test/bench hook: drop every materialized entry for `spark`,
+    * forcing the next lookup to re-derive (the cold-catalog bench
+    * mode's reset).
+    */
+  def evict(spark: SparkSession): Unit =
+    catalog.keySet.removeIf(_._1 eq spark)
+}

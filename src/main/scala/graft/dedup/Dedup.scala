@@ -178,6 +178,25 @@ object Dedup {
       m0.where(col("doc_id") === col("rep_id")).select("doc_id", "text"))
   }
 
+  /** Session-scoped collapse + shingle catalog: the exact-duplicate
+    * collapse and the one shingling pass over distinct texts are
+    * identical inputs for the whole text-pair family (Jaccard,
+    * MinHash, SimHash, containment, pipeline, cluster), which
+    * previously each rebuilt them per op — at sf1 the rebuild was the
+    * dominant repeated cost in the four slowest dedup entries. Same
+    * load-once-query-many model as the derived-graph catalog
+    * ([[graft.Materialized]]); generic `docs`-frame entry points below
+    * still build their own collapse, so non-(session, dir) callers
+    * (tests, library users) are unaffected.
+    */
+  private case class Collapsed(members: DataFrame, reps: DataFrame, docArr: DataFrame)
+
+  private def collapsedFor(spark: SparkSession, dir: String): Collapsed =
+    graft.Materialized.of(spark, dir, "dedup:collapse") {
+      val (members, reps) = collapseByText(Tables.documents(spark, dir))
+      Collapsed(members, reps, docShingleArrays(reps).localCheckpoint())
+    }
+
   /** Doc-level expansion of rep-level near-dup pairs (the inverse of
     * [[collapseByText]]): duplicate-group-internal pairs get the
     * identity similarity `selfCols`; cross-group pairs inherit their
@@ -274,11 +293,17 @@ object Dedup {
     // Exact-duplicate collapse first (see [[collapseByText]]), then
     // one shingling pass over the DISTINCT texts, checkpointed: every
     // downstream consumer (inverted index, prefix filter,
-    // verification) reads the compact per-rep array frame. The prefix
-    // filter only needs SOME global shingle order shared by all docs
-    // — (df, hash) works as well as (df, string).
+    // verification) reads the compact per-rep array frame.
     val (members, reps) = collapseByText(docs)
-    val docArr = docShingleArrays(reps).localCheckpoint()
+    jaccardPairsCollapsed(members, docShingleArrays(reps).localCheckpoint(), tau)
+  }
+
+  /** Verified rep-level Jaccard pairs over the per-rep shingle arrays
+    * (doc_a < doc_b, both reps). The prefix filter only needs SOME
+    * global shingle order shared by all docs — (df, hash) works as
+    * well as (df, string).
+    */
+  private def repJaccardPairs(docArr: DataFrame, tau: Double): DataFrame = {
     val prefix = prefixRows(docArr, tau)
     // AllPairs length filter inside the posting join: J ≥ τ forces
     // τ·max(|A|,|B|) ≤ min(|A|,|B|), so size-mismatched pairs never
@@ -290,18 +315,25 @@ object Dedup {
         lit(tau) * greatest(col("na"), col("nb")) <=
           least(col("na"), col("nb")) + lit(1e-9))
       .select("doc_a", "doc_b").distinct()
+    verifyJaccard(cand, docArr, tau)
+  }
+
+  private def jaccardPairsCollapsed(members: DataFrame, docArr: DataFrame,
+      tau: Double): DataFrame = {
     // identical texts are J = 1 pairs when they carry ≥1 shingle;
     // texts shorter than the shingle width never pair (0/0 Jaccard),
     // matching the inverted-index formulation exactly
     val shingled = docArr.where(size(col("sh")) > 0)
       .select(col("doc_id").as("rep_id"))
-    expandRepPairs(verifyJaccard(cand, docArr, tau), members,
+    expandRepPairs(repJaccardPairs(docArr, tau), members,
       Seq(lit(1.0).as("jaccard")), shingled)
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(spark, dir))
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    jaccardPairsCollapsed(c.members, c.docArr, JaccardTau)
+  }
 
   val dedupNgramJaccardSql: String = s"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -329,18 +361,23 @@ object Dedup {
     * case) output equals dedup_ngram_jaccard, so it shares that oracle.
     */
   def minhashLshPairs(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    // Exact-duplicate collapse first (identical texts share identical
+    // signatures, so every copy lands in every band bucket together —
+    // quadratic candidate blowup for zero information)
+    val (members, reps) = collapseByText(docs)
+    minhashPairsCollapsed(members, docShingleArrays(reps).localCheckpoint(), tau)
+  }
+
+  /** Signatures fold inside one pass over the per-rep hash arrays — no
+    * shingle-row shuffle at all; the only exchanges left are the
+    * banded bucket join and the verification sort.
+    */
+  private def minhashPairsCollapsed(members: DataFrame, docArr: DataFrame,
+      tau: Double): DataFrame = {
     val rnd = new scala.util.Random(42)
     val coefs = Array.fill(Perms)(
       (1L + rnd.nextInt(Int.MaxValue - 1).toLong, rnd.nextInt(Int.MaxValue).toLong))
-    // Exact-duplicate collapse first (identical texts share identical
-    // signatures, so every copy lands in every band bucket together —
-    // quadratic candidate blowup for zero information), then
-    // signatures fold inside one pass over the per-rep hash arrays —
-    // no shingle-row shuffle at all; the only exchanges left are the
-    // banded bucket join and the verification sort.
-    val (members, reps) = collapseByText(docs)
-    val docArr = docShingleArrays(reps).localCheckpoint()
-    val spark = docs.sparkSession
+    val spark = docArr.sparkSession
     import spark.implicits._
     // Shingle-less docs (shorter than n words) carry no signature —
     // same as the shingle-row formulation, and it keeps their
@@ -380,8 +417,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
-    minhashLshPairs(Tables.documents(spark, dir))
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    minhashPairsCollapsed(c.members, c.docArr, JaccardTau)
+  }
 
   /** SimHash near-dup pairs: 64-bit frequency-weighted shingle SimHash,
     * candidates via the 4×16-bit pigeonhole blocks (Hamming ≤ 3 pairs
@@ -390,17 +429,23 @@ object Dedup {
   val SimhashMaxHamming = 3
 
   def simhashPairs(docs: DataFrame, maxHamming: Int = SimhashMaxHamming): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     // Exact-duplicate collapse first (identical texts share the exact
     // signature, so copies agree on every pigeonhole block — quadratic
-    // candidates for zero information); then the whole signature folds
-    // inside the shingling pass — per rep: count distinct-gram
-    // frequencies locally, add wt·(±1) into 64 bit sums, pack the
-    // sign vector. No shingle-row shuffle at all (the previous
-    // formulation shuffled every weighted shingle row through a
-    // 64-column aggregation).
+    // candidates for zero information)
     val (members, reps) = collapseByText(docs)
+    simhashPairsCollapsed(members, reps, maxHamming)
+  }
+
+  /** The whole signature folds inside the shingling pass — per rep:
+    * count distinct-gram frequencies locally, add wt·(±1) into 64 bit
+    * sums, pack the sign vector. No shingle-row shuffle at all (the
+    * previous formulation shuffled every weighted shingle row through
+    * a 64-column aggregation).
+    */
+  private def simhashPairsCollapsed(members: DataFrame, reps: DataFrame,
+      maxHamming: Int): DataFrame = {
+    val spark = reps.sparkSession
+    import spark.implicits._
     val packed = reps.select(col("doc_id").cast(LongType), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>
@@ -461,8 +506,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    simhashPairs(Tables.documents(spark, dir))
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    simhashPairsCollapsed(c.members, c.reps, SimhashMaxHamming)
+  }
 
   /** SimHash IS SQL-expressible — every step is integer arithmetic:
     * FNV-1a per word reproduced with `list_reduce` in HUGEINT mod-2^64
@@ -579,22 +626,26 @@ object Dedup {
     */
   def pipelineStatus(docs: DataFrame, tau: Double = JaccardTau,
       qualityTau: Double = QualityTau): DataFrame = {
-    val fp = docs.select(col("doc_id").cast(LongType).as("doc_id"), col("text"))
-      .withColumn("fp", md5(col("text").cast(BinaryType)))
-    val keepIds = fp.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
-    // checkpointed: tagged feeds survivors (consumed twice below) AND
-    // the final status select — without this the md5 groupBy join
-    // re-executes once per consumer
-    val tagged = fp.join(keepIds, "fp")
-      .select(col("doc_id"), col("text"), (col("doc_id") =!= col("keep_id")).as("is_exact_dup"))
-      .localCheckpoint()
-    val survivors = tagged.where(!col("is_exact_dup")).select("doc_id", "text")
-    val nearDup = ngramJaccardPairs(survivors, tau)
+    val (members, reps) = collapseByText(docs)
+    pipelineStatusCollapsed(members, reps,
+      docShingleArrays(reps).localCheckpoint(), tau, qualityTau)
+  }
+
+  /** The exact-dedup stage IS the collapse: survivors = the min-doc_id
+    * representatives, is_exact_dup = doc_id ≠ rep_id. Near-dup removal
+    * then needs only the REP-level verified pairs (a survivor drops if
+    * any lower-id survivor is ≥ τ similar) — no doc-level expansion at
+    * all, so the within-duplicate-group quadratic never appears here.
+    */
+  private def pipelineStatusCollapsed(members: DataFrame, reps: DataFrame,
+      docArr: DataFrame, tau: Double, qualityTau: Double): DataFrame = {
+    val nearDup = repJaccardPairs(docArr, tau)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_near_dup", lit(true))
-    val quality = graft.text.TextAnalysis.qualityScored(survivors)
+    val quality = graft.text.TextAnalysis.qualityScored(reps)
       .select("doc_id", "quality_score")
-    tagged.select("doc_id", "is_exact_dup")
+    members
+      .select(col("doc_id"), (col("doc_id") =!= col("rep_id")).as("is_exact_dup"))
       .join(nearDup, Seq("doc_id"), "left")
       .join(quality, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -605,8 +656,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def dedupPipeline(spark: SparkSession, dir: String): DataFrame =
-    pipelineStatus(Tables.documents(spark, dir))
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    pipelineStatusCollapsed(c.members, c.reps, c.docArr, JaccardTau, QualityTau)
+  }
 
   /** Containment threshold: C(A→B) = |A∩B| / |A| ≥ τ flags A as
     * (near-)contained in B — the partial-copy / quotation detector
@@ -628,7 +681,11 @@ object Dedup {
     // orientations inside a duplicate group (identical texts contain
     // each other at exactly 1.0)
     val (members, reps) = collapseByText(docs)
-    val docArr = docShingleArrays(reps).localCheckpoint()
+    containmentPairsCollapsed(members, docShingleArrays(reps).localCheckpoint(), tau)
+  }
+
+  private def containmentPairsCollapsed(members: DataFrame, docArr: DataFrame,
+      tau: Double): DataFrame = {
     val sh = docArr.select(col("doc_id"), explode(col("sh")).as("s"))
     val prefixA = prefixRows(docArr, tau)
       .select(col("doc_id").as("doc_a"), col("s"))
@@ -651,8 +708,10 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
-    containmentPairs(Tables.documents(spark, dir))
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    containmentPairsCollapsed(c.members, c.docArr, ContainTau)
+  }
 
   /** Duplicate clusters: connected components over the near-dup pair
     * graph (transitive closure — A≈B≈C lands in one cluster even when
@@ -663,22 +722,31 @@ object Dedup {
     * cluster" dedup shape.
     */
   def clusterAssignments(docs: DataFrame, tau: Double = JaccardTau): DataFrame = {
+    val (members, reps) = collapseByText(docs)
+    clusterAssignmentsCollapsed(members,
+      docShingleArrays(reps).localCheckpoint(), tau)
+  }
+
+  private def clusterAssignmentsCollapsed(members: DataFrame, docArr: DataFrame,
+      tau: Double): DataFrame = {
     // checkpointed: connectedComponents consumes the pair frame twice
     // (the adaptive size probe, then the traversal itself) — without
     // this the whole near-dup join pipeline re-executes per consumer
-    val pairs = ngramJaccardPairs(docs, tau)
+    val pairs = jaccardPairsCollapsed(members, docArr, tau)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
     val cc = graft.graph.GraphOps.connectedComponents(pairs)
       .select(col("vertex").as("doc_id"), col("component").as("cluster"))
-    docs.select(col("doc_id").cast(LongType))
+    members.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
 
-  def dedupCluster(spark: SparkSession, dir: String): DataFrame =
-    clusterAssignments(Tables.documents(spark, dir))
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    clusterAssignmentsCollapsed(c.members, c.docArr, JaccardTau)
+  }
 
   val dedupClusterSql: String = s"""
     WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -19,55 +19,14 @@ object DerivedGraphs {
     * named graphs per scale dir; keys hold the owning session so a
     * frame can never be served across sessions.
     */
-  private val catalog =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
-  private val evictionHooked =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
-
-  /** Latest mtime among the dir's table files/dirs. Folding it into the
-    * catalog key means a regenerated corpus (ScaleUp rewrites in place)
-    * gets a fresh derivation instead of a stale frame; superseded
-    * entries are bounded (a few per regeneration) and dropped with the
-    * session. One shallow directory listing per lookup — O(#tables).
-    */
-  private def dirVersion(dir: String): Long = {
-    val p = java.nio.file.Paths.get(dir)
-    if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
-    finally s.close()
-  }
-
-  /** Build-outside-the-lock get/putIfAbsent: computeIfAbsent's mapping
-    * function must not touch other mappings, but derivations legally
-    * nest (supplyEdgesUndirected consumes supplyEdges). A lost race
-    * just serves the winner's frame; the loser's checkpoint blocks are
-    * reclaimed by the ContextCleaner when its frame is collected.
-    */
   private def materialized(spark: SparkSession, dir: String, name: String)(
-      build: => DataFrame): DataFrame = {
-    val key = (spark, dir, dirVersion(dir), name)
-    val hit = catalog.get(key)
-    if (hit != null) return hit
-    if (evictionHooked.add(spark)) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onApplicationEnd(
-            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          catalog.keySet.removeIf(_._1 eq spark)
-          evictionHooked.remove(spark)
-        }
-      })
-    }
-    val built = build.localCheckpoint()
-    val prior = catalog.putIfAbsent(key, built)
-    if (prior != null) prior else built
-  }
+      build: => DataFrame): DataFrame =
+    graft.Materialized.of(spark, dir, s"graph:$name")(build.localCheckpoint())
 
   /** Test/bench hook: drop every derived frame for `spark`, forcing the
     * next lookup to re-derive (the cold-catalog bench mode's reset).
     */
-  def evict(spark: SparkSession): Unit =
-    catalog.keySet.removeIf(_._1 eq spark)
+  def evict(spark: SparkSession): Unit = graft.Materialized.evict(spark)
 
   /** Supply graph: customer → (offset + supplier) for every
     * customer/supplier pair connected through an order. Bipartite,

@@ -49,23 +49,47 @@ object Streaming {
     * deployment sizes this to key cardinality / executor count; these
     * gate streams are small.
     */
-  private def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+  private def withStatePartitions[A](spark: SparkSession, n: Int,
+      store: String = "default")(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, n.toString)
-    try withStateStore(spark)(f) finally spark.conf.set(key, prev)
+    try withStateStore(spark, store)(f) finally spark.conf.set(key, prev)
   }
 
   /** State shard count for the gate streams. Streaming state is
     * sharded by the shuffle-partition setting at query START and never
-    * AQE-coalesced, so it must track key cardinality / executor count,
-    * not data volume: 4 covers the gate's few-thousand-key drains;
-    * `spark.graft.stateShards` / `GRAFT_STATE_SHARDS` re-sizes for
-    * larger corpora (the ScaleUp events table carries ~150k keys).
+    * AQE-coalesced, so it must track key cardinality / executor
+    * count, not be hard-coded: auto-sized from the staged events
+    * table's on-disk bytes (key cardinality scales with corpus rows
+    * here) at ~2 MB of compressed input per shard — the ratio at
+    * which the hand-tuned sf3 drains landed (64 MB / 32 shards),
+    * floored at 4 (the gate's few-thousand-key drains) and capped at
+    * the session's core count (more state-store tasks than cores only
+    * adds per-microbatch scheduling). `spark.graft.stateShards` /
+    * `GRAFT_STATE_SHARDS` still overrides both ways.
     */
-  private def stateShards(spark: SparkSession, default: Int = 4): Int =
+  private def stateShards(spark: SparkSession, dir: String): Int =
     spark.conf.getOption("spark.graft.stateShards")
-      .orElse(sys.env.get("GRAFT_STATE_SHARDS")).map(_.toInt).getOrElse(default)
+      .orElse(sys.env.get("GRAFT_STATE_SHARDS")).map(_.toInt)
+      .getOrElse {
+        val bytes = tableBytes(s"$dir/events.parquet")
+        val cores = spark.sparkContext.defaultParallelism
+        math.max(4, math.min(cores, math.ceil(bytes / (2 << 20).toDouble).toInt))
+      }
+
+  /** On-disk bytes of a table path (single parquet file, or a
+    * Spark-written directory of part files).
+    */
+  private def tableBytes(path: String): Long = {
+    val p = Paths.get(path)
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.mapToLong(f => if (Files.isRegularFile(f)) Files.size(f) else 0L).sum()
+      finally s.close()
+    } else if (Files.isRegularFile(p)) Files.size(p)
+    else 0L
+  }
 
   /** processAllAvailable + (env-gated) per-query state metrics — rows
     * and bytes per stateful operator from the last progress, the
@@ -88,16 +112,21 @@ object Streaming {
   /** State-store selection for every streaming op: Spark's default
     * HDFS-backed in-memory provider, or RocksDB when
     * `spark.graft.stateStore=rocksdb` (session conf) or
-    * `GRAFT_STATE_STORE=rocksdb` (env) says so. The default store
-    * holds all state on-heap — right for the gate's bounded drains;
-    * RocksDB spills to local disk with incremental checkpointing and
-    * is the production answer once per-shard key spaces outgrow
-    * executor heap (the 100 TB shape). EventsStreamingSpec pins
-    * result equality across both providers.
+    * `GRAFT_STATE_STORE=rocksdb` (env) says so — explicit settings
+    * win over the per-op `defaultChoice`. The default store holds all
+    * state on-heap — right for bounded-state drains; RocksDB spills
+    * to local disk with incremental checkpointing and is the
+    * production answer once per-shard key spaces outgrow executor
+    * heap (the 100 TB shape) — so the two ops whose state grows with
+    * rate×interval rather than key count (stream_join_recent's
+    * symmetric join buffers, stream_dedup_watermark's key log)
+    * default to it. EventsStreamingSpec pins result equality across
+    * both providers.
     */
-  private def withStateStore[A](spark: SparkSession)(f: => A): A = {
+  private def withStateStore[A](spark: SparkSession,
+      defaultChoice: String = "default")(f: => A): A = {
     val choice = spark.conf.getOption("spark.graft.stateStore")
-      .orElse(sys.env.get("GRAFT_STATE_STORE")).getOrElse("default")
+      .orElse(sys.env.get("GRAFT_STATE_STORE")).getOrElse(defaultChoice)
     if (choice.equalsIgnoreCase("rocksdb")) {
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
@@ -190,7 +219,7 @@ object Streaming {
     * result as the batch `q_events_window`, minus the distinct-user
     * count (DISTINCT aggregates are unsupported in streaming aggs).
     */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-win")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -220,7 +249,7 @@ object Streaming {
     * integer cents so state-order summation matches the decimal
     * oracle bit-for-bit.
     */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     import spark.implicits._
     val gap = Events.GapSec
     val schema = Tables.events(spark, dir).schema
@@ -288,7 +317,7 @@ object Streaming {
     * watermark operator so they advance event time without
     * contributing to any real window.
     */
-  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-append")
     val agg = spark.readStream.schema(schema).parquet(inDir)
@@ -328,7 +357,8 @@ object Streaming {
     * lookback. Inner-join matches emit as rows arrive, so the bounded
     * drain needs no sentinel flush.
     */
-  def streamJoinRecent(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamJoinRecent(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, stateShards(spark, dir), store = "rocksdb") {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-join")
     def side(tpe: String, prefix: String) =
@@ -370,7 +400,7 @@ object Streaming {
     * unbounded-key production stream would use
     * `dropDuplicatesWithinWatermark` to cap state.
     */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedup")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -394,7 +424,8 @@ object Streaming {
     * here covers the whole corpus span, so the bounded drain dedups
     * exactly like the global DISTINCT oracle.
     */
-  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame =
+    withStatePartitions(spark, stateShards(spark, dir), store = "rocksdb") {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedupwm")
     val src = spark.readStream.schema(schema).parquet(inDir)
@@ -427,7 +458,7 @@ object Streaming {
     * aggregation beyond sessionization: the state is a conditional
     * fold, not a gap partition.
     */
-  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-funnel")
@@ -503,7 +534,7 @@ object Streaming {
     * "last write wins". The value rides through untouched (no
     * arithmetic), so it is bit-identical to the batch argmax oracle.
     */
-  def streamLatestState(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark)) {
+  def streamLatestState(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-latest")

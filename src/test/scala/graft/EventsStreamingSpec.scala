@@ -91,4 +91,19 @@ class EventsStreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.stateStore")
     assert(sessDefault.nonEmpty && dedupDefault.nonEmpty)
   }
+
+  // The two rate×interval-state ops default to RocksDB (their state
+  // grows with buffered rows, not key count); the explicit conf must
+  // still force them back on-heap with identical results, so the
+  // on-heap path stays covered after the default flip.
+  test("RocksDB-default ops agree when forced back to the on-heap store") {
+    val joinRocks = rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir))
+    val dedupWmRocks = rowsOf(streaming.Streaming.streamDedupWatermark(spark, sfDir))
+    spark.conf.set("spark.graft.stateStore", "default")
+    try {
+      assert(rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir)) === joinRocks)
+      assert(rowsOf(streaming.Streaming.streamDedupWatermark(spark, sfDir)) === dedupWmRocks)
+    } finally spark.conf.unset("spark.graft.stateStore")
+    assert(joinRocks.nonEmpty && dedupWmRocks.nonEmpty)
+  }
 }

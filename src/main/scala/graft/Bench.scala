@@ -18,8 +18,10 @@ import scala.util.control.NonFatal
   *    had parsed:null for exactly that).
   *  - BENCH_FULL.json: the full detail ("metric":"total_detail" so a
   *    scanner that reads every JSON line never double-counts it as a
-  *    second "total"), with queries (=median), queries_min, and the
-  *    per-run totals.
+  *    second "total"), with queries (=median), queries_min,
+  *    queries_cold_catalog (per-op first-touch times for the
+  *    catalog-backed graph/dedup families, catalog evicted before
+  *    each op), and the per-run totals.
   */
 object Bench {
   private def f2(v: Double): String = {
@@ -55,7 +57,9 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
 
-    def runSuite(): Seq[(String, Double)] = queries.map { case (name, fn) =>
+    def runOps(ops: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        beforeEach: () => Unit = () => ()): Seq[(String, Double)] = ops.map { case (name, fn) =>
+      beforeEach()
       val t0 = System.nanoTime()
       // Fingerprint action, not count(): hashing every column forces the
       // full projection to be computed (count() lets Catalyst prune
@@ -73,6 +77,8 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
+    def runSuite(): Seq[(String, Double)] = runOps(queries)
+
     val runs: Seq[Seq[(String, Double)]] = (1 to repeats).map { i =>
       val r = runSuite()
       System.err.println(s"BENCH run $i/$repeats: total ${f2(r.map(_._2).sum)} s")
@@ -84,6 +90,20 @@ object Bench {
     val mins = queries.map { case (name, _) => name -> byName(name).min }
     val total = med.map(_._2).sum
 
+    // Cold-catalog pass: the session catalogs (derived graphs, dedup
+    // collapse) make steady-state queries sub-second — which also
+    // means the medians above partly measure warm-catalog behavior.
+    // One extra pass over the catalog-backed families with the
+    // catalog evicted before EVERY op records each op's first-touch
+    // cost explicitly, so derivation can't hide behind a warm
+    // catalog. One pass, not repeats: these numbers gate plan shape
+    // (is the derivation itself scale-sane), not the regression total.
+    val catalogOps = queries.filter { case (n, _) =>
+      n.startsWith("graph_") || n.startsWith("dedup_") }
+    val cold = runOps(catalogOps, beforeEach = () => Materialized.evict(spark))
+    val coldTotal = cold.map(_._2).sum
+    System.err.println(s"BENCH cold-catalog pass: total ${f2(coldTotal)} s")
+
     def qmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val runTotals = runs.map(r => f2(r.map(_._2).sum)).mkString("[", ",", "]")
@@ -91,7 +111,7 @@ object Bench {
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     val full =
-      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)}$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)},"queries_cold_catalog":${qmap(cold)}$fs,"sf":"$sfDir"}"""
     // Full detail goes ONLY to the file: printing it to stdout risks a
     // truncated half-JSON line in the bounded tail capture.
     try {
@@ -102,7 +122,7 @@ object Bench {
       case NonFatal(e) => // bench must not fail on an unwritable cwd
         System.err.println(s"BENCH: could not write BENCH_FULL.json: $e")
     }
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"n_queries":${queries.size},"n_failed":${failed.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"n_queries":${queries.size},"n_failed":${failed.size},"cold_catalog_total":${f2(coldTotal)},"n_cold":${catalogOps.size},"sf":"$sfDir","queries_file":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

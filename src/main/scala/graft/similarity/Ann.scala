@@ -476,21 +476,68 @@ object Ann {
     */
   def knnJoinLsh(emb: DataFrame, n: Long, k: Int = KnnJoinK,
       tables: Int = KnnLshTables): DataFrame = {
+    // Exact-duplicate collapse first (the dedup family's design):
+    // identical vectors share every hyperplane key, so the bucket
+    // self-join pays (copy count)² candidate pairs per distinct
+    // vector for zero information — 7.5× time for 3× data on the
+    // 30-copy ScaleUp corpus. Reps generate and rerank candidates;
+    // the expansion back to individuals only ever joins each group's
+    // k+1 lowest-id members, because equal-score ties rank by vec_id
+    // — a member beyond its group's first k+1 ids can never enter
+    // any top-k list.
+    val wg = Window.partitionBy(col("embedding"))
+    val m = emb.select(col("vec_id").cast(LongType).as("vec_id"), col("embedding"))
+      .withColumn("rep_id", min("vec_id").over(wg))
+      .withColumn("grk", row_number().over(wg.orderBy(col("vec_id"))))
+      .localCheckpoint()
+    val reps = m.where(col("vec_id") === col("rep_id")).select("vec_id", "embedding")
+    val nReps = reps.count()
     val bits = math.min(20, math.max(4,
-      (math.log(math.max(n, 2L).toDouble / 32.0) / math.log(2.0)).ceil.toInt))
-    val keyed = lshKeyed(emb, tables, bits, seed = 13L)
+      (math.log(math.max(nReps, 2L).toDouble / 32.0) / math.log(2.0)).ceil.toInt))
+    val keyed = lshKeyed(reps, tables, bits, seed = 13L)
     val cand = keyed
       .join(keyed.select(col("vec_id").as("qid"), col("tbl"), col("key")), Seq("tbl", "key"))
       .where(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id").distinct()
-    val vecs = withNorm(emb)
-    val scored = cand
+    val vecs = withNorm(reps)
+    val repScored = cand
       .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
       .join(vecs, "vec_id")
       .withColumn("score",
         round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
-      .select("qid", "vec_id", "score")
-    globalTopK(scored, k)
+      .select(col("qid").as("qrep"), col("vec_id").as("nrep"), col("score"))
+    // each group's self-score through the exact rerank formula (1.0
+    // for any nonzero vector; NaN for a zero vector, faithfully to
+    // the uncollapsed pairwise path)
+    val selfScore = vecs.select(col("vec_id").as("rep_id"),
+      (round(expr("graft_dot(v, v)") / (col("nrm") * col("nrm")), 6) + 0.0).as("sscore"))
+    // Prune to the top-k rep neighbors per query rep BEFORE expanding
+    // to individuals (otherwise the expansion is |rep pairs| × copies
+    // — the blowup the collapse was supposed to remove). Exact: rep
+    // pairs rank by (score desc, rep_id asc), and since rep_id is its
+    // group's MINIMUM member id, the k smallest member ids across any
+    // set of equal-score groups lie inside the groups with the k
+    // smallest rep ids — every pruned group already has k individuals
+    // ranked strictly ahead of all of its members.
+    val wq = Window.partitionBy(col("qrep")).orderBy(col("score").desc, col("nrep"))
+    val repTop = repScored.withColumn("rr", row_number().over(wq))
+      .where(col("rr") <= k).drop("rr")
+    val top = m.where(col("grk") <= k + 1).select(col("rep_id"), col("vec_id"))
+    val qMembers = m.select(col("rep_id").as("qrep"), col("vec_id").as("qid"))
+    // cross-group: every individual of the query group × the k+1
+    // lowest ids of the neighbor group, at the rep pair's exact score
+    val cross = repTop
+      .join(top.select(col("rep_id").as("nrep"), col("vec_id").as("nid")), "nrep")
+      .join(qMembers, "qrep")
+      .select(col("qid"), col("nid").as("vec_id"), col("score"))
+    // within-group: each individual × its group's k+1 lowest ids
+    // minus itself, at the group's self-score
+    val within = m.select(col("rep_id"), col("vec_id").as("qid"))
+      .join(top.select(col("rep_id"), col("vec_id").as("nid")), "rep_id")
+      .where(col("qid") =!= col("nid"))
+      .join(selfScore, "rep_id")
+      .select(col("qid"), col("nid").as("vec_id"), col("sscore").as("score"))
+    globalTopK(cross.unionAll(within), k)
   }
 
   def annKnnJoin(spark: SparkSession, dir: String): DataFrame =

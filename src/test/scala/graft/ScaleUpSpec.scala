@@ -33,6 +33,12 @@ class ScaleUpSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       ScaleUp.replicate(shifted, Seq("k"), 2)
     }
-    assert(e.getMessage.contains("Stride"))
+    assert(e.getMessage.contains("would collide"))
+    // negative keys alias across copies too (-5 + Stride == Stride-5 + 0)
+    val negative = Seq((-5L, "x"), (7L, "y")).toDF("k", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      ScaleUp.replicate(negative, Seq("k"), 2)
+    }
+    assert(e2.getMessage.contains("would collide"))
   }
 }

@@ -106,6 +106,43 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  // The LSH path's collapse/expansion on a duplicate-heavy corpus
+  // (the ScaleUp shape): with interleaved copy ids, groups both
+  // larger and smaller than k+1, and a near-identical distinct pair,
+  // the collapsed path must equal the exact path EXACTLY — group-mate
+  // neighbors come from the rank-arithmetic within-expansion, cross
+  // neighbors from rep pruning by (score desc, rep_id asc), and ties
+  // rank by vec_id in both paths. Deterministic: planes and LSH keys
+  // are seeded.
+  test("knnJoin LSH path equals exact path on a duplicate-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    def unit(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = unit(1)
+    // cos ≈ 0.999 vs base: near-identical (LSH collision ~certain with
+    // the seeded planes) but safely below 1.0 after round6, so the
+    // cross scores can't tie with the within-group 1.0s
+    val near = base.clone(); near(0) = near(0) + 0.05f
+    // far groups carry ≥ k+1 copies so their top-k is within-group by
+    // construction — cross-group recall is only load-bearing for the
+    // near pair, where it is deterministic
+    val groups: Seq[(Array[Float], Int)] =
+      Seq((base, 6), (near, 2)) ++ (2 until 8).map(g => (unit(g * 11), 4))
+    val emb = groups.zipWithIndex.flatMap { case ((v, copies), g) =>
+      (0 until copies).map(c => (c * 1000L + g, v.toSeq))
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Ann.knnJoin(emb)) // 26 rows ≤ broadcast bound
+    val lsh = rows(Ann.knnJoin(emb, maxBroadcastRows = 0L))
+    assert(lsh === exact)
+  }
+
   test("rangeSearch returns exactly the brute-force pairs at/above tau") {
     val emb = Tables.embeddings(spark, sfDir)
     val tau = Ann.RangeTau

@@ -90,6 +90,33 @@ class DedupSpec extends SparkSpec {
     assert(out.count() === Tables.embeddings(spark, sfDir).count())
   }
 
+  // The collapse-first formulation's own arithmetic, on a corpus
+  // shaped like ScaleUp (identical copies with interleaved ids plus
+  // one near-identical distinct pair): identical-twin priors come
+  // from the rank over the collapse window, cross-group priors from
+  // the expanded distinct-pair verdicts — closed-form checkable.
+  test("embeddingDupSummary on a duplicate-heavy corpus: exact prior counts") {
+    val s = spark
+    import s.implicits._
+    val u = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val uEps = u.clone(); uEps(0) = uEps(0) + 1e-4f // cos ≈ 1 > τ vs u
+    val far = Array.tabulate(16)(i => math.cos(5 * i + 2).toFloat)
+    // group A = copies of u at ids {0, 100}; group B = copies of uEps
+    // at ids {1, 101} (interleaved with A); group C far, ids {2, 102}
+    val emb = Seq(
+      (0L, u.toSeq), (100L, u.toSeq),
+      (1L, uEps.toSeq), (101L, uEps.toSeq),
+      (2L, far.toSeq), (102L, far.toSeq)
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDupSummary(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // A: id 0 first everywhere → 0; id 100: twin {0} + B-below {1} = 2
+    // B: id 1: A-below {0} = 1;  id 101: twin {1} + A-below {0,100} = 3
+    // C: far from both → twins only
+    assert(out === Map(0L -> 0L, 100L -> 2L, 1L -> 1L, 101L -> 3L,
+      2L -> 0L, 102L -> 1L))
+  }
+
   test("pipelineStatus labels each doc with the first rejecting stage") {
     val s = spark
     import s.implicits._

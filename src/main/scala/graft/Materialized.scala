@@ -31,15 +31,31 @@ object Materialized {
   private val evictionHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Latest mtime among the dir's table files/dirs — one shallow
-    * directory listing per lookup, O(#tables).
+  /** Fingerprint of the dir's table files: name, size, and mtime of
+    * every entry down to the part files (depth 2 — Spark-written table
+    * dirs hold their part files directly). A max-mtime probe would
+    * serve stale frames when a corpus is regenerated within the
+    * filesystem's mtime granularity, or when a part file is rewritten
+    * in place without touching its parent dir's mtime; hashing
+    * (name, size, mtime) per file catches both. O(#files) stat calls
+    * per lookup — hundreds at most, microseconds against the frames
+    * this catalog holds.
     */
   private def dirVersion(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.list(p)
-    try s.mapToLong(f => java.nio.file.Files.getLastModifiedTime(f).toMillis).max.orElse(0L)
-    finally s.close()
+    val s = java.nio.file.Files.walk(p, 2)
+    try {
+      var h = 1125899906842597L
+      val it = s.sorted().iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        h = h * 31 + f.getFileName.toString.hashCode
+        h = h * 31 + java.nio.file.Files.getLastModifiedTime(f).toMillis
+        h = h * 31 + (if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L)
+      }
+      h
+    } finally s.close()
   }
 
   def of[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A = {

@@ -113,6 +113,13 @@ object GraphOps {
       if (eBySrc == null) {
         eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
+        // The unpartitioned copy is now redundant: a later
+        // broadcast-sized level joins eBySrc just as well (broadcast
+        // joins ignore the probe side's partitioning), and holding
+        // both would double cached edge storage for the rest of the
+        // traversal — at web-graph scale that's the difference
+        // between fitting in storage memory and spilling.
+        e.unpersist()
       }
       eBySrc
     }
@@ -121,7 +128,7 @@ object GraphOps {
       val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
       val small = frontierRows <= broadcastFrontier
       val f = if (small) broadcast(frontier) else frontier
-      val ej = if (small) e else partitionedEdges()
+      val ej = if (small && eBySrc == null) e else partitionedEdges()
       val nextRaw = ej.join(f, ej("src") === f("vertex"))
         .select(col("tag"), col("dst").as("vertex")).distinct()
         .join(visited, Seq("tag", "vertex"), "left_anti")

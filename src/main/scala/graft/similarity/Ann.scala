@@ -454,7 +454,7 @@ object Ann {
     val src = emb.select(col("vec_id").cast(LongType), col("embedding"))
       .localCheckpoint() // counted, then re-read by whichever path wins
     val n = src.count()
-    if (n > maxBroadcastRows) return knnJoinLsh(src, n, k)
+    if (n > maxBroadcastRows) return knnJoinLsh(src, k)
     val all = src.collect()
       .map { r =>
         val v = r.getSeq[Float](1).toArray
@@ -466,15 +466,16 @@ object Ann {
   }
 
   /** Distributed kNN self-join: bucket self-join on hyperplane keys →
-    * exact cosine rerank → top-k. Bits per key scale with the corpus
-    * (`bits ≈ log2(n / 32)`, clamped to [4, 20]) so expected bucket
+    * exact cosine rerank → top-k. Bits per key scale with the DISTINCT
+    * vector count after the exact-duplicate collapse below
+    * (`bits ≈ log2(nReps / 32)`, clamped to [4, 20]) so expected bucket
     * population — and with it the candidate-join work, tables × Σ
     * bucket² — stays ~constant per row as n grows; the few-query
     * [[lshTopK]] keeps fewer bits because only query buckets are
     * probed there. No driver state: keys, candidates, and rerank are
     * all shuffle joins.
     */
-  def knnJoinLsh(emb: DataFrame, n: Long, k: Int = KnnJoinK,
+  def knnJoinLsh(emb: DataFrame, k: Int = KnnJoinK,
       tables: Int = KnnLshTables): DataFrame = {
     // Exact-duplicate collapse first (the dedup family's design):
     // identical vectors share every hyperplane key, so the bucket

@@ -66,7 +66,8 @@ object Streaming {
     * which the hand-tuned sf3 drains landed (64 MB / 32 shards),
     * floored at 4 (the gate's few-thousand-key drains) and capped at
     * the session's core count (more state-store tasks than cores only
-    * adds per-microbatch scheduling). `spark.graft.stateShards` /
+    * adds per-microbatch scheduling; the cap beats the floor on
+    * sub-4-core sessions). `spark.graft.stateShards` /
     * `GRAFT_STATE_SHARDS` still overrides both ways.
     */
   private def stateShards(spark: SparkSession, dir: String): Int =
@@ -75,7 +76,11 @@ object Streaming {
       .getOrElse {
         val bytes = tableBytes(s"$dir/events.parquet")
         val cores = spark.sparkContext.defaultParallelism
-        math.max(4, math.min(cores, math.ceil(bytes / (2 << 20).toDouble).toInt))
+        // Cap outermost: on a session with fewer than 4 cores the core
+        // cap must win over the floor, or the sizing hands out more
+        // state-store tasks than cores — the exact overhead it exists
+        // to avoid.
+        math.max(1, math.min(cores, math.max(4, math.ceil(bytes / (2 << 20).toDouble).toInt)))
       }
 
   /** On-disk bytes of a table path (single parquet file, or a

@@ -17,10 +17,10 @@ import org.apache.spark.sql.SparkSession
   *  - a lost build race serves the winner's value; the loser's
   *    checkpoint blocks are reclaimed by the ContextCleaner when its
   *    frame is collected;
-  *  - the key folds in the dir's latest table mtime, so a regenerated
-  *    corpus (ScaleUp rewrites in place) is re-derived instead of
-  *    served stale — superseded entries are bounded (a few per
-  *    regeneration) and dropped with the session;
+  *  - the key folds in a (name, size, mtime) fingerprint of the dir's
+  *    files, so a regenerated corpus (ScaleUp rewrites in place) is
+  *    re-derived instead of served stale — superseded entries are
+  *    bounded (a few per regeneration) and dropped with the session;
   *  - entries are evicted when the owning session's application ends,
   *    so stopped sessions don't pin frames for the JVM's lifetime.
   */

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+/** Pins the session catalog's contract: hits are served without
+  * rebuilding, evict forces a re-derive, and corpus regeneration
+  * invalidates even in the two shapes a max-mtime probe misses —
+  * a rewrite landing inside the same mtime tick, and an in-place
+  * part-file rewrite that never touches its parent dirs' mtimes.
+  */
+class MaterializedSpec extends SparkSpec {
+
+  private def corpus(): (Path, Path) = {
+    val dir = Files.createTempDirectory("mat_spec")
+    val table = Files.createDirectory(dir.resolve("t.parquet"))
+    val part = Files.write(table.resolve("part-00000"), Array.fill[Byte](64)(1))
+    (dir, part)
+  }
+
+  test("hits are served without rebuilding; evict forces a re-derive") {
+    val (dir, _) = corpus()
+    var builds = 0
+    def get(): String =
+      Materialized.of(spark, dir.toString, "hit") { builds += 1; s"v$builds" }
+    assert(get() === "v1")
+    assert(get() === "v1")
+    assert(builds === 1)
+    Materialized.evict(spark)
+    assert(get() === "v2")
+  }
+
+  test("regeneration within the same mtime tick still invalidates (size changed)") {
+    val (dir, part) = corpus()
+    var builds = 0
+    def get(): String =
+      Materialized.of(spark, dir.toString, "tick") { builds += 1; s"v$builds" }
+    assert(get() === "v1")
+    // Regenerate with different content size, then pin every mtime back
+    // to its pre-rewrite value — the same-tick shape (1s granularity on
+    // some filesystems). A max-mtime version probe sees no change.
+    val stamps = Seq(dir, part.getParent, part).map(p =>
+      p -> Files.getLastModifiedTime(p))
+    Files.write(part, Array.fill[Byte](128)(2))
+    stamps.foreach { case (p, t) => Files.setLastModifiedTime(p, t) }
+    assert(get() === "v2", "same-tick regeneration must re-derive, not serve stale")
+  }
+
+  test("in-place part rewrite invalidates without any parent-dir mtime change") {
+    val (dir, part) = corpus()
+    var builds = 0
+    def get(): String =
+      Materialized.of(spark, dir.toString, "inplace") { builds += 1; s"v$builds" }
+    assert(get() === "v1")
+    // Same size, same name: only the part file's own mtime moves.
+    // Parent mtimes are pinned back, so a shallow listing of the corpus
+    // dir sees an identical snapshot; only the depth-2 fingerprint
+    // reaches the part file.
+    val dirStamps = Seq(dir, part.getParent).map(p =>
+      p -> Files.getLastModifiedTime(p))
+    Files.write(part, Array.fill[Byte](64)(3))
+    Files.setLastModifiedTime(part,
+      FileTime.fromMillis(Files.getLastModifiedTime(part).toMillis + 5000))
+    dirStamps.foreach { case (p, t) => Files.setLastModifiedTime(p, t) }
+    assert(get() === "v2", "a rewritten part file must re-derive, not serve stale")
+  }
+}

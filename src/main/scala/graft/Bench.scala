@@ -114,7 +114,8 @@ object Bench {
       beforeEach = () => { Materialized.evict(spark); System.gc() },
       sink = coldFailed)
     val coldTotal = cold.map(_._2).sum
-    System.err.println(s"BENCH cold-catalog pass: total ${f2(coldTotal)} s")
+    System.err.println(s"BENCH cold-catalog pass: total ${f2(coldTotal)} s" +
+      (if (coldFailed.isEmpty) "" else s", FAILED: ${coldFailed.mkString(",")}"))
 
     def qmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")

@@ -32,30 +32,49 @@ object Materialized {
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Fingerprint of the dir's table files: name, size, and mtime of
-    * every entry down to the part files (depth 2 — Spark-written table
-    * dirs hold their part files directly). A max-mtime probe would
-    * serve stale frames when a corpus is regenerated within the
-    * filesystem's mtime granularity, or when a part file is rewritten
-    * in place without touching its parent dir's mtime; hashing
-    * (name, size, mtime) per file catches both. O(#files) stat calls
-    * per lookup — hundreds at most, microseconds against the frames
-    * this catalog holds.
+    * every file in the tree (unbounded walk, so nested layouts like
+    * Hive-partitioned `table/key=X/part-*` are covered too — a corpus
+    * dir holds at most a few thousand entries, so the stat cost stays
+    * microseconds against the frames this catalog holds). A max-mtime
+    * probe would serve stale frames when a corpus is regenerated
+    * within the filesystem's mtime granularity, or when a part file
+    * is rewritten in place without touching its parent dir's mtime;
+    * hashing (name, size, mtime) per file catches both.
+    *
+    * Races with an in-flight regeneration (ScaleUp rewrites in place)
+    * must not crash the calling query: a file that vanishes between
+    * enumeration and stat is skipped, and if the walk itself dies on a
+    * vanished subtree the version falls back to a nanoTime nonce —
+    * the lookup re-derives (never stale, never a crash) and the
+    * one-off entry is dropped with the session.
     */
   private def dirVersion(dir: String): Long = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) return 0L
-    val s = java.nio.file.Files.walk(p, 2)
     try {
-      var h = 1125899906842597L
-      val it = s.sorted().iterator()
-      while (it.hasNext) {
-        val f = it.next()
-        h = h * 31 + f.getFileName.toString.hashCode
-        h = h * 31 + java.nio.file.Files.getLastModifiedTime(f).toMillis
-        h = h * 31 + (if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L)
-      }
-      h
-    } finally s.close()
+      val s = java.nio.file.Files.walk(p)
+      try {
+        var h = 1125899906842597L
+        val it = s.sorted().iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          try {
+            val mtime = java.nio.file.Files.getLastModifiedTime(f).toMillis
+            val size =
+              if (java.nio.file.Files.isRegularFile(f)) java.nio.file.Files.size(f) else 0L
+            h = h * 31 + f.getFileName.toString.hashCode
+            h = h * 31 + mtime
+            h = h * 31 + size
+          } catch {
+            case _: java.io.IOException => // vanished mid-walk: skip
+          }
+        }
+        h
+      } finally s.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        System.nanoTime()
+    }
   }
 
   def of[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A = {

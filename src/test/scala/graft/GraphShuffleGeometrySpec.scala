@@ -118,10 +118,14 @@ class GraphShuffleGeometrySpec extends SparkSpec {
     // ~levels × the COMPRESSED edge set; LZ4 on two-long rows buys a
     // few ×, so that regime lands at 10-30 × edgeBytes. The old bound
     // (levels × edgeBytes / 2 ≈ 29 × edgeBytes) sat inside the
-    // regressed band; 4 × edgeBytes cleanly separates the two.
+    // regressed band; 6 × edgeBytes separates the two while leaving
+    // ~3× headroom over the measured healthy value for serialization/
+    // file-overhead drift (per-task overheads scale with shuffle
+    // partitions × levels, so a tighter bound would couple the spec
+    // to the session's partition tuning).
     info(s"shuffleWrite=$shuffleWrite edgeBytes=$edgeBytes levels=$levels " +
-      s"(bound=${4 * edgeBytes}, regressed band ≈ ${10 * edgeBytes}+)")
-    assert(shuffleWrite < 4 * edgeBytes,
+      s"(bound=${6 * edgeBytes}, regressed band ≈ ${10 * edgeBytes}+)")
+    assert(shuffleWrite < 6 * edgeBytes,
       s"shuffleWrite=$shuffleWrite levels=$levels edgeBytes=$edgeBytes")
   }
 }

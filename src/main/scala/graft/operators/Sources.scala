@@ -92,6 +92,21 @@ object Sources {
     summarize(readCsv(spark, out))
   }
 
+  /** documents → ORC sink → ORC source → agg: the second columnar
+    * format next to parquet. ORC is binary and typed, so the round
+    * trip is lossless by construction (no dialect pinning needed —
+    * nulls, empty strings, newlines, and the CSV `\N` sentinel all
+    * survive; the md5 fingerprint still proves it against the parquet
+    * oracle). Scale shape matches parquet: splittable stripes,
+    * column pruning, min/max predicate pushdown — the explicit schema
+    * skips the footer-merge inference pass over every file.
+    */
+  def sourceOrc(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${scratch("orc")}/docs"
+    Tables.documents(spark, dir).write.mode("overwrite").orc(out)
+    summarize(spark.read.schema(DocSchema).orc(out))
+  }
+
   /** Bucketed-table layout: write orders and lineitem bucketed (8
     * buckets) AND sorted by the join key, then sort-merge-join them
     * with NO shuffle on either side — Spark reads each bucket pair
@@ -168,6 +183,7 @@ object Sources {
   def ops: Seq[Op] = Seq(
     Op("source_jsonl", sourceJsonl, Some(summarizeSql)),
     Op("source_csv", sourceCsv, Some(summarizeSql)),
+    Op("source_orc", sourceOrc, Some(summarizeSql)),
     Op("source_bucketed", bucketedJoin, Some(bucketedJoinSql)),
     Op("source_partitioned", partitionedScan, Some(partitionedScanSql)),
   )

@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
 
-  test("jsonl and csv round-trips preserve the corpus byte-exactly") {
+  test("jsonl, csv, and orc round-trips preserve the corpus byte-exactly") {
     val direct = rowsOf(Sources.summarize(Tables.documents(spark, sfDir)))
     assert(rowsOf(Sources.sourceJsonl(spark, sfDir)) === direct)
     assert(rowsOf(Sources.sourceCsv(spark, sfDir)) === direct)
+    assert(rowsOf(Sources.sourceOrc(spark, sfDir)) === direct)
   }
 
   test("csv dialect survives newline / quote / empty / null / sentinel texts") {

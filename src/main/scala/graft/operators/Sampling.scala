@@ -95,8 +95,57 @@ object Sampling {
     SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn, n_chars
     FROM ranked WHERE rn <= (SELECT k FROM k) ORDER BY doc_id"""
 
+  /** Sample size for the weighted sample below. */
+  val WeightedK = 100
+
+  /** Weighted sample without replacement (Efraimidis & Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each doc
+    * draws u ∈ (0, 1] from its salted md5 and is ranked by
+    * key = ln(u)/w with weight w = n_chars + 1, so the top-k by key
+    * is a without-replacement sample where longer documents are
+    * proportionally likelier — the "sample by quality score" primitive
+    * of a training-data pipeline (swap w for any positive score).
+    *
+    * Cross-engine determinism: u's numerator is the first 13 hex
+    * digits (52 bits) of the md5, an integer both engines represent
+    * EXACTLY in a double, +1 so u is never 0 (Spark's ln(0) is null
+    * while DuckDB's errors); from identical u and integer w, ln and
+    * the division agree to the last ulp, and key gaps at gate scale
+    * are ~1e-4 — libm drift (~1e-16) cannot reorder the selection
+    * boundary. (Float keys are new here: the split/stratified ops
+    * above stay on pure hex-string order, but E-S needs the log.)
+    *
+    * Scale shape: orderBy + limit plans as TakeOrderedAndProject —
+    * per-partition bounded heaps and one k-sized merge, no global
+    * sort, same 100 TB story as the text_vocab top-k.
+    */
+  def qSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("wsample:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val v = conv(substring(h, 1, 13), 16, 10).cast(DoubleType)
+    val u = (v + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    val key = log(u) / (coalesce(col("n_chars"), lit(0L)).cast(DoubleType) + lit(1.0))
+    Tables.documents(spark, dir)
+      .withColumn("k", key)
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(WeightedK)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qSampleWeightedSql: String = s"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+        ln((('0x' || substr(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 1.0)
+           / 4503599627370496.0)
+          / (COALESCE(n_chars, 0) + 1.0) AS k
+      FROM documents)
+    SELECT doc_id, lang, n_chars FROM
+      (SELECT doc_id, lang, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT $WeightedK)
+    ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("q_train_split", qTrainSplit, Some(qTrainSplitSql)),
     Op("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
+    Op("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
   )
 }

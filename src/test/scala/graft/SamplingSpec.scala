@@ -42,4 +42,24 @@ class SamplingSpec extends SparkSpec {
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out.select("doc_id").collect().map(_.getLong(0)).forall(ids))
   }
+
+  test("q_sample_weighted: deterministic, length-biased, top-k plan") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.qSampleWeighted(spark, sfDir)
+    val rows = rowsOf(out)
+    assert(rows.size === Sampling.WeightedK)
+    // pure function of the data: identical across invocations
+    assert(rowsOf(Sampling.qSampleWeighted(spark, sfDir)) === rows)
+    // w = n_chars + 1 biases toward longer docs: the sample's mean
+    // length must clearly exceed the corpus mean (E-S inclusion
+    // probability is increasing in w)
+    val corpusMean = docs.agg(avg("n_chars")).head.getDouble(0)
+    val sampleMean = out.agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleMean > corpusMean * 1.1,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+    // scale shape: the selection is a bounded-heap top-k, not a
+    // global sort of the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }

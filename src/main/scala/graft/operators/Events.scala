@@ -323,8 +323,57 @@ object Events {
     WINDOW h AS (PARTITION BY user_id ORDER BY run_id)
     ORDER BY user_id, valid_from, event_type"""
 
+  /** Weekly cohort retention — the product-analytics staple next to
+    * the funnel: users are cohorted by the Monday-start week of their
+    * first event, and each (cohort, week-offset) cell counts the
+    * distinct users still active that many weeks later, through
+    * offset 8.
+    *
+    * Week identity is pure integer epoch math — `wk = (epoch_day + 3)
+    * div 7` (epoch day 0 is a Thursday, so +3 aligns the boundary to
+    * Monday) — the same calendar/timezone-free route the sessionize
+    * family takes for ts (NANOS-physical → epoch seconds), so both
+    * engines agree exactly; the output week is rendered as its Monday
+    * DATE by day-offset arithmetic, not calendar truncation.
+    *
+    * Scale shape: first-seen is one partial-agg groupBy on user_id;
+    * the events←first-seen join reuses that aggregate's hash
+    * distribution (one exchange for the events side, none for the
+    * aggregate); the distinct-user count is the standard two-phase
+    * expand. No windows, no driver state — at 100 TB this is three
+    * key-partitioned shuffles on (user_id) and (cohort, offset).
+    */
+  def qEventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsSec(spark, dir)
+      .select(col("user_id"), expr("((ts_sec div 86400) + 3) div 7").as("wk"))
+    val first = ev.groupBy("user_id").agg(min(col("wk")).as("cwk"))
+    ev.join(first, "user_id")
+      .withColumn("week_offset", col("wk") - col("cwk"))
+      .where(col("week_offset") <= 8)
+      .groupBy(
+        date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+          (col("cwk") * 7 - 3).cast(IntegerType)).as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val qEventsRetentionSql: String = """
+    WITH ev AS (
+      SELECT user_id,
+        ((epoch_ns(ts) // 1000000000 // 86400) + 3) // 7 AS wk
+      FROM events),
+    f AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY user_id)
+    SELECT DATE '1970-01-01' + CAST(cwk * 7 - 3 AS INTEGER) AS cohort_week,
+      wk - cwk AS week_offset,
+      COUNT(DISTINCT ev.user_id) AS n_users
+    FROM ev JOIN f ON ev.user_id = f.user_id
+    WHERE wk - cwk <= 8
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     Op("q_scd2", qScd2, Some(qScd2Sql)),
     Op("q_window_range", qWindowRange, Some(qWindowRangeSql)),
     Op("q_events_json", qEventsJson, Some(qEventsJsonSql)),

@@ -26,6 +26,18 @@ class EventsStreamingSpec extends SparkSpec {
     assert(sess.where(col("session_start") > col("session_end")).count() === 0L)
   }
 
+  test("q_events_retention: offset-0 cells recover every user exactly once") {
+    val out = Events.qEventsRetention(spark, sfDir).collect()
+    val offsets = out.map(_.getLong(1))
+    assert(offsets.forall(o => o >= 0 && o <= 8))
+    // every user is active in their own first week, so the offset-0
+    // diagonal partitions the user base: its n_users sum equals the
+    // table's distinct-user count
+    val offset0 = out.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(offset0 === users, s"offset-0 sum $offset0 vs $users users")
+  }
+
   test("stream_sessionize equals batch sessionize") {
     val batch = Events.qEventsSessionize(spark, sfDir)
     val stream = Streaming.streamSessionize(spark, sfDir)

@@ -149,8 +149,11 @@ object Relational {
     val semi = Tables.customer(spark, dir)
       .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
       .select(lit("big_order_cust").as("kind"), col("c_custkey").as("key"))
+    // distinct before the anti join: the join only needs key presence,
+    // and the partial aggregate collapses duplicate partkeys map-side,
+    // so the exchange carries ~|distinct keys| instead of |lineitem|
     val anti = Tables.part(spark, dir)
-      .join(Tables.lineitem(spark, dir).select("l_partkey"),
+      .join(Tables.lineitem(spark, dir).select("l_partkey").distinct(),
         col("p_partkey") === col("l_partkey"), "left_anti")
       .select(lit("never_shipped_part").as("kind"), col("p_partkey").as("key"))
     semi.unionAll(anti).orderBy(col("kind"), col("key"))

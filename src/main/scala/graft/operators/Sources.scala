@@ -180,11 +180,195 @@ object Sources {
     FROM orders WHERE EXTRACT(year FROM o_orderdate) = $PartYear
     GROUP BY 1 ORDER BY 1"""
 
+  /** Sort-clustered layout — the third leg of the layout story next
+    * to bucketing (join locality) and hive partitioning (directory
+    * pruning): lineitem written `repartitionByRange(l_shipdate)` +
+    * `sortWithinPartitions(l_shipdate)`, then scanned with a narrow
+    * date window. Range partitioning makes whole FILES disjoint in
+    * the sort column, and the within-file sort makes row-group and
+    * page min/max stats tight, so a selective predicate skips nearly
+    * everything it doesn't need at the parquet reader — no
+    * directory scheme required, works for any range predicate on the
+    * cluster column. At 100 TB this is how a time-range query over an
+    * unpartitioned fact avoids reading the other 99.9% of the table.
+    * The spec pins the skip with scan metrics (sorted layout emits
+    * ~window rows; the same data shuffled randomly emits ~all rows);
+    * the oracle pins that the layout round-trip loses nothing.
+    */
+  val SortedLo = "1997-03-01"
+  val SortedHi = "1997-05-01"
+
+  /** The cluster column is a derived DATE (`l_shipday`), not the raw
+    * timestamp: the corpus's timestamps are tz-naive, Spark reads
+    * them as TIMESTAMP_NTZ, and parquet filter pushdown builds no
+    * predicate for NTZ timestamps (only UTC-adjusted ones) — an NTZ
+    * cluster column would carry stats nothing ever consults. DATE is
+    * INT32 with full min/max + pushdown support, and a day is the
+    * natural clustering grain for a time-range layout anyway.
+    */
+  def writeSorted(df: DataFrame, out: String, parts: Int): Unit =
+    df.withColumn("l_shipday", to_date(col("l_shipdate")))
+      .drop("l_shipdate")
+      .repartitionByRange(parts, col("l_shipday"))
+      .sortWithinPartitions("l_shipday")
+      .write.mode("overwrite").parquet(out)
+
+  def sortedWindowAgg(li: DataFrame): DataFrame =
+    li.where(col("l_shipday") >= lit(SortedLo).cast(DateType) &&
+        col("l_shipday") < lit(SortedHi).cast(DateType))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
+      .orderBy("flag")
+
+  def sortedScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${scratch("sorted")}/lineitem"
+    writeSorted(Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate"), out, parts = 8)
+    sortedWindowAgg(spark.read.parquet(out))
+  }
+
+  val sortedScanSql: String = s"""
+    SELECT l_returnflag AS flag, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '$SortedLo'
+      AND CAST(l_shipdate AS DATE) < DATE '$SortedHi'
+    GROUP BY 1 ORDER BY 1"""
+
+  /** Small-files compaction — the maintenance op every long-lived
+    * 100 TB table needs: streaming sinks and incremental loads leave
+    * thousands of KB-sized part files whose per-file open/footer/task
+    * overhead eventually dominates scans. The compactor sizes the
+    * output from the fragmented input's on-disk bytes (ceil(bytes /
+    * [[CompactTargetBytes]]) files) and rewrites through `coalesce`
+    * — NO shuffle: each output task concatenates a handful of input
+    * files, so compaction costs one sequential read + one write of
+    * the data regardless of cluster size. The op fragments the
+    * documents table, compacts it, and aggregates the compacted
+    * read-back against the parquet oracle (row loss / duplication
+    * hash-fails); the spec pins the file-count collapse and the
+    * shuffle-free plan.
+    */
+  val CompactTargetBytes: Long = 4L << 20
+
+  def compactDir(spark: SparkSession, in: String, out: String): Int = {
+    val bytes = dirBytes(in)
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    spark.read.schema(DocSchema).parquet(in)
+      .coalesce(nFiles).write.mode("overwrite").parquet(out)
+    nFiles
+  }
+
+  private def dirBytes(path: String): Long = {
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    try s.mapToLong { f =>
+      if (java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet")) java.nio.file.Files.size(f)
+      else 0L
+    }.sum()
+    finally s.close()
+  }
+
+  def sourceCompact(spark: SparkSession, dir: String): DataFrame = {
+    val frag = s"${scratch("compact")}/fragmented"
+    val out = s"${scratch("compact")}/compacted"
+    Tables.documents(spark, dir).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    compactDir(spark, frag, out)
+    summarize(spark.read.schema(DocSchema).parquet(out))
+  }
+
+  /** Z-order (multi-column) clustering — what single-column sorting
+    * cannot do: cluster lineitem on BOTH l_partkey and l_suppkey by
+    * interleaving the bits of their range-scaled 16-bit buckets into
+    * one z-value, range-partition + sort by it, and drop it (the
+    * skipping consults the stored key columns' min/max stats, which
+    * the z-curve makes tight in BOTH dimensions per file). A 2-D box
+    * predicate — the shape of every "this part from this supplier
+    * region" query — then skips most files on either bound, where a
+    * partkey-sorted layout skips nothing for a suppkey predicate
+    * (spec pins exactly that three-way comparison). Bucket scaling is
+    * order-preserving ((key−min)·2¹⁶/span, one tiny min/max agg), so
+    * the curve survives arbitrary key ranges (ScaleUp's ×10⁹ offsets
+    * included); the interleave is a 32-term shift/or projection —
+    * codegen'd, no UDF. The box bounds are quarter-fractions of each
+    * key's span computed identically in both engines, so the oracle
+    * pins the layout round-trip exactly.
+    */
+  val ZBits = 16
+
+  def interleaveBits(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  private def zbucket(c: org.apache.spark.sql.Column, mn: Long, span: Long)
+      : org.apache.spark.sql.Column =
+    ((c - lit(mn)) * lit(1L << ZBits) / lit(math.max(span, 1L))).cast(LongType)
+
+  def writeZorder(li: DataFrame, out: String, parts: Int,
+      pmin: Long, pspan: Long, smin: Long, sspan: Long): Unit =
+    li.withColumn("_z", interleaveBits(
+        zbucket(col("l_partkey"), pmin, pspan),
+        zbucket(col("l_suppkey"), smin, sspan)))
+      .repartitionByRange(parts, col("_z")).sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(out)
+
+  def zorderBoxAgg(li: DataFrame, plo: Long, phi: Long, slo: Long, shi: Long): DataFrame =
+    li.where(col("l_partkey") >= lit(plo) && col("l_partkey") < lit(phi) &&
+        col("l_suppkey") >= lit(slo) && col("l_suppkey") < lit(shi))
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_qty"))
+      .orderBy("flag")
+
+  /** (pmin, pspan, smin, sspan) of the two key columns — one aggregate. */
+  def zorderBounds(li: DataFrame): (Long, Long, Long, Long) = {
+    val r = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).first()
+    (r.getLong(0), r.getLong(1) - r.getLong(0), r.getLong(2), r.getLong(3) - r.getLong(2))
+  }
+
+  def sourceZorder(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${scratch("zorder")}/lineitem"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
+    val (pmin, pspan, smin, sspan) = zorderBounds(li)
+    writeZorder(li, out, parts = 8, pmin, pspan, smin, sspan)
+    zorderBoxAgg(spark.read.parquet(out),
+      pmin + pspan / 4, pmin + pspan / 2, smin + sspan / 4, smin + sspan / 2)
+  }
+
+  val zorderSql: String = """
+    WITH b AS (SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+                      MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax FROM lineitem)
+    SELECT l_returnflag AS flag, COUNT(*) AS n_items,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem, b
+    WHERE l_partkey >= pmin + (pmax - pmin) // 4
+      AND l_partkey <  pmin + (pmax - pmin) // 2
+      AND l_suppkey >= smin + (smax - smin) // 4
+      AND l_suppkey <  smin + (smax - smin) // 2
+    GROUP BY 1 ORDER BY 1"""
+
   def ops: Seq[Op] = Seq(
     Op("source_jsonl", sourceJsonl, Some(summarizeSql)),
     Op("source_csv", sourceCsv, Some(summarizeSql)),
     Op("source_orc", sourceOrc, Some(summarizeSql)),
     Op("source_bucketed", bucketedJoin, Some(bucketedJoinSql)),
     Op("source_partitioned", partitionedScan, Some(partitionedScanSql)),
+    Op("source_sorted", sortedScan, Some(sortedScanSql)),
+    Op("source_compact", sourceCompact, Some(summarizeSql)),
+    Op("source_zorder", sourceZorder, Some(zorderSql)),
   )
 }

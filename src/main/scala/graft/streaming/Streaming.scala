@@ -158,7 +158,23 @@ object Streaming {
     * Files.copy on a directory copies only the empty dir entry, which
     * would silently stream zero events, so stage each part as its own
     * top-level file (the file source lists only top-level files).
+    *
+    * Staged files are hard links when the staging dir shares a
+    * filesystem with the corpus (the sources are read-only for the
+    * stream's lifetime): staging cost stays O(files) instead of
+    * O(bytes), which at the ×30/×100 corpora is the difference
+    * between microseconds and re-copying gigabytes 8× per suite.
+    * Cross-device staging falls back to a byte copy.
     */
+  private def stageFile(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.deleteIfExists(dst)
+    try Files.createLink(dst, src)
+    catch {
+      case _: java.io.IOException | _: UnsupportedOperationException =>
+        Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   private def stageEvents(dir: String, prefix: String): String = {
     val inDir = stagingDir(prefix)
     val src = Paths.get(s"$dir/events.parquet")
@@ -170,16 +186,14 @@ object Streaming {
         while (it.hasNext) {
           val p = it.next()
           if (p.toString.endsWith(".parquet")) {
-            Files.copy(p, Paths.get(s"$inDir/batch0_$i.parquet"),
-              StandardCopyOption.REPLACE_EXISTING)
+            stageFile(p, Paths.get(s"$inDir/batch0_$i.parquet"))
             i += 1
           }
         }
       } finally listing.close()
       require(i > 0, s"stageEvents: no part files under $src")
     } else {
-      Files.copy(src, Paths.get(s"$inDir/batch0.parquet"),
-        StandardCopyOption.REPLACE_EXISTING)
+      stageFile(src, Paths.get(s"$inDir/batch0.parquet"))
     }
     inDir
   }

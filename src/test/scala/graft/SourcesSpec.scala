@@ -79,6 +79,129 @@ class SourcesSpec extends SparkSpec {
     assert(byStatus === direct)
   }
 
+  test("sortedScan: sort-clustered layout skips row groups; shuffled layout cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val day = li.withColumn("l_shipday", to_date(col("l_shipdate"))).drop("l_shipdate")
+    val total = li.count()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/sorted-spec"
+    day.repartitionByRange(4, col("l_shipday")).sortWithinPartitions("l_shipday")
+      .write.mode("overwrite").parquet(s"$base/sorted")
+    // same rows, order destroyed: every file's min/max spans the full
+    // date range, so stats can skip nothing
+    day.repartition(4, pmod(hash(col("l_quantity"), col("l_extendedprice")), lit(97)))
+      .write.mode("overwrite").parquet(s"$base/shuffled")
+    // descend through the AQE wrapper and materialized query stages —
+    // a plain collect() stops at the QueryStageExec boundary
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    def scanRows(path: String): (Long, Long) = {
+      val df = graft.operators.Sources.sortedWindowAgg(spark.read.parquet(path))
+      val out = df.collect().map(_.getLong(1)).sum
+      val scans = allNodes(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.nonEmpty, "no FileSourceScanExec in executed plan")
+      (out, scans.map(_.metrics("numOutputRows").value).sum)
+    }
+    val (aggSorted, emittedSorted) = scanRows(s"$base/sorted")
+    val (aggShuffled, emittedShuffled) = scanRows(s"$base/shuffled")
+    assert(aggSorted === aggShuffled) // same answer from both layouts
+    // sorted layout: the reader emits roughly the window (row-group
+    // granularity slack allowed); shuffled layout: nearly everything
+    // 4 range files → skip granularity is one file (~total/4 rows);
+    // the window overlaps exactly one file, so emitted ≈ one file
+    assert(emittedSorted < total / 3,
+      s"sorted layout should skip most of $total rows, emitted $emittedSorted")
+    assert(emittedShuffled > total / 2,
+      s"shuffled layout cannot skip ($total rows), emitted $emittedShuffled")
+    assert(rowsOf(graft.operators.Sources.sortedScan(spark, sfDir)) ===
+      rowsOf(graft.operators.Sources.sortedWindowAgg(day)))
+  }
+
+  test("sourceZorder: z-curve layout skips on BOTH box dimensions; single-sort cannot") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.operators.Sources
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    def emitted(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      allNodes(df.queryExecution.executedPlan)
+        .collect { case f: FileSourceScanExec => f }
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
+    val total = li.count()
+    val (pmin, pspan, smin, sspan) = Sources.zorderBounds(li)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/zorder-spec"
+    // 16 files: range-partitioner boundaries are row quantiles, not
+    // value-space eighths, so finer files keep the straddle slop small
+    Sources.writeZorder(li, s"$base/zorder", 16, pmin, pspan, smin, sspan)
+    li.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$base/psorted")
+    // quarter-span predicates per dimension, probed independently
+    def pPred(df: org.apache.spark.sql.DataFrame) = df.where(
+      col("l_partkey") >= lit(pmin + pspan / 4) && col("l_partkey") < lit(pmin + pspan / 2))
+    def sPred(df: org.apache.spark.sql.DataFrame) = df.where(
+      col("l_suppkey") >= lit(smin + sspan / 4) && col("l_suppkey") < lit(smin + sspan / 2))
+    def cnt(df: org.apache.spark.sql.DataFrame) = df.groupBy().count()
+    val z = spark.read.parquet(s"$base/zorder")
+    val p = spark.read.parquet(s"$base/psorted")
+    val (zp, zs) = (emitted(cnt(pPred(z))), emitted(cnt(sPred(z))))
+    val (pp, ps) = (emitted(cnt(pPred(p))), emitted(cnt(sPred(p))))
+    // z-order: a quarter-span on EITHER dimension constrains the
+    // curve, so whole files fall out of range on both probes
+    assert(zp <= total * 5 / 8, s"zorder partkey probe emitted $zp of $total")
+    assert(zs <= total * 3 / 4, s"zorder suppkey probe emitted $zs of $total")
+    assert(zs <= ps - total / 8, s"zorder must beat single-sort on the off-column: $zs vs $ps")
+    // partkey-sorted: near-perfect on its own column...
+    assert(pp <= total * 3 / 8, s"psorted partkey probe emitted $pp of $total")
+    // ...and blind on the other one — every file spans all suppkeys
+    assert(ps >= total * 7 / 8, s"psorted suppkey probe should read ~all, emitted $ps")
+    // correctness: the gate op equals the direct computation
+    val direct = Sources.zorderBoxAgg(li,
+      pmin + pspan / 4, pmin + pspan / 2, smin + sspan / 4, smin + sspan / 2)
+    assert(rowsOf(Sources.sourceZorder(spark, sfDir)) === rowsOf(direct))
+  }
+
+  test("sourceCompact: collapses the file count, shuffles nothing, loses nothing") {
+    val direct = rowsOf(Sources.summarize(Tables.documents(spark, sfDir)))
+    val compacted = Sources.sourceCompact(spark, sfDir)
+    assert(rowsOf(compacted) === direct)
+    def parquetFiles(p: String): Int = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(p))
+      try s.filter(f => f.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val scratch = s"${System.getProperty("java.io.tmpdir")}/graft-scratch/compact"
+    val before = parquetFiles(s"$scratch/fragmented")
+    val after = parquetFiles(s"$scratch/compacted")
+    assert(before === 64)
+    assert(after < before / 4, s"compaction left $after of $before files")
+    // the rewrite plan is shuffle-free: coalesce, not repartition
+    val rewrite = spark.read.schema(Sources.DocSchema)
+      .parquet(s"$scratch/fragmented").coalesce(after)
+    assert(!rewrite.queryExecution.executedPlan.toString.contains("Exchange"),
+      "compaction must not shuffle")
+  }
+
   test("partitionedScan: the year predicate prunes partitions at the scan") {
     val df = graft.operators.Sources.partitionedScan(spark, sfDir)
     val out = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap

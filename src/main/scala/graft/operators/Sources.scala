@@ -224,11 +224,17 @@ object Sources {
           .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"))
       .orderBy("flag")
 
+  /** Cluster-file count tracks the session's shuffle parallelism — a
+    * fixed constant would leave a 1000-executor write running 8 tasks.
+    */
+  private def layoutParts(spark: SparkSession): Int =
+    math.max(8, spark.sessionState.conf.numShufflePartitions)
+
   def sortedScan(spark: SparkSession, dir: String): DataFrame = {
     val out = s"${scratch("sorted")}/lineitem"
     writeSorted(Tables.lineitem(spark, dir)
       .select("l_returnflag", "l_quantity", "l_extendedprice",
-        "l_discount", "l_shipdate"), out, parts = 8)
+        "l_discount", "l_shipdate"), out, parts = layoutParts(spark))
     sortedWindowAgg(spark.read.parquet(out))
   }
 
@@ -344,7 +350,7 @@ object Sources {
     val li = Tables.lineitem(spark, dir)
       .select("l_partkey", "l_suppkey", "l_returnflag", "l_quantity")
     val (pmin, pspan, smin, sspan) = zorderBounds(li)
-    writeZorder(li, out, parts = 8, pmin, pspan, smin, sspan)
+    writeZorder(li, out, layoutParts(spark), pmin, pspan, smin, sspan)
     zorderBoxAgg(spark.read.parquet(out),
       pmin + pspan / 4, pmin + pspan / 2, smin + sspan / 4, smin + sspan / 2)
   }

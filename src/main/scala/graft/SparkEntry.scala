@@ -11,6 +11,7 @@ object SparkEntry {
       operators.Sources.ops ++ operators.Funcs.ops ++
       graph.GraphQueries.ops ++
       text.TextAnalysis.ops ++ dedup.Dedup.ops ++ similarity.Ann.ops ++
+      similarity.Cluster.ops ++
       multimodal.Multimodal.ops ++ streaming.Streaming.ops
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -143,9 +143,91 @@ object Sampling {
       (SELECT doc_id, lang, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT $WeightedK)
     ORDER BY doc_id"""
 
+  /** Per-source document quota for the balanced sample. */
+  val SourceCap = 20L
+
+  /** Quota (cap) sampling per source — the domain-rebalancing move of
+    * a web-corpus pipeline: no source may contribute more than
+    * [[SourceCap]] documents, under-cap sources are kept whole, and
+    * which documents survive an over-cap source is decided by the
+    * salted-hash order (a deterministic uniform draw). Differs from
+    * the stratified sample above: that one equalizes strata to the
+    * MINIMUM size; this one only trims the heavy tail, the common
+    * production setting.
+    *
+    * Scale shape: one shuffle on the stratum key for the per-source
+    * rank window; the rank is abandoned after the ≤cap filter, so at
+    * 100 TB the same plan holds with the window's sort bounded per
+    * source (or swaps to a per-stratum threshold precomputed from a
+    * count, dropping the window entirely — see the class note).
+    */
+  def qSampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("balance:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= SourceCap)
+      .select(col("doc_id"), col("source"), col("lang"), col("rn"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qSampleBalancedSql: String = s"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('balance:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT doc_id, source, lang, CAST(rn AS BIGINT) AS rn, n_chars
+    FROM ranked WHERE rn <= $SourceCap ORDER BY doc_id"""
+
+  /** Shard count for the global-shuffle op. */
+  val Shards = 16
+
+  /** Deterministic global shuffle + sharding — the LAST operator of
+    * every training-data pipeline: assign each document a shard (hash
+    * bucket) and a position within it (rank in salted-hash order), so
+    * the corpus can be written as [[Shards]] files whose concatenation
+    * is a uniform permutation of the data, reproducible from the keys
+    * alone on any cluster and any partitioning.
+    *
+    * Scale shape: this IS Spark's sharded-write geometry —
+    * `repartition(shard)` + `sortWithinPartitions(h)`; the rank
+    * window partitions by shard, so there is no global sort anywhere,
+    * and each reducer streams exactly one output shard. At 100 TB the
+    * shard count scales with the cluster, nothing else changes.
+    */
+  def qShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(lit("shuf:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", h)
+      .withColumn("shard",
+        (conv(substring(col("h"), 1, 4), 16, 10).cast(LongType) % Shards).cast(IntegerType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select(col("doc_id"), col("shard"), col("pos"), col("n_chars"))
+      .orderBy("shard", "pos")
+  }
+
+  val qShuffleShardSql: String = s"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+        md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    sharded AS (
+      SELECT doc_id, n_chars, h,
+        CAST(('0x' || substr(h, 1, 4))::BIGINT % $Shards AS INTEGER) AS shard
+      FROM keyed)
+    SELECT doc_id, shard,
+      CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+      n_chars
+    FROM sharded ORDER BY shard, pos"""
+
   def ops: Seq[Op] = Seq(
     Op("q_train_split", qTrainSplit, Some(qTrainSplitSql)),
     Op("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     Op("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),
+    Op("q_sample_balanced", qSampleBalanced, Some(qSampleBalancedSql)),
+    Op("q_shuffle_shard", qShuffleShard, Some(qShuffleShardSql)),
   )
 }

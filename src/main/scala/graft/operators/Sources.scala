@@ -367,7 +367,49 @@ object Sources {
       AND l_suppkey <  smin + (smax - smin) // 2
     GROUP BY 1 ORDER BY 1"""
 
+  /** Columns profiled by the table-statistics op. */
+  val StatsCols: Seq[String] = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE-style column statistics over lineitem — the catalog
+    * metadata every cost-based optimizer and layout decision feeds on:
+    * per column, row count, non-null count, exact NDV, min and max.
+    * One wide aggregate then a `stack` unpivot to long form.
+    *
+    * Scale shape: min/max/count are one narrow scan with partial
+    * aggregation; the EXACT distinct counts make Catalyst plan an
+    * Expand (one replicated stream per column) before the hash
+    * aggregate — the honest cost of exactness, paid here because the
+    * oracle demands bit-equality. The 100 TB variant swaps
+    * `countDistinct` for `approx_count_distinct` (HLL++, one pass, no
+    * Expand) — the sketch machinery is gated separately by
+    * q_approx_distinct.
+    */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val aggs = count(lit(1)).as("n_rows") +: StatsCols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast(DoubleType).as(s"min_$c"),
+        max(col(c)).cast(DoubleType).as(s"max_$c"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stacked = StatsCols
+      .map(c => s"'$c', n_rows, nn_$c, ndv_$c, min_$c, max_$c")
+      .mkString(", ")
+    wide.select(expr(
+      s"stack(${StatsCols.length}, $stacked) AS (col_name, n_rows, n_nonnull, ndv, min_v, max_v)"))
+      .orderBy("col_name")
+  }
+
+  val sourceStatsSql: String = StatsCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+       |  COUNT(DISTINCT $c) AS ndv,
+       |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v
+       |FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+
   def ops: Seq[Op] = Seq(
+    Op("source_stats", sourceStats, Some(sourceStatsSql)),
     Op("source_jsonl", sourceJsonl, Some(summarizeSql)),
     Op("source_csv", sourceCsv, Some(summarizeSql)),
     Op("source_orc", sourceOrc, Some(summarizeSql)),

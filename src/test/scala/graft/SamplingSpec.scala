@@ -62,4 +62,35 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+
+  test("q_sample_balanced: caps every source at the quota, keeps small sources whole") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.qSampleBalanced(spark, sfDir)
+    val perSource = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpus = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    corpus.foreach { case (s, n) =>
+      assert(perSource(s) === math.min(n, Sampling.SourceCap), s"source $s")
+    }
+    // stable under repartition: membership is a pure function of keys
+    assert(rowsOf(Sampling.qSampleBalanced(spark, sfDir)) === rowsOf(out))
+  }
+
+  test("q_shuffle_shard: a permutation into shards with contiguous positions") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Sampling.qShuffleShard(spark, sfDir).collect()
+    assert(out.length === docs.count())
+    // every doc exactly once
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // shard ids in range; positions contiguous from 1 within each shard
+    val byShard = out.groupBy(_.getInt(1))
+    assert(byShard.keySet.forall(s => s >= 0 && s < Sampling.Shards))
+    byShard.foreach { case (s, rows) =>
+      val pos = rows.map(_.getLong(2)).sorted.toSeq
+      assert(pos === (1L to rows.length.toLong).toSeq, s"shard $s")
+    }
+    // deterministic: same permutation on re-run
+    assert(Sampling.qShuffleShard(spark, sfDir).collect().toSeq === out.toSeq)
+  }
 }

@@ -5,6 +5,24 @@ import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
 
+  test("source_stats: one row per profiled column, internally consistent") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = Sources.sourceStats(spark, sfDir).collect()
+    assert(out.map(_.getString(0)).toSeq === Sources.StatsCols.sorted)
+    val n = li.count()
+    out.foreach { r =>
+      val (nRows, nn, ndv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nRows === n)
+      assert(nn <= nRows && ndv <= nn)
+      assert(ndv > 0 && r.getDouble(4) <= r.getDouble(5), r.toString)
+    }
+    // spot-check one column against a direct computation
+    val q = li.agg(countDistinct(col("l_quantity")), min("l_quantity"), max("l_quantity")).head
+    val row = out.find(_.getString(0) == "l_quantity").get
+    assert(row.getLong(3) === q.getLong(0))
+    assert(row.getDouble(4) === q.getDouble(1) && row.getDouble(5) === q.getDouble(2))
+  }
+
   test("jsonl, csv, and orc round-trips preserve the corpus byte-exactly") {
     val direct = rowsOf(Sources.summarize(Tables.documents(spark, sfDir)))
     assert(rowsOf(Sources.sourceJsonl(spark, sfDir)) === direct)

@@ -216,7 +216,14 @@ object Streaming {
       // loudly here instead of silently misaligning fields.
       val tsValue: Any = schema("ts").dataType match {
         case LongType => ns
-        case _        => new java.sql.Timestamp(ns / 1000000L)
+        // TIMESTAMP_NTZ (what a parquet timestamp[us] with no timezone
+        // reads as — the driver's corpora since the micros regeneration)
+        // converts from LocalDateTime only; java.sql.Timestamp is
+        // rejected by the NTZ Catalyst converter.
+        case TimestampNTZType =>
+          java.time.LocalDateTime.ofEpochSecond(
+            ns / 1000000000L, (ns % 1000000000L).toInt, java.time.ZoneOffset.UTC)
+        case _ => new java.sql.Timestamp(ns / 1000000L)
       }
       val byName = Map[String, Any](
         "event_id" -> (-1L - i), "ts" -> tsValue, "user_id" -> SentinelUser,

@@ -436,7 +436,16 @@ object GraphOps {
     */
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
-    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // repartition(src) BEFORE distinct: HashPartitioning(src) satisfies
+    // the dedup aggregation's ClusteredDistribution(src, dst), so the
+    // cached frame is born hash-partitioned by src for ONE exchange —
+    // and every iteration's edge⋈outdeg⋈ranks join then plans
+    // exchange-free on the edge side (only the vertex-sized rank frame
+    // shuffles per round). Without it the loop re-exchanges the full
+    // edge set each iteration — O(iters × edges) network, the same
+    // scale-killer the BFS frontier loop fixed in r11.
+    val e = canonEdges(edges).repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (e.count() <= maxLocalEdges) {
       val out = localPagerank(edges.sparkSession, e, iters, d)
       e.unpersist()
@@ -529,7 +538,10 @@ object GraphOps {
   def ppr(edges: DataFrame, seeds: Seq[Long], iters: Int, d: Double = 0.85,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     require(seeds.nonEmpty, "PPR needs a non-empty seed set")
-    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Same born-partitioned edge cache as [[pagerank]]: one exchange,
+    // then the per-iteration push join is exchange-free on the edge side.
+    val e = canonEdges(edges).repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (e.count() <= maxLocalEdges) {
       val out = localPpr(edges.sparkSession, e, seeds, iters, d)
       e.unpersist()
@@ -1034,18 +1046,27 @@ object GraphOps {
     */
   def hits(edges: DataFrame, iters: Int,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
-    val e = canonEdges(edges).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // Born hash-partitioned by src (one exchange, see [[pagerank]]).
+    val e = canonEdges(edges).repartition(col("src")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     if (e.count() <= maxLocalEdges) {
       val out = localHits(edges.sparkSession, e, iters)
       e.unpersist()
       return out
     }
+    // The hub half-step joins on dst, so a by-dst copy makes BOTH
+    // half-steps exchange-free on the edge side — the star-rounds
+    // pattern: 2× edge cache buys away 2×iters full-edge exchanges,
+    // leaving only the vertex-sized score frames shuffling per step.
+    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    eByDst.count()
     val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     var h = verts.withColumn("s", lit(1.0))
     var a = h
     def halfStep(scores: DataFrame, inCol: String, outCol: String): DataFrame = {
-      val pushed = e.join(scores.withColumnRenamed("v", inCol), inCol)
+      val ej = if (inCol == "src") e else eByDst
+      val pushed = ej.join(scores.withColumnRenamed("v", inCol), inCol)
         .groupBy(col(outCol).as("v")).agg(sum(col("s")).as("x"))
       val raw = verts.join(pushed, Seq("v"), "left")
         .select(col("v"), coalesce(col("x"), lit(0.0)).as("x"))
@@ -1057,11 +1078,11 @@ object GraphOps {
       a = halfStep(h, "src", "dst") // authority ← in-edge hub mass
       h = halfStep(a, "dst", "src") // hub ← out-edge authority mass
     }
-    // halfStep localCheckpoints each score frame, so the edge cache is
-    // no longer needed for the final join — release it here (the local
-    // path above unpersists too; leaving it cached leaks blocks across
-    // bench iterations).
-    e.unpersist()
+    // halfStep localCheckpoints each score frame, so the edge caches
+    // are no longer needed for the final join — release them here (the
+    // local path above unpersists too; leaving them cached leaks
+    // blocks across bench iterations).
+    e.unpersist(); eByDst.unpersist()
     verts.join(a.withColumnRenamed("s", "authority"), "v")
       .join(h.withColumnRenamed("s", "hub"), "v")
       .select(col("v").as("vertex"), col("authority"), col("hub"))

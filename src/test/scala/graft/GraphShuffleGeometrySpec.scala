@@ -128,4 +128,71 @@ class GraphShuffleGeometrySpec extends SparkSpec {
     assert(shuffleWrite < 6 * edgeBytes,
       s"shuffleWrite=$shuffleWrite levels=$levels edgeBytes=$edgeBytes")
   }
+
+  test("score-push loops (pagerank/ppr/hits) pay the edge exchange once, not per iteration") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Dense-ish digraph: 200 vertices × 100 out-edges = 20k edge rows,
+    // while every per-iteration score/contribution frame is ≤ 200 rows
+    // — so a regression to re-exchanging the edge set per iteration
+    // dwarfs the healthy loop's shuffle writes.
+    val V = 200L
+    val D = 100
+    val edges = spark.range(0L, V).as[Long].flatMap { v =>
+      (1 to D).map(j => (v, (v * 31 + j * 97) % V))
+    }.toDF("src", "dst").where(col("src") =!= col("dst")).localCheckpoint()
+    val edgeBytes = edges.count() * 16
+    val iters = 8
+
+    def measure(run: => Unit): Long = {
+      @volatile var shuffleWrite = 0L
+      val listener = new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+          shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      }
+      val prevAbt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      // autoBroadcast off: AQE would broadcast the tiny test frames and
+      // mask the partitioning regression this test exists to catch
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sparkContext.addSparkListener(listener)
+      try run
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAbt)
+        var prev = -1L; var stable = 0; var tries = 0
+        while (stable < 3 && tries < 50) {
+          Thread.sleep(200)
+          val cur = shuffleWrite
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          tries += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+      shuffleWrite
+    }
+
+    // Healthy: ONE edge-sized exchange (repartition(src), folded into
+    // the distinct) + iters × vertex-sized score traffic. Regressed
+    // (unpartitioned edge cache): iters compressed edge exchanges per
+    // loop — the pagerank loop joins the edge set twice per iteration
+    // (outdeg + ranks), hits once per half-step. Same 6× bound and
+    // rationale as the BFS test above; hits gets 8× for its second
+    // (by-dst) edge copy's extra one-time exchange.
+    val prW = measure {
+      GraphOps.pagerank(edges, iters = iters, maxLocalEdges = 0L).collect()
+    }
+    info(s"pagerank shuffleWrite=$prW edgeBytes=$edgeBytes (bound=${6 * edgeBytes})")
+    assert(prW < 6 * edgeBytes, s"pagerank shuffleWrite=$prW edgeBytes=$edgeBytes")
+
+    val pprW = measure {
+      GraphOps.ppr(edges, seeds = Seq(0L, 1L), iters = iters, maxLocalEdges = 0L).collect()
+    }
+    info(s"ppr shuffleWrite=$pprW edgeBytes=$edgeBytes (bound=${6 * edgeBytes})")
+    assert(pprW < 6 * edgeBytes, s"ppr shuffleWrite=$pprW edgeBytes=$edgeBytes")
+
+    val hitsW = measure {
+      GraphOps.hits(edges, iters = iters, maxLocalEdges = 0L).collect()
+    }
+    info(s"hits shuffleWrite=$hitsW edgeBytes=$edgeBytes (bound=${8 * edgeBytes})")
+    assert(hitsW < 8 * edgeBytes, s"hits shuffleWrite=$hitsW edgeBytes=$edgeBytes")
+  }
 }

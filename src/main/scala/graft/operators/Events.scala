@@ -371,8 +371,74 @@ object Events {
     WHERE wk - cwk <= 8
     GROUP BY 1, 2 ORDER BY 1, 2"""
 
+  /** MERGE INTO (Delta-style row upsert): the per-user latest state
+    * from all but the newest Monday-week is the target snapshot; the
+    * newest week's latest-per-user rows are the delta. Matched keys
+    * update, unmatched delta keys insert, untouched target keys keep —
+    * each output row labeled with its merge action. Latest-per-user
+    * uses the same (ts_sec DESC, event_id DESC) total order as
+    * stream_latest_state, so out-of-order arrivals can never flip a
+    * result; the newest-week scalar rides as a broadcast singleton.
+    * Scale shape: two user_id-partitioned windows + one full outer
+    * join on user_id — one shuffle geometry end-to-end, the same plan
+    * a MERGE statement compiles to when both sides are key-unique.
+    */
+  def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventsSec(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts_sec"), expr("((ts_sec div 86400) + 3) div 7").as("wk"))
+    val maxWk = ev.agg(max(col("wk")).as("maxwk"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec").desc, col("event_id").desc)
+    def latest(side: DataFrame, p: String): DataFrame = side
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id").as(s"${p}_user"), col("event_type").as(s"${p}_type"),
+        col("value").as(s"${p}_value"), col("ts_sec").as(s"${p}_ts"))
+    val withMax = ev.crossJoin(broadcast(maxWk))
+    val tgt = latest(withMax.where(col("wk") < col("maxwk")), "t")
+    val dlt = latest(withMax.where(col("wk") === col("maxwk")), "d")
+    dlt.join(tgt, col("d_user") === col("t_user"), "full_outer")
+      .select(
+        coalesce(col("d_user"), col("t_user")).as("user_id"),
+        coalesce(col("d_type"), col("t_type")).as("event_type"),
+        coalesce(col("d_value"), col("t_value")).as("value"),
+        coalesce(col("d_ts"), col("t_ts")).as("ts_sec"),
+        when(col("d_user").isNull, lit("keep"))
+          .when(col("t_user").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy("user_id")
+  }
+
+  val qMergeUpsertSql: String = """
+    WITH es AS (
+      SELECT user_id, event_id, event_type, value,
+        epoch_ns(ts)//1000000000 AS ts_sec,
+        ((epoch_ns(ts)//1000000000//86400) + 3)//7 AS wk
+      FROM events),
+    mx AS (SELECT MAX(wk) AS maxwk FROM es),
+    tgt AS (
+      SELECT user_id, event_type, value, ts_sec FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts_sec DESC, event_id DESC) AS rn
+        FROM es e, mx WHERE e.wk < mx.maxwk) WHERE rn = 1),
+    dlt AS (
+      SELECT user_id, event_type, value, ts_sec FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts_sec DESC, event_id DESC) AS rn
+        FROM es e, mx WHERE e.wk = mx.maxwk) WHERE rn = 1)
+    SELECT COALESCE(d.user_id, t.user_id) AS user_id,
+      COALESCE(d.event_type, t.event_type) AS event_type,
+      COALESCE(d.value, t.value) AS value,
+      COALESCE(d.ts_sec, t.ts_sec) AS ts_sec,
+      CASE WHEN d.user_id IS NULL THEN 'keep'
+           WHEN t.user_id IS NULL THEN 'insert'
+           ELSE 'update' END AS action
+    FROM dlt d FULL OUTER JOIN tgt t ON d.user_id = t.user_id
+    ORDER BY user_id"""
+
   def ops: Seq[Op] = Seq(
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
+    Op("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     Op("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),
     Op("q_scd2", qScd2, Some(qScd2Sql)),
     Op("q_window_range", qWindowRange, Some(qWindowRangeSql)),

@@ -177,10 +177,41 @@ object Funcs {
       strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3m
     FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey"""
 
+  // ---- lateral / UNNEST surface ------------------------------------------
+
+  /** Array explosion with ordinality (the UNNEST / LATERAL surface):
+    * each document's token array is exploded WITH POSITION, then
+    * laterally re-aggregated per (doc, token) into occurrence count +
+    * first/last position, keeping tokens repeated ≥ 3× within their
+    * doc. The explode is a Generator inside whole-stage codegen — rows
+    * fan out in the scan stage, and only the (doc, token) aggregates
+    * shuffle, never the exploded stream itself. Positions and counts
+    * are BIGINT on both engines.
+    */
+  def qUnnestTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("n"),
+        min(col("pos")).cast(LongType).as("first_pos"),
+        max(col("pos")).cast(LongType).as("last_pos"))
+      .where(col("n") >= 3)
+      .orderBy("doc_id", "tok")
+
+  val qUnnestTokensSql: String = """
+    WITH ex AS (
+      SELECT doc_id, u.tok AS tok, CAST(u.pos AS BIGINT) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents) d,
+      LATERAL (SELECT unnest(arr) AS tok, generate_subscripts(arr, 1) - 1 AS pos) u)
+    SELECT doc_id, tok, COUNT(*) AS n, MIN(pos) AS first_pos, MAX(pos) AS last_pos
+    FROM ex GROUP BY 1, 2 HAVING COUNT(*) >= 3 ORDER BY doc_id, tok"""
+
   def ops: Seq[Op] = Seq(
     Op("q_histogram", qHistogram, Some(qHistogramSql)),
     Op("q_corr_stats", qCorrStats, Some(qCorrStatsSql)),
     Op("q_string_funcs", qStringFuncs, Some(qStringFuncsSql)),
     Op("q_date_funcs", qDateFuncs, Some(qDateFuncsSql)),
+    Op("q_unnest_tokens", qUnnestTokens, Some(qUnnestTokensSql)),
   )
 }

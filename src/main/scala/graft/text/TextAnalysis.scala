@@ -763,6 +763,49 @@ object TextAnalysis {
   def textCompressRatio(spark: SparkSession, dir: String): DataFrame =
     compressionRatios(Tables.documents(spark, dir))
 
+  /** Training-sequence length for [[textPackSequences]]. */
+  val PackSeqLen = 2048L
+
+  /** Concat-and-chunk sequence packing (the GPT-pretraining batching
+    * step): documents are concatenated in doc_id order within each
+    * language stream and cut into fixed [[PackSeqLen]]-token training
+    * sequences; each doc gets its token span [start_tok, start_tok +
+    * n_tokens), its first/last sequence id, and how many sequences it
+    * spans (> 1 = crosses a boundary). The prefix sum is a window
+    * partitioned by lang — per-stream state, never a global order —
+    * so at 100 TB each language stream packs independently (and a
+    * finer stream key, e.g. (lang, shard), drops in without changing
+    * the shape). Integer token counts and `div` keep both engines
+    * bit-identical.
+    */
+  def textPackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"start_tok div $PackSeqLen"))
+      .withColumn("seq_last", expr(s"(start_tok + n_tokens - 1) div $PackSeqLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + lit(1L))
+      .orderBy("lang", "doc_id")
+  }
+
+  val textPackSequencesSql: String = s"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+      FROM t)
+    SELECT doc_id, lang, n_tokens, start_tok,
+      start_tok // $PackSeqLen AS seq_first,
+      (start_tok + n_tokens - 1) // $PackSeqLen AS seq_last,
+      (start_tok + n_tokens - 1) // $PackSeqLen - start_tok // $PackSeqLen + 1 AS n_seqs
+    FROM c ORDER BY lang, doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -778,5 +821,6 @@ object TextAnalysis {
     Op("text_substr_dups", textSubstrDups, Some(textSubstrDupsSql)),
     Op("text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Op("text_compress_ratio", textCompressRatio, None),
+    Op("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
   )
 }

@@ -38,6 +38,30 @@ class EventsStreamingSpec extends SparkSpec {
     assert(offset0 === users, s"offset-0 sum $offset0 vs $users users")
   }
 
+  test("q_merge_upsert: actions partition the key space and agree with week membership") {
+    val out = Events.qMergeUpsert(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Events.eventsSec(spark, sfDir)
+      .select(col("user_id"), col("ts_sec"),
+        org.apache.spark.sql.functions.expr("((ts_sec div 86400) + 3) div 7").as("wk"))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val maxWk = ev.map(_._2).max
+    val deltaUsers = ev.filter(_._2 == maxWk).map(_._1).toSet
+    val targetUsers = ev.filter(_._2 < maxWk).map(_._1).toSet
+    val byAction = out.groupBy(_.getString(4)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    // one output row per user, exactly the union of both sides
+    assert(out.length === (deltaUsers ++ targetUsers).size)
+    assert(byAction.getOrElse("update", Set.empty) === (deltaUsers intersect targetUsers))
+    assert(byAction.getOrElse("insert", Set.empty) === (deltaUsers -- targetUsers))
+    assert(byAction.getOrElse("keep", Set.empty) === (targetUsers -- deltaUsers))
+    // updated/inserted rows carry newest-week timestamps, kept rows older ones
+    val wkOf = (s: Long) => ((s / 86400) + 3) / 7
+    out.foreach { r =>
+      val wk = wkOf(r.getLong(3))
+      if (r.getString(4) == "keep") assert(wk < maxWk) else assert(wk === maxWk)
+    }
+  }
+
   test("stream_sessionize equals batch sessionize") {
     val batch = Events.qEventsSessionize(spark, sfDir)
     val stream = Streaming.streamSessionize(spark, sfDir)

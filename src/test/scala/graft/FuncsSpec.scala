@@ -55,4 +55,29 @@ class FuncsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6) - vv) < 1e-3, s"var ${r.getString(0)}")
     }
   }
+
+  test("q_unnest_tokens: positions, counts, and threshold against a planted doc") {
+    val out = Funcs.qUnnestTokens(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // ordinality invariants on real data: 0 ≤ first ≤ last, and a token
+    // repeated n times spans at least n-1 positions
+    out.foreach { r =>
+      val (n, first, last) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= 3L && first >= 0L && first <= last)
+      assert(last - first >= n - 1, s"${r.getString(1)}: n=$n span=${last - first}")
+    }
+    // direct recount of one doc from the raw text
+    val docId = out.head.getLong(0)
+    val text = Tables.documents(spark, sfDir)
+      .where(org.apache.spark.sql.functions.col("doc_id") === docId)
+      .head().getAs[String]("text")
+    val positions = text.split(" ", -1).zipWithIndex.groupBy(_._1)
+    out.filter(_.getLong(0) == docId).foreach { r =>
+      val ps = positions(r.getString(1)).map(_._2.toLong)
+      assert(r.getLong(2) === ps.length.toLong)
+      assert(r.getLong(3) === ps.min && r.getLong(4) === ps.max)
+    }
+    // threshold: no token below 3 occurrences leaks through
+    assert(out.forall(_.getLong(2) >= 3L))
+  }
 }

@@ -227,4 +227,29 @@ class TextSpec extends SparkSpec {
     assert(r(1L).getString(5) === md5of("server <IP> called <PHONE> with id <NUM>"))
     assert(r(2L).getString(5) === md5of("no personal data in this row at all"))
   }
+
+  test("textPackSequences: per-stream prefix sums chunk exactly into 2048-token sequences") {
+    val out = TextAnalysis.textPackSequences(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val L = TextAnalysis.PackSeqLen
+    out.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val ordered = rows.sortBy(_.getLong(0))
+      // spans tile the stream: each doc starts where the previous ended
+      var expectStart = 0L
+      ordered.foreach { r =>
+        val (n, start, sf, sl, ns) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(start === expectStart, s"$lang doc ${r.getLong(0)}")
+        assert(sf === start / L)
+        assert(sl === (start + n - 1) / L)
+        assert(ns === sl - sf + 1 && ns >= 1)
+        expectStart = start + n
+      }
+      // every sequence id up to the last is covered by some doc (the
+      // packed stream has no holes)
+      val lastSeq = ordered.last.getLong(5)
+      val covered = ordered.flatMap(r => r.getLong(4) to r.getLong(5)).toSet
+      assert((0L to lastSeq).forall(covered), s"$lang has uncovered sequences")
+    }
+  }
 }

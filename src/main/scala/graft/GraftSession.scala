@@ -22,8 +22,12 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // events.ts is parquet TIMESTAMP(NANOS) (written by pandas);
-      // read it as raw nanosecond longs — exact, no truncation surprises.
+      // events.ts: corpora have shipped it as parquet TIMESTAMP(NANOS)
+      // (read as raw nanosecond longs under this conf — exact, no
+      // truncation surprises) and as timestamp[us] with no timezone
+      // (read as TIMESTAMP_NTZ; this conf is then inert). Every ts
+      // consumer branches on the resolved schema and reduces to the
+      // same integer epoch seconds either way.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

@@ -35,32 +35,14 @@ object DerivedGraphs {
     */
   val SupplierOffset = 1000000L
 
-  /** Shared derivation core: (o_custkey, l_suppkey, trade count) from
-    * the one fact-fact join both warehouse-derived graphs need. The
-    * supply graph is a projection of its key set; the nation graph is
-    * two broadcast dimension joins + a 625-row re-aggregation over it.
-    * Materializing the core once per (session, dir) means a cold
-    * catalog pays the orders⋈lineitem shuffle ONCE instead of once per
-    * graph — at 100 TB the fact join IS the derivation cost, so
-    * sharing it across derivations is the same move as the dedup
-    * family's shared collapse. The groupBy replaces the projection's
-    * DISTINCT (same shuffle, and the count it keeps is exactly what
-    * the nation graph re-aggregates).
-    */
-  private def tradePairs(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "trade-pairs") {
+  def supplyEdges(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "supply") {
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
         .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
-        .agg(count(lit(1)).as("cnt"))
-    }
-
-  def supplyEdges(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "supply") {
-      tradePairs(spark, dir)
-        .select(col("custkey").as("src"),
-          (lit(SupplierOffset) + col("suppkey")).as("dst"))
+        .select(col("o_custkey").as("src"),
+          (lit(SupplierOffset) + col("l_suppkey")).as("dst"))
+        .distinct()
     }
 
   val supplyEdgesSql: String =
@@ -109,22 +91,19 @@ object DerivedGraphs {
     * transitive-closure oracles.
     */
   def nationEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nation") {
-    // The shared trade-pair core carries per-(custkey, suppkey) row
-    // counts, so the 4-table join collapses to two key-unique
-    // dimension joins (AQE broadcasts them at every gate SF) and a
-    // 625-row re-aggregation: sum(cnt) grouped by nations ≡ count(*)
-    // over the original order×line rows.
-    val w = tradePairs(spark, dir)
+    val w = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
-        col("custkey") === col("c_custkey"))
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
+        col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
-        col("s_suppkey") === col("suppkey"))
+        col("s_suppkey") === col("l_suppkey"))
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(sum(col("cnt")).as("w"))
+      .agg(count(lit(1)).as("w"))
       // nation-pair-sized (≤ 625 rows) after the aggregation, but fed
       // to two consumers (the mean and the filter) — checkpoint so the
-      // warehouse join above can never execute twice
+      // 4-table warehouse join above can never execute twice
       .localCheckpoint()
     val avgW = w.agg(avg("w").as("aw"))
     w.crossJoin(broadcast(avgW)).where(col("w") > lit(1.3) * col("aw"))

@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, GenericInternalRow, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -194,6 +195,155 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid argmin against a PACKED centroid matrix:
+  * `graft_argmin(matrix, cluster_ids, v, nrm)` returns
+  * `STRUCT<d: DOUBLE, c: INT>` — the 6-dp-rounded squared L2 distance
+  * to the nearest centroid and that centroid's cluster id, ties to
+  * the lower id.
+  *
+  * This is the scale path of the Lloyd trainer's assignment
+  * ([[graft.similarity.Cluster]]): the literal formulation builds k
+  * struct expressions (one `graft_dot` against a per-centroid literal
+  * array each), whose generated projection grows O(k·d) and falls out
+  * of JIT/codegen limits around a few thousand centroids — fatal once
+  * k tracks the corpus (k = n/2048 ⇒ k ≈ 500k at 1B vectors). Here
+  * the whole matrix rides in as ONE foldable literal (shipped once
+  * per stage inside the torrent-broadcast task binary, exactly like a
+  * broadcast variable), is unpacked ONCE per executor JVM into
+  * primitive `double[][]` (transient lazy), and the per-row work is a
+  * single k×d primitive loop behind a constant-size generated call —
+  * no codegen growth in k at all.
+  *
+  * Equivalence contract with the literal path (spec-pinned by
+  * ClusterSpec "matrix path ≡ literal path"):
+  *  - distance folds in the literal path's exact float op order:
+  *    `(nrm·nrm − 2.0·dot) + c2`, dot and c2 accumulating in index
+  *    order (= `graft_dot` and [[graft.similarity.Cluster]]'s
+  *    driver-side fold);
+  *  - rounding mirrors Spark's `round(_, 6)` on DOUBLE (NaN/Inf pass
+  *    through, else `BigDecimal.valueOf(x).setScale(6, HALF_UP)`);
+  *  - the argmin compares with Spark SQL's double ordering (NaN
+  *    greatest, NaN = NaN, ±0 equal), ties to the lower cluster id —
+  *    bit-for-bit what `array_min` over `struct(d, c)` yields.
+  */
+case class CentroidArgMin(first: Expression, second: Expression,
+    third: Expression, fourth: Expression) extends QuaternaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_argmin"
+
+  /** (centroid vectors, cluster ids, |c|² norms), id-ascending — built
+    * once per JVM from the foldable matrix/ids children.
+    */
+  @transient private lazy val packed: (Array[Array[Double]], Array[Int], Array[Double]) = {
+    require(first.foldable && second.foldable,
+      "graft_argmin: centroid matrix and ids must be foldable")
+    val m = first.eval(null).asInstanceOf[ArrayData]
+    val idsRaw = second.eval(null).asInstanceOf[ArrayData].toIntArray()
+    val k = m.numElements()
+    require(k > 0 && k == idsRaw.length,
+      s"graft_argmin: need k > 0 centroids with aligned ids (got $k matrix rows, ${idsRaw.length} ids)")
+    val pairs = Array.tabulate(k)(j => (idsRaw(j), m.getArray(j).toDoubleArray())).sortBy(_._1)
+    val cents = pairs.map(_._2)
+    val c2s = cents.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      s
+    }
+    (cents, pairs.map(_._1), c2s)
+  }
+
+  /** Spark's `round(x, 6)` on DOUBLE, exactly. */
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark SQL double ordering `a < b`: NaN greatest, NaN = NaN, ±0
+    * equal (SQLOrderingUtil.compareDoubles semantics).
+    */
+  private def less(a: Double, b: Double): Boolean =
+    if (a < b) true
+    else if (a > b || a == b) false
+    else !java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)
+
+  /** Raw distances, reused across the two passes — thread-local (the
+    * deserialized-per-task instance is thread-confined on executors,
+    * but the interpreted eval path can run driver-side on shared
+    * instances) so the hot loop is allocation-free.
+    */
+  @transient private lazy val scratch: ThreadLocal[Array[Double]] =
+    new ThreadLocal[Array[Double]] {
+      override def initialValue(): Array[Double] = new Array[Double](packed._1.length)
+    }
+
+  /** The per-row loop — shared verbatim by eval and generated code
+    * (the codegen installs `this` as a reference object and calls it,
+    * the BloomMightContain pattern: constant-size generated code, no
+    * codegen break, JIT compiles the loop like any hot method).
+    *
+    * Two passes: (1) raw distances + raw min (pure flops); (2) the
+    * exact contract — round THEN (d, c)-lexicographic argmin — but
+    * only over candidates that can round-tie with the raw min.
+    * Rounding is monotone, so the minimal rounded distance is
+    * `round6(rawMin)` and any round-tie candidate sits within one
+    * decimal bucket (1e-6) of the raw min; the cut adds a 10×
+    * absolute + relative slop over that bound, so the candidate set
+    * is a strict superset of the round-ties and the selection is
+    * bit-identical to rounding all k — without k BigDecimal
+    * constructions per row (measured ~100ns each: at k = 10⁴ that is
+    * the difference between flop-bound and BigDecimal-bound).
+    */
+  def evalRow(vAny: Any, nrm: Double): InternalRow = {
+    val v = vAny.asInstanceOf[ArrayData]
+    val (cents, ids, c2s) = packed
+    val k = cents.length
+    val buf = scratch.get()
+    var m = 0.0
+    var j = 0
+    while (j < k) {
+      val cv = cents(j)
+      val n = math.min(v.numElements(), cv.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv(i); i += 1 }
+      val d2 = (nrm * nrm - 2.0 * dot) + c2s(j)
+      buf(j) = d2
+      if (j == 0 || less(d2, m)) m = d2
+      j += 1
+    }
+    // NaN min means every distance is NaN (NaN never wins `less`
+    // against a number): cut = NaN keeps everyone (x > NaN is false)
+    val cut = m + 1e-5 + 1e-9 * math.abs(m)
+    var bestD = 0.0
+    var bestC = 0
+    var first = true
+    j = 0
+    while (j < k) {
+      if (!(buf(j) > cut)) {
+        val d2 = round6(buf(j))
+        if (first || less(d2, bestD)) { bestD = d2; bestC = ids(j); first = false }
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override def nullSafeEval(m: Any, c: Any, v: Any, n: Any): Any =
+    evalRow(v, n.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftArgMin", this, classOf[CentroidArgMin].getName)
+    nullSafeCodeGen(ctx, ev, (_, _, v, n) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalRow($v, $n);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression, newFourth: Expression): CentroidArgMin =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
 object VectorExpressions {
   /** Register `graft_dot` / `graft_norm` — injected through
     * `SparkSessionExtensions` (the public extension API) by
@@ -218,6 +368,13 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         SortedIntersectCount(Cast(children(0), ArrayType(LongType)),
           Cast(children(1), ArrayType(LongType)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmin"),
+      new ExpressionInfo(classOf[CentroidArgMin].getName, "graft_argmin"),
+      (children: Seq[Expression]) => CentroidArgMin(
+        Cast(children(0), ArrayType(ArrayType(DoubleType))),
+        Cast(children(1), ArrayType(IntegerType)),
+        asDoubles(children(2)), Cast(children(3), DoubleType))))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),

@@ -21,15 +21,23 @@ import org.apache.spark.sql.types._
   * rather than by hash collision.
   *
   * Scale design: each Lloyd iteration is one narrow scan — the
-  * assignment is a per-row codegen'd expression (k dot products via
-  * `graft_dot` against broadcast centroid literals, argmin by a
-  * struct `array_min`), and the centroid update is a
+  * assignment is a per-row codegen'd argmin that dispatches on k
+  * ([[MatrixPathK]]): at gate k, k literal structs + `array_min`; at
+  * corpus-tracking k (k = n/2048 ⇒ ~500k at 1B vectors, where k
+  * literal expressions would blow the JVM codegen limits), ONE packed
+  * centroid-matrix literal consumed by the constant-size
+  * [[graft.functions.CentroidArgMin]] primitive loop — the matrix
+  * ships once per stage in the torrent-broadcast task binary and
+  * unpacks once per executor JVM. The centroid update is a
   * `posexplode` + `groupBy(cluster, dim)` whose partial aggregation
-  * reduces every partition to k×d rows before the shuffle. Driver
-  * state is exactly the k×d centroid matrix — the same contract as
-  * any production distributed k-means. k grows with the corpus
-  * (`kFor`) so per-cluster candidate work in the dedup stays
-  * bounded at any scale.
+  * reduces every partition to k×d rows before the shuffle, collected
+  * as k packed rows. Driver state is exactly the k×d centroid
+  * matrix — the same contract as any production distributed k-means.
+  * k grows with the corpus (`kFor`) so per-cluster candidate work in
+  * the dedup stays bounded at any scale; both assignment paths are
+  * spec-pinned output-identical (ClusterSpec), and the Lloyd training
+  * for the gate ops is served from the [[graft.Materialized]] catalog
+  * (train once per (session, dir, corpus-version)).
   *
   * Cross-engine determinism (the oracle hash gate): centroid means
   * are decimal-exact sums (order-independent) cast to double, then
@@ -50,6 +58,19 @@ object Cluster {
     * then a final assignment under the iteration-2 centroids.
     */
   val Iters = 2
+
+  /** Literal-path cap for the assignment. At or below this k the
+    * assignment is k literal struct expressions (`array_min` argmin —
+    * fastest at gate k, fully inside whole-stage codegen); above it,
+    * the generated projection would grow O(k·d) and fall out of the
+    * JVM's 64KB method / codegen limits (fatal once k tracks the
+    * corpus: k = n/2048 ⇒ k ≈ 500k at 1B vectors), so assignment
+    * switches to the single `graft_argmin` expression consuming ONE
+    * packed centroid-matrix literal — constant-size codegen, per-JVM
+    * primitive unpack, same output bit-for-bit (ClusterSpec pins the
+    * equivalence; a k ≥ 10⁴ smoke run pins survival).
+    */
+  val MatrixPathK = 1024
 
   /** k for an n-vector corpus: n/2048 clusters, floor [[K]] — keeps
     * the within-cluster pairwise dedup stage ~O(n × 2048) no matter
@@ -73,11 +94,18 @@ object Cluster {
   }
 
   /** Assignment pass: cluster = argmin over centroids of the
-    * 6-dp-rounded squared distance, ties to the lower cluster id
-    * (struct `array_min` compares (d, c) lexicographically). Input
-    * needs (v, nrm); adds (cluster, d2).
+    * 6-dp-rounded squared distance, ties to the lower cluster id.
+    * Input needs (v, nrm); adds (cluster, d2). Dispatches on k — see
+    * [[MatrixPathK]]; both paths are output-identical by contract.
     */
-  private[similarity] def assigned(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+  private[graft] def assigned(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame =
+    if (cents.size <= MatrixPathK) assignedLiteral(vecs, cents)
+    else assignedMatrix(vecs, cents)
+
+  /** Gate-k path: k literal structs, `array_min` compares (d, c)
+    * lexicographically.
+    */
+  private[graft] def assignedLiteral(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
     val structs = cents.map { case (cid, cv) =>
       struct(round(dist2To(cv), 6).as("d"), lit(cid).as("c"))
     }
@@ -87,11 +115,30 @@ object Cluster {
       .drop("asg")
   }
 
+  /** Scale-k path: the whole centroid matrix as ONE packed literal
+    * (shipped once per stage in the torrent-broadcast task binary —
+    * a broadcast variable in effect, not k expression nodes) consumed
+    * by the constant-size [[graft.functions.CentroidArgMin]] loop.
+    */
+  private[graft] def assignedMatrix(vecs: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val mat: Column = typedlit(sorted.map(_._2.toSeq))
+    val ids: Column = typedlit(sorted.map(_._1))
+    vecs.withColumn("asg", call_function("graft_argmin", mat, ids, col("v"), col("nrm")))
+      .withColumn("cluster", col("asg.c"))
+      .withColumn("d2", col("asg.d"))
+      .drop("asg")
+  }
+
   /** Centroid update: per-(cluster, dim) mean, decimal-exact then
     * 6-dp-rounded so the result is independent of partial-aggregation
-    * order and engine. Collects exactly k×d rows. Clusters that lost
-    * every member simply vanish (k shrinks), matching the SQL
-    * formulation's GROUP BY.
+    * order and engine. The driver receives exactly the k×d centroid
+    * matrix — the irreducible state of single-level Lloyd — packed as
+    * k rows of dim-sorted arrays (a second tiny k×d→k shuffle) rather
+    * than k×d individual Rows, so the per-row object overhead doesn't
+    * multiply the matrix's footprint at corpus-tracking k. Clusters
+    * that lost every member simply vanish (k shrinks), matching the
+    * SQL formulation's GROUP BY.
     */
   private def updated(assignedVecs: DataFrame): Seq[(Int, Array[Double])] = {
     val rows = assignedVecs
@@ -99,11 +146,12 @@ object Cluster {
       .groupBy(col("cluster"), col("i"))
       .agg(round(sum(col("x").cast(DecimalType(27, 10))).cast(DoubleType) /
         count(lit(1)).cast(DoubleType), 6).as("m"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ms"))
       .collect()
-    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (c, rs) =>
-      val dims = rs.sortBy(_.getInt(1))
-      (c, dims.map(_.getDouble(2)).toArray)
-    }
+    rows.map { r =>
+      (r.getInt(0), r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray)
+    }.sortBy(_._1)
   }
 
   /** Lloyd loop: init = the k lowest-vec_id vectors (cluster id =
@@ -129,17 +177,41 @@ object Cluster {
   private def normed(emb: DataFrame): DataFrame =
     Ann.withNorm(emb).select("vec_id", "v", "nrm").localCheckpoint()
 
+  /** Session-scoped catalog entries ([[graft.Materialized]], same
+    * (dir, version) keying as the dedup collapse and derived graphs):
+    * the normed iteration input and the TRAINED centroids. Lloyd
+    * training is the dominant repeated cost of the cluster family's
+    * cold path (2×iters scans + k×d driver matrices per touch) and
+    * its output is a pure function of the corpus — train once per
+    * (session, dir, corpus-version), serve every later touch.
+    * Generic-DataFrame callers ([[semanticDupSummary]] on arbitrary
+    * frames) still train per call, unaffected.
+    */
+  private def embNormed(spark: SparkSession, dir: String): DataFrame =
+    graft.Materialized.of(spark, dir, "cluster:normed") {
+      normed(Tables.embeddings(spark, dir)
+        .select(col("vec_id").cast(LongType).as("vec_id"), col("embedding")))
+    }
+
+  private def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    graft.Materialized.of(spark, dir, "cluster:kmeans-cents") {
+      lloydCentroids(embNormed(spark, dir), K, Iters)
+    }
+
+  private def semanticCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
+    graft.Materialized.of(spark, dir, "cluster:semantic-cents") {
+      val vecs = embNormed(spark, dir)
+      lloydCentroids(vecs, kFor(vecs.count()), Iters)
+    }
+
   /** Gate op: 2-iteration k-means (k=8) over the embeddings; output
     * is the final per-vector assignment with its rounded squared
     * distance — the artifact an IVF build consumes as cell ids.
     */
-  def annKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = normed(Tables.embeddings(spark, dir))
-    val cents = lloydCentroids(vecs, K, Iters)
-    assigned(vecs, cents)
+  def annKmeans(spark: SparkSession, dir: String): DataFrame =
+    assigned(embNormed(spark, dir), kmeansCentroids(spark, dir))
       .select(col("vec_id"), col("cluster"), col("d2").as("dist2"))
       .orderBy("vec_id")
-  }
 
   /** Embedding dimensionality baked into the oracle SQL only (the
     * operators are dim-agnostic: centroid arrays inherit the data's
@@ -227,8 +299,16 @@ object Cluster {
     val emb = emb0.select(col("vec_id").cast(LongType).as("vec_id"), col("embedding"))
     val vecs = normed(emb)
     val k = kFor(vecs.count())
-    val cents = lloydCentroids(vecs, k, Iters)
+    semanticSummaryWith(emb, vecs, lloydCentroids(vecs, k, Iters), tau)
+  }
 
+  /** The post-training half of [[semanticDupSummary]]: collapse,
+    * rep-level assignment under the given centroids, within-cluster
+    * pairing, expansion. Split out so the gate op can serve cataloged
+    * centroids while generic callers train inline.
+    */
+  private def semanticSummaryWith(emb: DataFrame, vecs: DataFrame,
+      cents: Seq[(Int, Array[Double])], tau: Double): DataFrame = {
     val wg = Window.partitionBy(col("embedding"))
     val m = emb
       .withColumn("rep_id", min("vec_id").over(wg))
@@ -280,8 +360,12 @@ object Cluster {
   private def cosOrNaN(dot: Column, denom: Column): Column =
     when(denom === lit(0.0), lit(Double.NaN)).otherwise(dot / denom)
 
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
-    semanticDupSummary(Tables.embeddings(spark, dir))
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast(LongType).as("vec_id"), col("embedding"))
+    semanticSummaryWith(emb, embNormed(spark, dir), semanticCentroids(spark, dir),
+      graft.dedup.Dedup.CosTau)
+  }
 
   /** Oracle: the uncollapsed formulation — Lloyd over every vector,
     * then all pairs within a cluster. The Spark side's collapse is

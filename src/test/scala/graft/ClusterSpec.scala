@@ -105,6 +105,70 @@ class ClusterSpec extends SparkSpec {
     assert(out(1L)._2 === true)
   }
 
+  test("matrix-path assignment is bit-identical to the literal path on the shipped corpus") {
+    val vecs = Ann.withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "v", "nrm")
+    // gate k and a wider matrix (init from the data, as the trainer does)
+    for (k <- Seq(Cluster.K, 96)) {
+      val cents = Cluster.lloydCentroids(vecs, k, Cluster.Iters)
+      def rows(df: DataFrame) = df.select("vec_id", "cluster", "d2")
+        .collect().sortBy(_.getLong(0)).map(_.toSeq).toSeq
+      assert(rows(Cluster.assignedMatrix(vecs, cents)) ===
+        rows(Cluster.assignedLiteral(vecs, cents)), s"k=$k")
+    }
+  }
+
+  test("matrix path matches literal path on NaN distances and exact centroid ties") {
+    // vec 1 carries NaN (all distances NaN: NaN = NaN ties -> lowest id);
+    // centroids 0 and 1 are identical (exact tie -> lower id); vec 3 is
+    // the zero vector (well-defined distances)
+    val df = Seq(
+      (1L, Seq(Double.NaN, 0.0)),
+      (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 0.0)),
+    ).toDF("vec_id", "v").withColumn("nrm", call_function("graft_norm", col("v")))
+    val cents = Seq((0, Array(1.0, 0.0)), (1, Array(1.0, 0.0)), (2, Array(0.0, 1.0)))
+    // NaN-aware equality: compare the distance by its raw bits
+    def rows(d: DataFrame) = d.select("vec_id", "cluster", "d2")
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getInt(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val lit0 = rows(Cluster.assignedLiteral(df, cents))
+    assert(rows(Cluster.assignedMatrix(df, cents)) === lit0)
+    // and the tie/NaN verdicts themselves are the contract ones
+    assert(lit0.map(r => (r._1, r._2)) === Seq((1L, 0), (2L, 0), (3L, 0)))
+  }
+
+  /** The corpus-tracking regime the k = n/2048 growth rule implies:
+    * k ≥ 10⁴ must complete (the literal path's O(k·d) codegen dies
+    * here; the matrix path's generated code is constant-size) and
+    * stay argmin-optimal.
+    */
+  test("matrix path survives a k >= 10000 Lloyd round (smoke + optimality spot-check)") {
+    val base = Ann.withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "v")
+    // 500 shipped vectors x 40 deterministic shifts = 20k distinct vectors
+    val big = base.withColumn("r", explode(sequence(lit(0), lit(39))))
+      .select((col("vec_id") * 40 + col("r")).as("vec_id"),
+        transform(col("v"), x => x + col("r").cast("double") * lit(0.001)).as("v"))
+      .withColumn("nrm", call_function("graft_norm", col("v")))
+      .localCheckpoint()
+    val k = 10000
+    val cents = Cluster.lloydCentroids(big, k, 1)
+    assert(cents.size > Cluster.MatrixPathK && cents.size <= k)
+    assert(cents.map(_._1).distinct.length === cents.size)
+    val out = Cluster.assigned(big, cents)
+    val got = out.select("vec_id", "cluster", "d2").collect()
+    assert(got.length === 20000)
+    // brute-force the argmin on a sample of rows
+    val byId = big.select("vec_id", "v").where(col("vec_id") % 4099 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val sample = got.filter(r => byId.contains(r.getLong(0)))
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val best = cents.map { case (c, cv) => (round6(dist2(byId(r.getLong(0)), cv)), c) }.min
+      assert((best._2, best._1) === ((r.getInt(1), r.getDouble(2))), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("dedup_semantic gate output on shipped data: clusters bounded, flags consistent") {
     val out = Cluster.dedupSemantic(spark, sfDir).collect()
     assert(out.length > 0)

@@ -61,6 +61,23 @@ class MaterializedSpec extends SparkSpec {
     assert(get() === "v2", "same-tick regeneration must re-derive, not serve stale")
   }
 
+  test("dedup_semantic trains its Lloyd centroids once per (session, corpus version)") {
+    Materialized.evict(spark)
+    val out1 = graft.similarity.Cluster.dedupSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    // training populated the catalog: the same key must serve, not rebuild
+    var rebuilt = false
+    Materialized.of(spark, sfDir, "cluster:semantic-cents") {
+      rebuilt = true; Seq.empty[(Int, Array[Double])]
+    }
+    assert(!rebuilt, "a warm catalog must serve the trained centroids")
+    // eviction (the corpus-regeneration path shares this code) retrains
+    // and reproduces the same answer
+    Materialized.evict(spark)
+    assert(graft.similarity.Cluster.dedupSemantic(spark, sfDir)
+      .collect().map(_.toSeq).toSeq === out1)
+  }
+
   test("in-place part rewrite invalidates without any parent-dir mtime change") {
     val (dir, part) = corpus()
     var builds = 0

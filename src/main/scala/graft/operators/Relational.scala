@@ -296,9 +296,20 @@ object Relational {
     * (flag, bucket)-partitioned window over a vanishing slice). Same
     * quantile_cont definition: idx = p·(n−1), v = v_lo + frac·(v_hi −
     * v_lo); 4-dp rounding on both engines absorbs last-ulp noise.
-    * Degenerate distributions (all mass in one bucket) degrade to a
-    * one-task window over that bucket's DISTINCT values — still never
-    * the raw rows.
+    *
+    * Driver state is HARD-bounded, not distribution-bounded: no slice
+    * is ever collected unless its DISTINCT-value count is ≤
+    * [[SliceCap]] (enforced with a `require` at the collect). A hot
+    * bucket (adversarial distributions can concentrate every distinct
+    * value in one of the 1024 buckets) is instead re-histogrammed
+    * over its ACTUAL value extent — 1024 sub-buckets per level, one
+    * distributed agg per level, rank arithmetic on the driver — until
+    * the rank-holding range fits the cap. Each level shrinks the
+    * range ≥ 1024× and provably splits (the range's min and max land
+    * in different sub-buckets whenever min < max), so convergence
+    * needs ≤ 3 levels on anything non-degenerate; a depth valve turns
+    * the denormal-spacing corner (value differences below
+    * MIN_NORMAL) into a loud error rather than an unbounded collect.
     */
   /** Audit tap for the distributed intermediates qPercentiles executes
     * eagerly: its RETURNED frame is a driver-local toDF (the final
@@ -309,6 +320,11 @@ object Relational {
     */
   private[graft] val percentileAudit =
     new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  /** Hard cap on rows any qPercentiles slice collect may pull to the
+    * driver — buckets above it refine instead of collecting.
+    */
+  private[graft] val SliceCap = 4096
 
   private def audited(df: DataFrame): DataFrame = {
     val buf = percentileAudit.get()
@@ -338,9 +354,14 @@ object Relational {
       }
       cases
     }
+    // per-(flag, bucket): row mass, DISTINCT-value count, and actual
+    // value extent — the last two are free in the same shuffle and are
+    // what the cap check and one refinement level need
     val hist = audited(vc.groupBy(col("flag"), bucketCol.as("b"))
-      .agg(sum("c").as("bc"))).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .agg(sum("c").as("bc"), count(lit(1)).as("nd"),
+        min("v").as("mn"), max("v").as("mx"))).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
     // driver: target (1-based) ranks per (flag, percentile) and the
     // bucket holding each, via prefix sums over ≤ NB buckets
     case class Target(flag: String, name: String, rank: Long, frac: Double, isHi: Boolean)
@@ -357,29 +378,95 @@ object Relational {
       var cum = 0L
       var b = 0
       while (b < NB) {
-        cum += hist.getOrElse((f, b), 0L)
+        cum += hist.get((f, b)).map(_._1).getOrElse(0L)
         if (cum >= rank) return b
         b += 1
       }
       NB - 1
     }
     def prefixBefore(f: String, b: Int): Long =
-      (0 until b).map(bb => hist.getOrElse((f, bb), 0L)).sum
+      (0 until b).map(bb => hist.get((f, bb)).map(_._1).getOrElse(0L)).sum
     val needed = targets.map(t => (t.flag, bucketOf(t.flag, t.rank))).distinct
-    val bucketFilter = needed.map { case (f, b) =>
-      col("flag") === f && col("b") === b
-    }.reduce(_ || _)
-    // cumulative counts over the target buckets' distinct values only
-    val wb = Window.partitionBy(col("flag"), col("b"))
-      .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val slice = audited(vc.withColumn("b", bucketCol).where(bucketFilter)
-      .withColumn("cum", sum(col("c")).over(wb))
-      .select(col("flag"), col("b"), col("v"), col("c"), col("cum")))
-      .collect()
+    val (okNeeded, hotNeeded) =
+      needed.partition { case (f, b) => hist((f, b))._2 <= SliceCap }
+    // cumulative counts over the CAP-OK target buckets' distinct
+    // values only — one batched job, the common (non-adversarial) path
+    val slice =
+      if (okNeeded.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else {
+        val bucketFilter = okNeeded.map { case (f, b) =>
+          col("flag") === f && col("b") === b
+        }.reduce(_ || _)
+        val wb = Window.partitionBy(col("flag"), col("b"))
+          .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        audited(vc.withColumn("b", bucketCol).where(bucketFilter)
+          .withColumn("cum", sum(col("c")).over(wb))
+          .select(col("flag"), col("b"), col("v"), col("c"), col("cum")))
+          .collect()
+      }
+    // Hot buckets (DISTINCT count above the cap) never collect:
+    // re-histogram over the bucket's actual extent — 1024 sub-buckets,
+    // one distributed agg per level — until the rank-holding range
+    // fits the cap. mn < mx guarantees a strict split per level (mn
+    // lands in sub-bucket 0, mx in ≥ 1), so each level shrinks the
+    // extent ≥ 1024×; the depth valve only fires on sub-MIN_NORMAL
+    // value spacing, where it fails loud instead of collecting big.
+    val resolvedHot = scala.collection.mutable.Map.empty[(String, Long), Double]
+    def refine(flag: String, cond: org.apache.spark.sql.Column, prefix: Long,
+        nd: Long, mn: Double, mx: Double, ranks: Seq[Long], depth: Int): Unit = {
+      require(depth < 300, s"qPercentiles: refinement failed to converge for '$flag'")
+      if (nd <= SliceCap) {
+        val w = Window.partitionBy(col("flag"))
+          .orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val s = audited(vc.where(cond)
+          .withColumn("cum", sum(col("c")).over(w))
+          .select(col("v"), col("c"), col("cum"))).collect()
+        require(s.length <= SliceCap, s"qPercentiles: slice cap violated for '$flag'")
+        ranks.foreach { r =>
+          val off = r - prefix
+          val row = s.find(x => x.getLong(2) - x.getLong(1) < off && off <= x.getLong(2))
+            .getOrElse(sys.error(s"qPercentiles: rank $r not found for '$flag'"))
+          resolvedHot((flag, r)) = row.getDouble(0)
+        }
+      } else {
+        val width = math.max((mx - mn) / NB, java.lang.Double.MIN_NORMAL)
+        val sb = least(floor((col("v") - lit(mn)) / lit(width)), lit(NB - 1)).cast("int")
+        val sub = audited(vc.where(cond).groupBy(sb.as("sb"))
+          .agg(sum("c").as("bc"), count(lit(1)).as("nd"),
+            min("v").as("mn"), max("v").as("mx"))).collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+          .sortBy(_._1)
+        def locate(off: Long): (Int, Long) = {
+          var cum = 0L
+          var i = 0
+          while (i < sub.length) {
+            if (cum + sub(i)._2._1 >= off) return (i, cum)
+            cum += sub(i)._2._1
+            i += 1
+          }
+          sys.error(s"qPercentiles: rank offset $off beyond range mass for '$flag'")
+        }
+        ranks.map(r => (locate(r - prefix), r)).groupBy(_._1)
+          .foreach { case ((i, before), rs) =>
+            val (b, (_, nd2, mn2, mx2)) = sub(i)
+            refine(flag, cond && sb === b, prefix + before,
+              nd2, mn2, mx2, rs.map(_._2), depth + 1)
+          }
+      }
+    }
+    hotNeeded.foreach { case (f, b) =>
+      val (_, nd, mn, mx) = hist((f, b))
+      val ranks = targets.collect {
+        case t if t.flag == f && bucketOf(f, t.rank) == b => t.rank
+      }.distinct
+      refine(f, col("flag") === f && bucketCol === b, prefixBefore(f, b),
+        nd, mn, mx, ranks, 0)
+    }
     // rank r (group-global) lives at the slice row with
     // prefix + cum − c < r ≤ prefix + cum
     def valueAt(f: String, rank: Long): Double = {
       val b = bucketOf(f, rank)
+      if (hist((f, b))._2 > SliceCap) return resolvedHot((f, rank))
       val off = rank - prefixBefore(f, b)
       slice.iterator
         .filter(r => r.getString(0) == f && r.getInt(1) == b)

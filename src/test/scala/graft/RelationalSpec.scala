@@ -124,4 +124,54 @@ class RelationalSpec extends SparkSpec {
     }
     assert(gn === Tables.orders(spark, sfDir).count())
   }
+
+  /** Adversarial single-hot-bucket distribution: 10k distinct prices
+    * packed into 1/1000th of the value range (every percentile target
+    * lands in one top-level bucket whose distinct count exceeds
+    * [[graft.operators.Relational.SliceCap]]) plus one far outlier
+    * stretching the range. The refinement must (a) keep every driver
+    * collect under the cap, (b) actually refine (sub-bucket
+    * histogram), (c) still produce the exact quantile_cont answer.
+    */
+  test("q_percentiles hard-bounds driver collects on an adversarial single-bucket distribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pct_adv").toString
+    try {
+      val vals = (0 until 10000).map(i => 1.0 + i * 1e-7) :+ 1000.0
+      vals.map(("A", _)).toDF("l_returnflag", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val tapped = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      operators.Relational.percentileAudit.set(tapped)
+      val out =
+        try operators.Relational.qPercentiles(spark, dir).collect()
+        finally operators.Relational.percentileAudit.remove()
+      // every slice-shaped collect (carries a cum column) is cap-bounded
+      val sliceTaps = tapped.filter(_.columns.contains("cum"))
+      assert(sliceTaps.nonEmpty)
+      sliceTaps.foreach(df => assert(df.count() <= operators.Relational.SliceCap))
+      // and a refinement level actually ran
+      assert(tapped.exists(_.columns.contains("sb")), "hot bucket must re-histogram, not collect")
+      // exact quantile_cont reference (the operator's own arithmetic)
+      val sorted = vals.sorted
+      def q(p: Double): Double = {
+        val idx = p * (sorted.length - 1)
+        val lo = math.floor(idx).toInt
+        val frac = idx - lo
+        val v =
+          if (lo + 1 < sorted.length) sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+          else sorted(lo)
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(out.length === 1)
+      val r = out.head
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)) ===
+        ((q(0.25), q(0.5), q(0.9), q(0.99))))
+    } finally {
+      val p = java.nio.file.Paths.get(dir)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
 }

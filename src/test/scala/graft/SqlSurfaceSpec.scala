@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** The SQL front door is gated by the operators it mirrors: every
+  * surface query must return the operator's exact row set (compared
+  * under the driver's column-name-sorted convention, the same shape
+  * the DuckDB oracle gate hashes) — so a SQL user and a Scala user
+  * get byte-identical answers.
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    rowsOf(df.select(df.columns.sorted.map(col).toIndexedSeq: _*))
+
+  test("every SQL-surface query is output-identical to its operator") {
+    SqlSurface.register(spark, sfDir)
+    assert(SqlSurface.queries.nonEmpty)
+    SqlSurface.queries.foreach { case (name, sql) =>
+      val op = SparkEntry.queries(name)(spark, sfDir)
+      val viaSql = spark.sql(sql)
+      assert(viaSql.columns.sorted.toSeq === op.columns.sorted.toSeq, s"$name: columns")
+      assert(canon(viaSql) === canon(op), s"$name: rows differ between spark.sql and operator")
+    }
+  }
+
+  test("surface names are real gate operators") {
+    assert(SqlSurface.queries.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SqlSurface.queries.size >= 10)
+  }
+
+  test("warehouse tables and named graphs are queryable as views") {
+    SqlSurface.register(spark, sfDir)
+    (Tables.names ++ Seq("graph_supply", "graph_supply_und", "graph_nation", "graph_hash"))
+      .foreach { v =>
+        assert(spark.sql(s"SELECT * FROM $v LIMIT 1").count() === 1L, v)
+      }
+  }
+
+  test("custom catalyst expressions are callable from SQL") {
+    SqlSurface.register(spark, sfDir)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "graft_norm(array(3.0d, 4.0d)) AS n").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getDouble(1) === 5.0)
+  }
+}

@@ -444,6 +444,24 @@ object GraphOps {
     // shuffles per round). Without it the loop re-exchanges the full
     // edge set each iteration — O(iters × edges) network, the same
     // scale-killer the BFS frontier loop fixed in r11.
+    //
+    // Deliberate trade-off — hub skew: HashPartitioning(src) places
+    // EVERY out-edge of a vertex in one partition, and once the frame
+    // is persisted AQE can no longer split it, so on a power-law graph
+    // a 100M-out-degree hub makes one straggler task per iteration.
+    // Salting the source key is NOT an answer here: the per-iteration
+    // join requires ClusteredDistribution(src), which a (src, salt)
+    // partitioning does not satisfy — a salted frame would re-exchange
+    // the full edge set every iteration, re-creating the exact
+    // O(iters × edges) cost this layout exists to avoid. The skew cost
+    // is bounded by max-out-degree/avg-out-degree per iteration and is
+    // paid in compute-time only (map-side partial aggregation already
+    // absorbs hub fan-IN on the groupBy(dst) side); the alternative is
+    // network-linear in the full edge set. If hub stragglers dominate
+    // at larger scales the right move is a two-frame split — hubs
+    // (out-degree above a threshold) kept in a separate RoundRobin
+    // frame joined via broadcast ranks, the long tail keeping this
+    // layout — not salting the shared frame.
     val e = canonEdges(edges).repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (e.count() <= maxLocalEdges) {
@@ -1058,6 +1076,12 @@ object GraphOps {
     // half-steps exchange-free on the edge side — the star-rounds
     // pattern: 2× edge cache buys away 2×iters full-edge exchanges,
     // leaving only the vertex-sized score frames shuffling per step.
+    // Memory trade: the doubled edge cache can pressure-evict other
+    // MEMORY_AND_DISK blocks on tight executors; if that shows up at
+    // larger scales, demote eByDst to StorageLevel.DISK_ONLY (each
+    // iteration reads it once sequentially, so disk-resident costs one
+    // scan, not an exchange) — both caches are already released before
+    // the final joins below.
     val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     eByDst.count()
     val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))

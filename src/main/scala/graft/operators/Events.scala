@@ -27,16 +27,33 @@ object Events {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** events + `ts_sec` (epoch seconds, exact integer division of the
-    * raw nanosecond value — `div`, not `/`, so no double rounding).
+  /** Epoch seconds from whatever type a `ts` column actually carries,
+    * derived timezone-INDEPENDENTLY in every branch so the result never
+    * depends on `spark.sql.session.timeZone`:
+    *   - raw nanosecond longs (`nanosAsLong` corpora): exact integer
+    *     division — `div`, not `/`, so no double rounding;
+    *   - TIMESTAMP_NTZ (parquet timestamp[us] with no timezone — the
+    *     driver's corpora since the micros regeneration): the NTZ wall
+    *     time IS the UTC instant by corpus contract, so epoch seconds
+    *     come from wall-clock field arithmetic (`unix_date` of the wall
+    *     date + h/m/s), which reads the NTZ fields directly — a cast to
+    *     TIMESTAMP would instead re-interpret the wall time in the
+    *     session zone and silently shift under a non-UTC session;
+    *   - TIMESTAMP: stores an instant, so `unix_timestamp` returns the
+    *     stored epoch with no zone math at all.
     */
+  def tsSecOf(dt: DataType): Column = (dt match {
+    case LongType => expr("ts div 1000000000")
+    case TimestampNTZType =>
+      expr("unix_date(cast(ts as date)) * 86400L" +
+        " + hour(ts) * 3600L + minute(ts) * 60L + second(ts)")
+    case _ => unix_timestamp(col("ts"))
+  }).cast(LongType)
+
+  /** events + `ts_sec` (integer epoch seconds, see [[tsSecOf]]). */
   def eventsSec(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val sec = ev.schema("ts").dataType match {
-      case LongType => expr("ts div 1000000000")
-      case _        => unix_timestamp(col("ts").cast(TimestampType))
-    }
-    ev.withColumn("ts_sec", sec.cast(LongType))
+    ev.withColumn("ts_sec", tsSecOf(ev.schema("ts").dataType))
   }
 
   /** Gap-based sessionization: pure window functions (lag → new-session

@@ -74,14 +74,43 @@ object Streaming {
     spark.conf.getOption("spark.graft.stateShards")
       .orElse(sys.env.get("GRAFT_STATE_SHARDS")).map(_.toInt)
       .getOrElse {
-        val bytes = tableBytes(s"$dir/events.parquet")
-        val cores = spark.sparkContext.defaultParallelism
-        // Cap outermost: on a session with fewer than 4 cores the core
-        // cap must win over the floor, or the sizing hands out more
-        // state-store tasks than cores — the exact overhead it exists
-        // to avoid.
-        math.max(1, math.min(cores, math.max(4, math.ceil(bytes / (2 << 20).toDouble).toInt)))
+        val s = shardSizing(spark, dir)
+        lastShardSizing = Some(s)
+        if (s.requested > s.granted) System.err.println(
+          s"GRAFT_SHARDS requested=${s.requested} granted=${s.granted} " +
+            s"cores=${s.cores} bytes=${s.bytes} (parallelism-capped: on a " +
+            "cluster the cap is total executor cores, not 32)")
+        s.granted
       }
+
+  /** The auto-sizing decision, surfaced: `requested` is what the data
+    * volume wants (ceil(bytes / 2 MB), floored at 4), `granted` is
+    * after the session-parallelism cap. requested > granted means the
+    * corpus has outgrown this session's cores — correct on local[32]
+    * (more state tasks than cores only adds scheduling overhead), and
+    * self-resolving on a real cluster, where defaultParallelism is
+    * total executor cores and the same corpus gets its full request.
+    * StreamingShardSpec pins the policy; the bench reads
+    * [[lastShardSizing]] to report cap binding honestly (BASELINE.md's
+    * sf10 "wants 107, gets 32" paragraph).
+    */
+  final case class ShardSizing(requested: Int, granted: Int, cores: Int, bytes: Long)
+
+  @volatile var lastShardSizing: Option[ShardSizing] = None
+
+  def shardSizing(spark: SparkSession, dir: String): ShardSizing =
+    shardPolicy(tableBytes(s"$dir/events.parquet"),
+      spark.sparkContext.defaultParallelism)
+
+  /** Pure sizing policy: ~2 MB compressed input per shard, floor 4,
+    * core cap outermost — on a session with fewer than 4 cores the cap
+    * must win over the floor, or the sizing hands out more state-store
+    * tasks than cores (the exact overhead it exists to avoid).
+    */
+  def shardPolicy(bytes: Long, cores: Int): ShardSizing = {
+    val requested = math.max(4, math.ceil(bytes / (2 << 20).toDouble).toInt)
+    ShardSizing(requested, math.max(1, math.min(cores, requested)), cores, bytes)
+  }
 
   /** On-disk bytes of a table path (single parquet file, or a
     * Spark-written directory of part files).
@@ -142,14 +171,12 @@ object Streaming {
 
   /** Exact integer event seconds from whatever type `ts` actually is:
     * raw nanosecond longs under `nanosAsLong` (GraftSession.tuned), or
-    * a real timestamp under a vanilla session — same dispatch as
-    * [[graft.operators.Events.eventsSec]].
+    * a real (NTZ or zoned) timestamp under a vanilla session — the
+    * shared timezone-independent dispatch of
+    * [[graft.operators.Events.tsSecOf]].
     */
   private def tsSecExpr(schema: StructType): org.apache.spark.sql.Column =
-    schema("ts").dataType match {
-      case LongType => expr("ts div 1000000000").cast(LongType)
-      case _        => unix_timestamp(col("ts").cast(TimestampType)).cast(LongType)
-    }
+    graft.operators.Events.tsSecOf(schema("ts").dataType)
 
   /** Stage the events parquet as the starting file(s) of a fresh
     * streaming input directory (file sources need a directory). The

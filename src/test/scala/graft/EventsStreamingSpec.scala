@@ -7,6 +7,23 @@ import org.apache.spark.sql.functions._
 /** Sessionization invariants + batch/stream agreement. */
 class EventsStreamingSpec extends SparkSpec {
 
+  test("ts_sec is timezone-independent: a non-UTC session yields the same epochs") {
+    // The NTZ branch of Events.tsSecOf must read the wall-clock fields
+    // directly — a cast to TIMESTAMP would re-interpret the wall time
+    // in the session zone, silently shifting every epoch (and so every
+    // session/window boundary) by the zone offset under a session that
+    // does not pin UTC the way GraftSession.tuned does.
+    val utc = Events.eventsSec(spark, sfDir)
+      .select("event_id", "ts_sec").orderBy("event_id").collect().toSeq
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ny = Events.eventsSec(spark, sfDir)
+        .select("event_id", "ts_sec").orderBy("event_id").collect().toSeq
+      assert(ny === utc)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("batch sessionize: sessions partition the events, gaps respect the threshold") {
     val sess = Events.qEventsSessionize(spark, sfDir).localCheckpoint()
     val nEvents = Events.eventsSec(spark, sfDir).count()

@@ -123,6 +123,18 @@ class GraphShuffleGeometrySpec extends SparkSpec {
     // file-overhead drift (per-task overheads scale with shuffle
     // partitions × levels, so a tighter bound would couple the spec
     // to the session's partition tuning).
+    //
+    // COMPRESSION ASSUMPTION: both bands compare COMPRESSED
+    // shuffle-write bytes against a raw rows×16 estimate, so their
+    // absolute positions assume spark.shuffle.compress=true with the
+    // default LZ4 codec (the 1.8×-healthy / 10-30×-regressed numbers
+    // above were measured under it). A codec change (zstd compresses
+    // these two-long rows ~1.5-2× tighter) or compress=false (~2-4×
+    // looser) shifts both bands by the SAME factor — the healthy and
+    // regressed regimes stay an order of magnitude apart, but the 6×
+    // cut line would need re-measuring. If this assertion ever trips
+    // without a graph-loop code change, check the shuffle codec config
+    // before suspecting the loop geometry.
     info(s"shuffleWrite=$shuffleWrite edgeBytes=$edgeBytes levels=$levels " +
       s"(bound=${6 * edgeBytes}, regressed band ≈ ${10 * edgeBytes}+)")
     assert(shuffleWrite < 6 * edgeBytes,

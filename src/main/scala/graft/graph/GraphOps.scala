@@ -1233,4 +1233,214 @@ object GraphOps {
     }
     frames.reduce(_ unionAll _)
   }
+
+  /** Source budget for sampled betweenness above
+    * [[ExactAllSourcesVerts]] vertices: Brandes dependencies from the
+    * `k` lowest-id vertices, scaled by `nv/k` — the standard
+    * sampled-source estimator (Brandes & Pich 2007 pivot scheme with
+    * a deterministic pivot set, so the result is reproducible and
+    * layout-independent). Exact betweenness is Θ(V·E) — at 100 TB the
+    * sampled estimator IS the production contract, same adaptive
+    * shape as [[closeness]]'s exact/HyperBall split.
+    */
+  val BetweennessSampleSources: Int = 64
+
+  /** Betweenness centrality (directed, unweighted): for each vertex v
+    * the sum over source/target pairs of the fraction of shortest
+    * paths through v. Adaptive on BOTH axes, like [[closeness]]:
+    *  - sources: all vertices while `nv ≤ maxExactVerts` (exact — the
+    *    oracle path), else the [[BetweennessSampleSources]] lowest-id
+    *    vertices with dependencies scaled by nv/k;
+    *  - execution: driver-local Brandes under [[LocalEdgeThreshold]]
+    *    edges (the reference's whole-matrix-per-query regime,
+    *    secondary_server.c:126-137), else the distributed
+    *    level-synchronous forward σ-BFS + backward dependency sweep
+    *    ([[distBrandes]]) — 2·diameter shuffle rounds, frontier-sized
+    *    state, nothing driver-side but the source list. Both paths
+    *    are output-identical (spec-pinned by forcing
+    *    maxLocalEdges = 0).
+    *
+    * Output: (vertex, betweenness, n_sources) over all vertices;
+    * betweenness is 6-dp-rounded (engine-independent vs the oracle's
+    * pair-formula fold: Σ σ_sv·σ_vt/σ_st over pairs with
+    * d(s,v)+d(v,t)=d(s,t), the Brandes-dependency identity).
+    * Self-loops and duplicate edges are dropped: shortest-path
+    * multiplicity is a simple-graph notion.
+    */
+  def betweenness(edges: DataFrame,
+      maxExactVerts: Long = ExactAllSourcesVerts,
+      maxLocalEdges: Long = LocalEdgeThreshold,
+      sampleSources: Int = BetweennessSampleSources): DataFrame = {
+    val spark = edges.sparkSession
+    val e = canonEdges(edges).where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("src").as("v"))
+      .unionAll(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    val nv = verts.count()
+    // source list is driver-state by design: ≤ maxExactVerts ids when
+    // exact, ≤ sampleSources when sampled — never corpus-sized
+    val srcArr: Array[Long] =
+      if (nv <= maxExactVerts) verts.collect().map(_.getLong(0)).sorted
+      else verts.orderBy("v").limit(sampleSources).collect().map(_.getLong(0))
+    val scale = nv.toDouble / srcArr.length
+    val dep =
+      if (e.count() <= maxLocalEdges) localBrandes(spark, collectPairs(e), srcArr)
+      else distBrandes(e, srcArr)
+    verts.join(dep, verts("v") === dep("vertex"), "left")
+      .select(verts("v").as("vertex"),
+        round(coalesce(col("dep"), lit(0.0)) * lit(scale), 6).as("betweenness"),
+        lit(srcArr.length.toLong).as("n_sources"))
+  }
+
+  /** Driver-side Brandes twin (Brandes 2001, Alg. 1) for
+    * sub-threshold graphs: per source, one σ-counting BFS, then the
+    * backward accumulation δ(w) += σ_w/σ_v · (1+δ(v)) over
+    * shortest-path-DAG out-edges (dist(v) = dist(w)+1 — no
+    * predecessor lists needed with out-adjacency at hand). Returns
+    * (vertex, dep) = Σ_sources δ, zero rows omitted.
+    */
+  private def localBrandes(spark: SparkSession, pairs: Array[(Long, Long)],
+      sources: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val adj = adjacencyOf(pairs)
+    val total = new java.util.HashMap[Long, Double]()
+    sources.foreach { s =>
+      val dist = new java.util.HashMap[Long, Int]()
+      val sigma = new java.util.HashMap[Long, Double]()
+      val order = scala.collection.mutable.ArrayBuffer.empty[Long]
+      dist.put(s, 0); sigma.put(s, 1.0)
+      var q = scala.collection.mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        order += v
+        val dv = dist.get(v)
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { w =>
+          if (!dist.containsKey(w)) { dist.put(w, dv + 1); q += w }
+          if (dist.get(w) == dv + 1)
+            sigma.merge(w, sigma.get(v), _ + _)
+        }
+      }
+      val dep = new java.util.HashMap[Long, Double]()
+      order.reverseIterator.foreach { w =>
+        val dw = dist.get(w)
+        val ns = adj.get(w)
+        if (ns != null) {
+          var acc = 0.0
+          ns.foreach { v =>
+            if (dist.containsKey(v) && dist.get(v) == dw + 1)
+              acc += (1.0 + dep.getOrDefault(v, 0.0)) / sigma.get(v)
+          }
+          if (acc != 0.0) dep.put(w, acc * sigma.get(w))
+        }
+      }
+      dep.forEach((v, d) => if (v != s) total.merge(v, d, _ + _))
+    }
+    import scala.jdk.CollectionConverters._
+    total.asScala.toSeq.map { case (v, d) => (v, d) }.toDF("vertex", "dep")
+  }
+
+  /** Distributed Brandes: forward level-synchronous σ-BFS (the [[bfs]]
+    * loop carrying per-(tag, vertex) shortest-path counts — the
+    * frontier join aggregates σ by destination, which IS the σ
+    * recurrence since all shortest-path predecessors sit in the
+    * previous frontier), then the backward dependency sweep one level
+    * at a time over the SAME per-level checkpointed frames: each
+    * backward step joins level-(l+1) vertices carrying
+    * (1+δ)/σ against reversed edges and multiplies into level-l σ.
+    * Geometry per direction mirrors [[bfs]]: broadcast-sized frontiers
+    * join the cached edge frame shuffle-free; the first
+    * super-broadcast level re-persists edges hash-partitioned on the
+    * join side (src forward / dst backward — the [[hits]] twin-cache
+    * trade), after which only frontier-sized frames move per level.
+    * Driver state: nothing but loop counters.
+    */
+  private def distBrandes(e0: DataFrame, sources: Array[Long]): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    var eBySrc: DataFrame = null
+    var eByDst: DataFrame = null
+    def bySrc(): DataFrame = {
+      if (eBySrc == null) {
+        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        eBySrc.count()
+      }
+      eBySrc
+    }
+    def byDst(): DataFrame = {
+      if (eByDst == null) {
+        eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+        eByDst.count()
+      }
+      eByDst
+    }
+    // forward: levels(l) = (tag, vertex, sigma) checkpointed per level
+    var frontier = sources.toSeq.toDF("tag")
+      .select(col("tag"), col("tag").as("vertex"), lit(1.0).as("sigma"))
+      .coalesce(1).localCheckpoint()
+    var rows = frontier.count()
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    val levelRows = scala.collection.mutable.ArrayBuffer(rows)
+    // visited compaction as in [[bfs]]: bounded anti-join plan depth
+    val CompactEvery = 8
+    var visitedBase = frontier.select("tag", "vertex")
+    val recent = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (rows > 0) {
+      val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
+      val small = rows <= broadcastFrontier
+      val f = if (small) broadcast(frontier) else frontier
+      val ej = if (small && eBySrc == null) e else bySrc()
+      val nextRaw = ej.join(f, ej("src") === f("vertex"))
+        .select(col("tag"), col("dst").as("vertex"), col("sigma"))
+        .groupBy("tag", "vertex").agg(sum("sigma").as("sigma"))
+        .join(visited, Seq("tag", "vertex"), "left_anti")
+      val next = (if (rows <= 1000000) nextRaw.coalesce(1) else nextRaw)
+        .localCheckpoint()
+      rows = next.count()
+      if (rows > 0) {
+        levels += next
+        levelRows += rows
+        recent += next.select("tag", "vertex")
+        if (recent.size >= CompactEvery) {
+          visitedBase = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
+            .coalesce(math.max(1, e.rdd.getNumPartitions / 4)).localCheckpoint()
+          recent.clear()
+        }
+      }
+      frontier = next
+    }
+    // backward: δ at the deepest level is 0; each shallower level's
+    // δ_u = σ_u · Σ_{u→w, w one level deeper} (1+δ_w)/σ_w
+    val maxLev = levels.size - 1
+    var delta = levels(maxLev)
+      .select(col("tag"), col("vertex"), lit(0.0).as("delta"))
+      .localCheckpoint()
+    val deltaFrames = scala.collection.mutable.ArrayBuffer(delta)
+    var l = maxLev - 1
+    while (l >= 0) {
+      val wd = levels(l + 1).join(delta, Seq("tag", "vertex"))
+        .select(col("tag"), col("vertex").as("w"),
+          ((lit(1.0) + col("delta")) / col("sigma")).as("m"))
+      val small = levelRows(l + 1) <= broadcastFrontier
+      val f = if (small) broadcast(wd) else wd
+      val ej = if (small && eByDst == null) e else byDst()
+      val contrib = ej.join(f, ej("dst") === f("w"))
+        .select(col("tag"), col("src").as("vertex"), col("m"))
+        .groupBy("tag", "vertex").agg(sum("m").as("msum"))
+      val dRaw = levels(l).join(contrib, Seq("tag", "vertex"), "left")
+        .select(col("tag"), col("vertex"),
+          (coalesce(col("msum"), lit(0.0)) * col("sigma")).as("delta"))
+      delta = (if (levelRows(l) <= 1000000) dRaw.coalesce(1) else dRaw)
+        .localCheckpoint()
+      deltaFrames += delta
+      l -= 1
+    }
+    e.unpersist()
+    if (eBySrc != null) eBySrc.unpersist()
+    if (eByDst != null) eByDst.unpersist()
+    deltaFrames.reduce(_ unionAll _)
+      .where(col("vertex") =!= col("tag"))
+      .groupBy("vertex").agg(sum("delta").as("dep"))
+  }
 }

@@ -452,6 +452,62 @@ object GraphQueries {
        |  CAST(MAX(d) AS BIGINT) AS ecc
        |FROM sp GROUP BY s ORDER BY vertex""".stripMargin
 
+  /** Betweenness centrality on the directed nation graph — adaptive on
+    * both axes ([[GraphOps.betweenness]]): all-sources exact under
+    * [[GraphOps.ExactAllSourcesVerts]] vertices (the gate/oracle
+    * path), [[GraphOps.BetweennessSampleSources]] sampled pivots
+    * scaled by nv/k above; driver-local Brandes under the edge
+    * threshold, level-synchronous distributed Brandes past it.
+    */
+  def graphBetweenness(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.betweenness(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  /** Oracle: the pair-formula identity for Brandes dependencies —
+    * bc(v) = Σ_{s≠v≠t} σ(s,v)·σ(v,t)/σ(s,t) over pairs with
+    * d(s,v)+d(v,t) = d(s,t). σ is counted by enumerating walks of the
+    * shortest-path DAG with a UNION ALL recursive CTE (a DAG, so it
+    * terminates; every s-walk in it IS a shortest path, so the walk
+    * count per (s,t) is σ). `verts` needs an explicit DISTINCT: in a
+    * WITH RECURSIVE list DuckDB gives plain UNION CTEs append
+    * semantics, which the distance oracles never notice (their
+    * recursive `r` dedups downstream) but a multiplicity-sensitive
+    * walk count would.
+    */
+  val graphBetweennessSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
+       |verts AS (SELECT DISTINCT v FROM
+       |          (SELECT src AS v FROM ne UNION ALL SELECT dst FROM ne)),
+       |r AS (
+       |  SELECT v AS s, v AS t, 0 AS d FROM verts
+       |  UNION
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |),
+       |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2),
+       |dag AS (SELECT a.s, ne.src AS u, ne.dst AS v
+       |        FROM ne JOIN sp a ON a.t = ne.src
+       |        JOIN sp b ON b.s = a.s AND b.t = ne.dst AND b.d = a.d + 1),
+       |w AS (
+       |  SELECT v AS s, v AS t FROM verts
+       |  UNION ALL
+       |  SELECT w.s, dag.v FROM w JOIN dag ON dag.s = w.s AND dag.u = w.t
+       |),
+       |sg AS (SELECT s, t, CAST(COUNT(*) AS DOUBLE) AS sigma FROM w GROUP BY 1, 2),
+       |terms AS (
+       |  SELECT sv.t AS vertex, sv.sigma * vt.sigma / st.sigma AS term
+       |  FROM sg sv
+       |  JOIN sp dsv ON dsv.s = sv.s AND dsv.t = sv.t
+       |  JOIN sg vt ON vt.s = sv.t
+       |  JOIN sp dvt ON dvt.s = vt.s AND dvt.t = vt.t
+       |  JOIN sg st ON st.s = sv.s AND st.t = vt.t
+       |  JOIN sp dst_ ON dst_.s = st.s AND dst_.t = st.t AND dst_.d = dsv.d + dvt.d
+       |  WHERE sv.s != sv.t AND vt.s != vt.t AND sv.s != vt.t
+       |)
+       |SELECT verts.v AS vertex, ROUND(COALESCE(SUM(term), 0), 6) AS betweenness,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_sources
+       |FROM verts LEFT JOIN terms ON terms.vertex = verts.v
+       |GROUP BY verts.v ORDER BY vertex""".stripMargin
+
   /** Per-vertex triangle counts on the nation graph. */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame =
     GraphOps.triangleCounts(DerivedGraphs.nationEdges(spark, dir))
@@ -596,6 +652,7 @@ object GraphQueries {
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),
     Op("graph_closeness", graphCloseness, Some(graphClosenessSql)),
+    Op("graph_betweenness", graphBetweenness, Some(graphBetweennessSql)),
     Op("graph_eccentricity", graphEccentricity, Some(graphEccentricitySql)),
     Op("graph_hits", graphHits, Some(graphHitsSql)),
     Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),

@@ -282,6 +282,33 @@ class GraphSpec extends SparkSpec {
       pr.view.mapValues(v => math.rint(v * 1e6)).toMap)
   }
 
+  test("betweenness: diamond values exact; local/distributed/sampled paths agree") {
+    // diamond 1→{2,3}→4→5 plus an unreachable component 8→9.
+    // Exact directed bc: 2 and 3 each carry half of (1,4) and (1,5)
+    // (σ=2 ties) → 1.0; 4 carries (1,5),(2,5),(3,5) → 3.0; rest 0.
+    val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L, 4L -> 5L, 8L -> 9L)
+    def byV(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val local = byV(GraphOps.betweenness(e))
+    assert(local === Map(
+      1L -> (0.0, 7L), 2L -> (1.0, 7L), 3L -> (1.0, 7L), 4L -> (3.0, 7L),
+      5L -> (0.0, 7L), 8L -> (0.0, 7L), 9L -> (0.0, 7L)))
+    // distributed σ-BFS + backward sweep is output-identical
+    assert(byV(GraphOps.betweenness(e, maxLocalEdges = 0L)) === local)
+    // the sampled-source path with a budget covering every vertex is
+    // the exact answer (scale nv/k = 1) — pins the pivot machinery
+    assert(byV(GraphOps.betweenness(e, maxExactVerts = 0L, sampleSources = 100)) === local)
+    // a true sample: pivots {1,2} (lowest ids), dependencies scaled by
+    // 7/2 — δ₁ = (2:1, 3:1, 4:1), δ₂ = (4:1)
+    val sampled = byV(GraphOps.betweenness(e, maxExactVerts = 0L, sampleSources = 2))
+    assert(sampled === Map(
+      1L -> (0.0, 2L), 2L -> (3.5, 2L), 3L -> (3.5, 2L), 4L -> (7.0, 2L),
+      5L -> (0.0, 2L), 8L -> (0.0, 2L), 9L -> (0.0, 2L)))
+    // sampled + distributed compose
+    assert(byV(GraphOps.betweenness(e, maxExactVerts = 0L, sampleSources = 2,
+      maxLocalEdges = 0L)) === sampled)
+  }
+
   test("randomWalks: walks follow edges, diverge by walk_id, stop at dead ends") {
     // 1→{2,3}, 2→{1,3}, 3→1 plus an isolated dead-end chain 7→8
     val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 7L -> 8L)

@@ -247,14 +247,21 @@ object Ann {
     val queries = collectQueries(emb)
     require(IvfCells <= NumQueries, "centroid ids must be a subset of the query set")
     val cents = centroidsFrom(queries)
-    val probesByQ: Map[Long, Set[Int]] = queries.map { case (qid, qv, qn) =>
+    heapTopK(emb, queries, k, Some((cents, ivfProbes(queries, cents, nprobe))))
+  }
+
+  /** Per-query probed cell set: the `nprobe` centroids nearest by
+    * (rounded cosine desc, cell asc) — the routing half of IVF, shared
+    * by [[ivfTopK]] (exact scoring) and [[ivfPqTopK]] (ADC scoring).
+    */
+  private def ivfProbes(queries: Array[(Long, Array[Float], Double)],
+      cents: Array[Array[Double]], nprobe: Int): Map[Long, Set[Int]] =
+    queries.map { case (qid, qv, qn) =>
       val ranked = cents.zipWithIndex
         .map { case (c, i) => (round6(dot(c, qv) / qn), i) }
         .sortBy { case (s, i) => (-s, i) }
       qid -> ranked.take(nprobe).map(_._2).toSet
     }.toMap
-    heapTopK(emb, queries, k, Some((cents, probesByQ)))
-  }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(Tables.embeddings(spark, dir))
@@ -624,7 +631,8 @@ object Ann {
     * so returned scores are true cosines (spec-pinned against brute
     * force, and oracle-checked end-to-end by [[annPqSql]]).
     */
-  def pqTopK(emb: DataFrame, k: Int = K): DataFrame = {
+  def pqTopK(emb: DataFrame, k: Int = K,
+      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = collectQueries(emb)
@@ -655,6 +663,7 @@ object Ann {
     val bq = spark.sparkContext.broadcast(queries.map(q => (q._1, q._3)))
     val bcb = spark.sparkContext.broadcast(codebooks)
     val badc = spark.sparkContext.broadcast(adcTables)
+    val bp = spark.sparkContext.broadcast(probedCells)
     // encode + ADC-score in one pass; bounded per-partition heaps
     val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
@@ -662,6 +671,7 @@ object Ann {
         val qs = bq.value
         val cbs = bcb.value
         val adc = badc.value
+        val probe = bp.value
         val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
         val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
         it.foreach { case (id, v) =>
@@ -669,6 +679,7 @@ object Ann {
           var i = 0
           while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
           nrm = math.sqrt(nrm)
+          val cell = probe.map { case (cents, _) => nearestCell(cents, v, nrm) }
           // encode: nearest centroid per subspace (L2², ties → lower c)
           val codes = new Array[Int](PqSubspaces)
           var m = 0
@@ -689,7 +700,11 @@ object Ann {
             m += 1
           }
           qs.foreach { case (qid, qn) =>
-            if (id != qid) {
+            val visible = probe match {
+              case Some((_, byQ)) => byQ(qid).contains(cell.get)
+              case None           => true
+            }
+            if (visible && id != qid) {
               val t = adc(qid)
               var s = 0.0
               var mm = 0
@@ -721,6 +736,99 @@ object Ann {
 
   def annPq(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir))
+
+  /** IVF-PQ (Jégou et al., TPAMI 2011 §V — the FAISS production
+    * shape): IVF coarse routing bounds WHICH vectors a query scores
+    * (its `nprobe` nearest cells), PQ/ADC bounds the per-candidate
+    * cost (M table adds per vector instead of D multiplies), and the
+    * exact rerank of the ADC survivors restores true cosines. One
+    * scan does assignment, encoding, and ADC scoring simultaneously —
+    * at 100 TB that is the difference between "scan M bytes per
+    * vector for 1/nprobe of the corpus" and either component alone.
+    * With nprobe = [[IvfCells]] the routing is a no-op and the result
+    * is exactly [[pqTopK]] (spec-pinned identity).
+    */
+  def ivfPqTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K): DataFrame = {
+    val queries = collectQueries(emb)
+    require(IvfCells <= NumQueries, "centroid ids must be a subset of the query set")
+    val cents = centroidsFrom(queries)
+    pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))))
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(Tables.embeddings(spark, dir))
+
+  /** IVF-PQ oracle: [[annIvfSql]]'s assignment/probe CTEs composed
+    * with [[annPqSql]]'s encode/ADC/rerank chain — the ADC candidate
+    * join additionally gated by cell membership (vector's assigned
+    * cell ∈ the query's probed cells). Same 6-dp/tie-break discipline
+    * as both parents.
+    */
+  val annIvfPqSql: String = {
+    val sub = OracleDim / PqSubspaces
+    s"""
+    WITH $oracleVCte,
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    cents AS (SELECT vec_id AS cell,
+                list_transform(v, x -> x / nrm) AS cv
+              FROM n WHERE vec_id < $IvfCells),
+    casg AS (SELECT n.vec_id, cents.cell,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                 ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
+                   i -> cents.cv[i] * n.v[i])) / n.nrm, 6) DESC, cents.cell) AS rn
+             FROM n CROSS JOIN cents),
+    assigned AS (SELECT vec_id, cell FROM casg WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    probes AS (SELECT qid, cell FROM (
+                 SELECT q.qid, cents.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                     ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+                       i -> cents.cv[i] * qv[i])) / qn, 6) DESC, cents.cell) AS rn
+                 FROM q CROSS JOIN cents)
+               WHERE rn <= $IvfNprobe),
+    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    cb AS (SELECT n.vec_id AS c, ms.m,
+             list_slice(n.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+           FROM n CROSS JOIN ms WHERE n.vec_id < $PqCentroids),
+    enc0 AS (SELECT n.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, $sub),
+                 i -> (n.v[cb.m * $sub + i] - cb.cv[i]) * (n.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
+             FROM n CROSS JOIN cb),
+    enc AS (SELECT vec_id, m, c AS code FROM (
+              SELECT vec_id, m, c,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+              FROM enc0)
+            WHERE rn = 1),
+    adc AS (SELECT q.qid, cb.m, cb.c,
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
+            FROM q CROSS JOIN cb),
+    approx AS (SELECT q.qid, e.vec_id,
+                 ROUND(list_sum(list(adc.t ORDER BY adc.m))
+                   / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
+               FROM q
+               JOIN probes p ON p.qid = q.qid
+               JOIN assigned a ON a.cell = p.cell
+               JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id != q.qid
+               JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
+               JOIN n ON n.vec_id = e.vec_id
+               GROUP BY q.qid, e.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+               FROM approx) WHERE arn <= $PqRerank),
+    s AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+  }
 
   /** PQ oracle: fully data-derived — codebooks are the first
     * [[PqCentroids]] vectors' subvectors, so the whole encode → ADC →
@@ -786,6 +894,7 @@ object Ann {
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
     Op("ann_pq", annPq, Some(annPqSql)),
+    Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     Op("ann_mips", annMips, Some(annMipsSql)),

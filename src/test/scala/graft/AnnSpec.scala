@@ -64,6 +64,25 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: full probing degenerates to PQ; routed recall holds; scores exact") {
+    // routing with every cell probed is a no-op — IVF-PQ ≡ PQ
+    assert(rowsOf(Ann.ivfPqTopK(emb, nprobe = Ann.IvfCells)) === rowsOf(Ann.pqTopK(emb)))
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val ivfpqDf = Ann.ivfPqTopK(emb)
+    val ivfpq = neighborSets(ivfpqDf)
+    val recalls = bf.map { case (q, s) =>
+      ivfpq.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.5,
+      s"mean IVF-PQ recall ${recalls.sum / recalls.size}")
+    // the rerank is exact: every returned score is the true cosine
+    val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    ivfpqDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
   test("bruteForceTopK pins known neighbors on a synthetic set") {
     val s = spark
     import s.implicits._

@@ -717,8 +717,83 @@ object Relational {
     WHERE o_orderpriority = '1-URGENT'
     GROUP BY 1 ORDER BY 1"""
 
+  /** Interval (range) overlap join — the join shape Spark has no
+    * native operator for (an inequality-only condition plans as a
+    * nested-loop join): each order→ship transit interval
+    * [o_orderdate, l_shipdate] against the 4 busiest order weeks'
+    * unaligned 13-day promo periods [week−3d, week+9d); output is
+    * per-period overlap count + mean transit length.
+    *
+    * Scale shape — bin bucketing: BOTH interval sets explode into the
+    * 7-day bins they cover, the join is a bin EQUI-join (hash
+    * partitionable, AQE-skew-splittable — never a nested loop), the
+    * exact overlap predicate runs as a join residual, and a pair
+    * sharing several bins is emitted exactly once by the canonical-bin
+    * residual (only the bin containing max(lo, plo) emits — no dedup
+    * shuffle). Cost: |rows| × (span/bin + 1)
+    * exploded rows per side, overlap-true pairs out — the standard
+    * fact-fact range-join answer. Here the period side is also
+    * dimension-sized and broadcast, which AQE would do anyway; the
+    * exploded-bin plan is what survives when BOTH sides are facts.
+    */
+  def qIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast(DateType)
+    val binDays = 7L
+    def bins(lo: Column, hi: Column): Column =
+      explode(sequence(floor(lo / binDays).cast(LongType),
+        floor(hi / binDays).cast(LongType)))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), epoch).cast(LongType).as("od"))
+    val iv = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(to_date(col("l_shipdate")), epoch).cast(LongType).as("hi"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("hi") >= col("od"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("od").as("lo"), col("hi"))
+    val periods = o
+      .groupBy(floor(col("od") / binDays).cast(LongType).as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("wk")).limit(4)
+      .select((col("wk") * binDays - 3L).as("plo"), (col("wk") * binDays + 9L).as("phi"))
+    val ivB = iv.withColumn("b", bins(col("lo"), col("hi")))
+    val pB = periods.withColumn("b", bins(col("plo"), col("phi")))
+    // a pair sharing several bins is emitted ONLY from the bin holding
+    // max(lo, plo) — the canonical-bin trick: exactly-once without any
+    // dedup shuffle (and robust to duplicate fact rows, which this
+    // corpus has: (l_orderkey, l_linenumber) is not unique)
+    ivB.join(broadcast(pB), "b")
+      .where(col("lo") <= col("phi") && col("hi") >= col("plo") &&
+        col("b") === floor(greatest(col("lo"), col("plo")) / binDays).cast(LongType))
+      .groupBy(col("plo").as("period_start"))
+      .agg(count(lit(1)).as("n_overlap"),
+        round(sum(col("hi") - col("lo")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_transit_days"))
+      .orderBy("period_start")
+  }
+
+  /** Oracle: the direct inequality join — bin bucketing is a pure
+    * execution strategy, so plain overlap SQL is the contract.
+    */
+  val qIntervalJoinSql: String = """
+    WITH o AS (SELECT o_orderkey,
+                 CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od
+               FROM orders),
+    iv AS (SELECT l_orderkey, l_linenumber, o.od AS lo,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS hi
+           FROM lineitem JOIN o ON o_orderkey = l_orderkey
+           WHERE CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) >= o.od),
+    wk AS (SELECT CAST(FLOOR(od / 7) AS BIGINT) AS wk, COUNT(*) AS n
+           FROM o GROUP BY 1),
+    periods AS (SELECT wk * 7 - 3 AS plo, wk * 7 + 9 AS phi FROM wk
+                ORDER BY n DESC, wk LIMIT 4)
+    SELECT p.plo AS period_start, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+      ROUND(CAST(SUM(iv.hi - iv.lo) AS DOUBLE) / COUNT(*), 6) AS avg_transit_days
+    FROM iv JOIN periods p ON iv.lo <= p.phi AND iv.hi >= p.plo
+    GROUP BY p.plo ORDER BY period_start"""
+
   def ops: Seq[Op] = Seq(
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
+    Op("q_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     Op("q_incremental", qIncremental, Some(qIncrementalSql)),
     Op("q_bloom_semijoin", qBloomSemijoin, Some(qBloomSemijoinSql)),
     Op("q_pivot", qPivot, Some(qPivotSql)),

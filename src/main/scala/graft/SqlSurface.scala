@@ -153,6 +153,30 @@ object SqlSurface {
       GROUP BY ROLLUP(r_name, n_name)
       ORDER BY region_name, nation_name""",
 
+    "q_interval_join" -> """
+      WITH o AS (SELECT o_orderkey,
+                   CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT) AS od
+                 FROM orders),
+      iv AS (SELECT l_orderkey, l_linenumber, o.od AS lo,
+               CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) AS hi
+             FROM lineitem JOIN o ON l_orderkey = o_orderkey
+             WHERE CAST(datediff(CAST(l_shipdate AS DATE), DATE '1970-01-01') AS BIGINT) >= o.od),
+      periods AS (SELECT wk * 7 - 3 AS plo, wk * 7 + 9 AS phi FROM (
+                   SELECT CAST(FLOOR(od / 7) AS BIGINT) AS wk, COUNT(*) AS n
+                   FROM o GROUP BY 1 ORDER BY n DESC, wk LIMIT 4)),
+      ivb AS (SELECT l_orderkey, l_linenumber, lo, hi, b FROM iv
+              LATERAL VIEW explode(sequence(CAST(FLOOR(lo / 7) AS BIGINT),
+                                            CAST(FLOOR(hi / 7) AS BIGINT))) t AS b),
+      pb AS (SELECT plo, phi, b FROM periods
+             LATERAL VIEW explode(sequence(CAST(FLOOR(plo / 7) AS BIGINT),
+                                           CAST(FLOOR(phi / 7) AS BIGINT))) t AS b)
+      SELECT /*+ BROADCAST(pb) */ plo AS period_start, COUNT(*) AS n_overlap,
+        ROUND(CAST(SUM(hi - lo) AS DOUBLE) / COUNT(*), 6) AS avg_transit_days
+      FROM ivb JOIN pb USING (b)
+      WHERE lo <= phi AND hi >= plo
+        AND b = CAST(FLOOR(GREATEST(lo, plo) / 7) AS BIGINT)
+      GROUP BY plo ORDER BY period_start""",
+
     "graph_degrees" -> """
       SELECT vertex, CAST(SUM(o) AS BIGINT) AS out_deg,
              CAST(SUM(i) AS BIGINT) AS in_deg,

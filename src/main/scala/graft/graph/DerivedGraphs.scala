@@ -91,6 +91,20 @@ object DerivedGraphs {
     * transitive-closure oracles.
     */
   def nationEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nation") {
+    nationWeightedEdges(spark, dir).select("src", "dst")
+  }
+
+  /** Tolled nation trade graph: the SAME edge set as [[nationEdges]]
+    * plus a deterministic integer toll per surviving edge,
+    * `w = 1 + cnt % 7` (cnt = the raw trade count). Pure integer math
+    * on an already-aggregated count keeps the weight engine-portable
+    * (no float boundary to disagree on), and the small 1..7 range keeps
+    * weighted shortest-path oracles enumerable (max shortest dist ≤
+    * 24 hops × 7 on the 25-vertex graph). [[nationEdges]] projects this
+    * frame, so the 4-table warehouse derivation is shared through the
+    * catalog instead of run once per graph flavor.
+    */
+  def nationWeightedEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nationw") {
     val w = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
@@ -107,7 +121,8 @@ object DerivedGraphs {
       .localCheckpoint()
     val avgW = w.agg(avg("w").as("aw"))
     w.crossJoin(broadcast(avgW)).where(col("w") > lit(1.3) * col("aw"))
-      .select(col("src").cast("long"), col("dst").cast("long"))
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        (lit(1L) + col("w") % lit(7L)).cast("long").as("w"))
   }
 
   val nationEdgesSql: String =
@@ -117,5 +132,14 @@ object DerivedGraphs {
       |       JOIN supplier ON s_suppkey = l_suppkey
       |       WHERE c_nationkey != s_nationkey GROUP BY 1, 2),
       |ne AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+      |       FROM nw WHERE w > 1.3 * (SELECT AVG(w) FROM nw))""".stripMargin
+
+  /** [[nationEdgesSql]] + the tolled variant (`nwe`): same survivors,
+    * `1 + cnt % 7` toll — the exact mirror of [[nationWeightedEdges]].
+    */
+  val nationWeightedEdgesSql: String =
+    nationEdgesSql + """,
+      |nwe AS (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+      |         CAST(1 + w % 7 AS BIGINT) AS w
       |       FROM nw WHERE w > 1.3 * (SELECT AVG(w) FROM nw))""".stripMargin
 }

@@ -1443,4 +1443,115 @@ object GraphOps {
       .where(col("vertex") =!= col("tag"))
       .groupBy("vertex").agg(sum("delta").as("dep"))
   }
+
+  /** Weighted single-source shortest paths over a (src, dst, w) edge
+    * list with non-negative integer tolls. Contract: (vertex, dist)
+    * with dist = minimum total toll from `source`; unreachable vertices
+    * absent. The reference's traversals are unweighted (dfs_bfs.h); the
+    * weighted variant is the natural extension every road/trade-network
+    * user asks of a graph engine.
+    *
+    * Execution is frontier relaxation — Bellman-Ford restricted to the
+    * vertices whose distance improved last round (delta-stepping's
+    * one-bucket degenerate form, the shape that distributes):
+    *  - per round, the improved frontier joins the cached edge frame
+    *    (broadcast while small; past the broadcast bound the edges are
+    *    re-persisted hash-partitioned by src once, the BFS-loop trade),
+    *  - candidate distances min-combine per dst (map-side partial),
+    *  - the vertex-partitioned dist frame full-outer-merges the
+    *    candidates exchange-free (both sides already hash(vertex)), and
+    *    the rows that improved become the next frontier.
+    *  - Rounds are bounded by maxRounds; with integer tolls ≥ 1 the
+    *    loop needs at most (max shortest dist) rounds and each round is
+    *    one checkpointed job, so driver state is a row count only.
+    * Driver Dijkstra below `maxLocalEdges` (the same adaptive split as
+    * every other traversal; specs force 0 to pin both paths equal).
+    */
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int = 256,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    if (eCount <= maxLocalEdges) {
+      val out = localDijkstra(spark, e, source)
+      e.unpersist()
+      return out
+    }
+    var dist = Seq((source, 0L)).toDF("vertex", "dist")
+      .repartition(col("vertex")).localCheckpoint()
+    var frontier = dist
+    var frontierRows = 1L
+    var eBySrc: DataFrame = null
+    def partitionedEdges(): DataFrame = {
+      if (eBySrc == null) {
+        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+        eBySrc.count()
+        e.unpersist()
+      }
+      eBySrc
+    }
+    var round = 0
+    while (frontierRows > 0 && round < maxRounds) {
+      round += 1
+      val small = frontierRows <= broadcastFrontier
+      val f = if (small) broadcast(frontier) else frontier
+      val ej = if (small && eBySrc == null) e else partitionedEdges()
+      val cand = ej.join(f, ej("src") === f("vertex"))
+        .select(col("dst").as("vertex"), (f("dist") + col("w")).as("nd"))
+        .groupBy("vertex").agg(min("nd").as("nd"))
+      // dist is hash(vertex)-partitioned (repartition at birth, then
+      // each round's merge retains the join partitioning through the
+      // checkpoint), and cand leaves its aggregate hash(vertex)-
+      // partitioned too — the full-outer merge plans exchange-free.
+      val merged = dist.join(cand, Seq("vertex"), "full_outer")
+        .select(col("vertex"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("nd").isNotNull &&
+            (col("dist").isNull || col("nd") < col("dist"))).as("improved"))
+        .localCheckpoint()
+      // The frontier is a filter over the merged checkpoint's cached
+      // blocks — no second job.
+      frontier = merged.where(col("improved")).select("vertex", "dist")
+      frontierRows = frontier.count()
+      dist = merged.select("vertex", "dist")
+      if (sys.env.contains("GRAFT_GRAPH_TRACE"))
+        System.err.println(s"GRAFT_SSSP round=$round improved=$frontierRows")
+    }
+    e.unpersist()
+    if (eBySrc != null) eBySrc.unpersist()
+    dist
+  }
+
+  /** Driver-side Dijkstra twin of the relaxation loop: same
+    * (vertex, dist) min-toll contract, identical output.
+    */
+  private def localDijkstra(spark: SparkSession, e: DataFrame, source: Long): DataFrame = {
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.getLong(0),
+        _ => scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]) +=
+        ((r.getLong(1), r.getLong(2)))
+    }
+    val dist = new java.util.HashMap[Long, Long]()
+    val pq = new java.util.PriorityQueue[(Long, Long)](
+      (a: (Long, Long), b: (Long, Long)) => java.lang.Long.compare(a._1, b._1))
+    pq.add((0L, source))
+    while (!pq.isEmpty) {
+      val (d, v) = pq.poll()
+      if (!dist.containsKey(v)) {
+        dist.put(v, d)
+        val ns = adj.get(v)
+        if (ns != null) ns.foreach { case (u, w) =>
+          if (!dist.containsKey(u)) pq.add((d + w, u))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    dist.asScala.toSeq.map { case (v, d) => (v, d) }.toDF("vertex", "dist")
+  }
 }

@@ -553,6 +553,34 @@ object GraphQueries {
        |SELECT v AS vertex, landmark, CAST(MIN(dist) AS BIGINT) AS dist
        |FROM sp GROUP BY v, landmark ORDER BY vertex, landmark""".stripMargin
 
+  /** Weighted shortest-path distances from the smallest vertex of the
+    * tolled nation graph (integer tolls 1..7, [[DerivedGraphs
+    * .nationWeightedEdges]]): frontier-relaxation Bellman-Ford
+    * distributed, Dijkstra locally — see [[GraphOps.sssp]].
+    */
+  def graphSsspWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.nationWeightedEdges(spark, dir)
+    val source = e.agg(min(col("src"))).head().getLong(0)
+    GraphOps.sssp(e, source).orderBy("vertex")
+  }
+
+  /** Oracle: recursive state enumeration over (vertex, running toll).
+    * UNION dedups states; tolls are 1..7 on a ≤25-vertex graph, so any
+    * shortest distance is ≤ 24×7 = 168 and the d < 200 guard both
+    * terminates the recursion and prunes nothing reachable-shortest.
+    */
+  val graphSsspWeightedSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationWeightedEdgesSql},
+       |s AS (SELECT MIN(src) AS v FROM nwe),
+       |r AS (
+       |  SELECT v, 0 AS d FROM s
+       |  UNION
+       |  SELECT nwe.dst, r.d + nwe.w FROM r JOIN nwe ON nwe.src = r.v
+       |  WHERE r.d < 200
+       |)
+       |SELECT v AS vertex, CAST(MIN(d) AS BIGINT) AS dist
+       |FROM r GROUP BY v ORDER BY vertex""".stripMargin
+
   /** HITS hubs & authorities on the directed nation graph, 2 rounds
     * with L1 normalization per half-step; oracle = the identical
     * unrolled CTE chain (same schedule: a from h, normalize; h from a,
@@ -658,5 +686,6 @@ object GraphQueries {
     Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
+    Op("graph_sssp_weighted", graphSsspWeighted, Some(graphSsspWeightedSql)),
   )
 }

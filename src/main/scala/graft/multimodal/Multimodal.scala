@@ -334,6 +334,60 @@ object Multimodal {
     FROM sigs s LEFT JOIN near n ON n.doc_id = s.doc_id
     ORDER BY s.doc_id"""
 
+  /** Target shard size for [[mmShardManifest]] (bytes). Gate-sized so
+    * sf0.01 produces a multi-shard manifest per source; a production
+    * run sets ~100 MB–1 GB.
+    */
+  val ShardBytes = 4096L
+
+  /** WebDataset-style shard manifest: media samples are laid out as a
+    * byte stream per `source` (doc_id order — the tar-archive order),
+    * and the stream is cut into [[ShardBytes]] shards; each sample
+    * records its shard, offset within the shard, and length — the
+    * manifest a training dataloader seeks with. A sample whose bytes
+    * straddle a cut belongs to the shard holding its first byte
+    * (tar-stream split semantics: the reader of shard k follows into
+    * k+1 for the tail). Scale shape = [[graft.text.TextAnalysis
+    * .textPackSequences]]'s: the byte prefix-sum is a window
+    * partitioned by source — per-stream state, no global order, so
+    * every source stream shards independently at 100 TB; shard ids are
+    * derived by integer division, not assigned by a sequential packer.
+    */
+  def mmShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("doc_id").cast(LongType).as("doc_id"), col("source"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .withColumn("start_byte", coalesce(sum(col("n_bytes")).over(w), lit(0L)))
+      .withColumn("shard_id", expr(s"start_byte div $ShardBytes"))
+      .select(col("doc_id"), col("source"),
+        concat(col("source"), lit("-"),
+          lpad(col("shard_id").cast("string"), 5, "0")).as("shard"),
+        col("shard_id"),
+        (col("start_byte") - col("shard_id") * lit(ShardBytes)).as("offset"),
+        col("n_bytes"))
+      .orderBy("source", "doc_id")
+  }
+
+  val mmShardManifestSql: String = s"""
+    WITH b AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents),
+    c AS (SELECT doc_id, source, n_bytes,
+        CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS start_byte
+      FROM b)
+    SELECT doc_id, source,
+      source || '-' || lpad(CAST(start_byte // $ShardBytes AS VARCHAR), 5, '0')
+        AS shard,
+      start_byte // $ShardBytes AS shard_id,
+      start_byte - (start_byte // $ShardBytes) * $ShardBytes AS offset,
+      n_bytes
+    FROM c ORDER BY source, doc_id"""
+
   def ops: Seq[Op] = Seq(
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
@@ -341,5 +395,6 @@ object Multimodal {
     Op("mm_resize", mmResize, Some(mmResizeSql)),
     Op("mm_features", mmFeatures, Some(mmFeaturesSql)),
     Op("mm_phash", mmPhash, Some(mmPhashSql)),
+    Op("mm_shard_manifest", mmShardManifest, Some(mmShardManifestSql)),
   )
 }

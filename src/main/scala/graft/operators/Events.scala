@@ -136,6 +136,111 @@ object Events {
         count_distinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** KMV (k-minimum-values / theta) distinct sketch size. */
+  val KmvK = 64
+
+  /** KMV hash universe: 2^31−1 (Mersenne prime). Products of two
+    * 31-bit residues stay under 2^62, so the quadratic mixing hash is
+    * exact BIGINT arithmetic in BOTH engines — the same portability
+    * trick as the MinHash permutations. At 100 TB the 31-bit universe
+    * saturates near 2^31 distinct keys; the production swap is
+    * `xxhash64` for the hash (the sketch algebra is unchanged), which
+    * the oracle can't replicate — the gate keeps the portable hash.
+    */
+  private val KmvP = 2147483647L
+
+  private def kmvEst(retained: Column, kth: Column): Column =
+    round(when(retained < KmvK, retained.cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble * KmvP) / kth), 3)
+
+  /** KMV/theta distinct sketches with set-operation algebra — the
+    * capability HLL ([[qApproxDistinct]]) lacks: theta sketches
+    * intersect. Per event type, the sketch is the K smallest distinct
+    * hash values of user_id; union = K smallest over the merged
+    * sketches (exact: each retained set contains its own K minima, so
+    * merging sketches loses nothing); intersection estimates
+    * |click ∩ purchase| as (common hashes below θ) · p/θ with
+    * θ = min(θ_click, θ_purchase).
+    *
+    * Scale shape: one distinct on (type, hash) with map-side partial,
+    * then the rank-≤K filter — Catalyst's InferWindowGroupLimit turns
+    * it into a per-shuffle-partition group limit BEFORE the per-type
+    * sort, so the final window task sees ≤ K·partitions rows, never
+    * the distinct stream. Sketch composition runs over ≤ 5·K rows.
+    */
+  def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("user_id") % KmvP
+    val h = (((x * x) % KmvP) + ((lit(1103515245L) * x) % KmvP) + lit(12345L)) % KmvP
+    val hashes = Tables.events(spark, dir)
+      .select(col("event_type"), h.as("h")).distinct()
+    val sk = hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .where(col("rk") <= KmvK)
+      .select("event_type", "h")
+      .localCheckpoint()
+    val perType = sk.groupBy("event_type")
+      .agg(count(lit(1)).as("retained"), max("h").as("kth"))
+      .localCheckpoint()
+    val typeRows = perType.select(col("event_type").as("set_name"),
+      col("retained"), kmvEst(col("retained"), col("kth")).as("est_distinct"))
+    val uniRows = sk
+      .agg(slice(sort_array(collect_set(col("h"))), 1, KmvK).as("hs"))
+      .select(lit("union_all").as("set_name"),
+        size(col("hs")).cast("long").as("retained"),
+        kmvEst(size(col("hs")).cast("long"), element_at(col("hs"), KmvK))
+          .as("est_distinct"))
+    // θ = p for an unsaturated sketch (it retained everything), so the
+    // intersection estimate degrades gracefully to the exact count.
+    val theta = perType.where(col("event_type").isin("click", "purchase"))
+      .agg(min(when(col("retained") < KmvK, lit(KmvP)).otherwise(col("kth")))
+        .as("theta"))
+    val aSide = sk.where(col("event_type") === "click").select(col("h"))
+    val bSide = sk.where(col("event_type") === "purchase").select(col("h").as("hb"))
+    val interRows = aSide.join(bSide, col("h") === col("hb"))
+      .crossJoin(broadcast(theta)).where(col("h") < col("theta"))
+      .agg(count(lit(1)).as("retained"))
+      .crossJoin(broadcast(theta))
+      .select(lit("click_x_purchase").as("set_name"), col("retained"),
+        round(col("retained") * lit(KmvP.toDouble) / col("theta"), 3)
+          .as("est_distinct"))
+    typeRows.unionAll(uniRows).unionAll(interRows).orderBy("set_name")
+  }
+
+  val qKmvSketchSql: String = """
+    WITH hs AS (SELECT DISTINCT event_type,
+        ((((user_id % 2147483647) * (user_id % 2147483647)) % 2147483647)
+         + ((1103515245 * (user_id % 2147483647)) % 2147483647) + 12345)
+        % 2147483647 AS h
+      FROM events),
+    sk AS (SELECT event_type, h FROM (
+        SELECT event_type, h,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hs) WHERE rk <= 64),
+    pt AS (SELECT event_type, COUNT(*)::BIGINT AS retained, MAX(h) AS kth
+           FROM sk GROUP BY 1),
+    t_rows AS (SELECT event_type AS set_name, retained,
+        ROUND(CASE WHEN retained < 64 THEN 1.0 * retained
+                   ELSE 63.0 * 2147483647 / kth END, 3) AS est_distinct
+      FROM pt),
+    u AS (SELECT h FROM (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64)),
+    u_row AS (SELECT 'union_all' AS set_name, COUNT(*)::BIGINT AS retained,
+        ROUND(CASE WHEN COUNT(*) < 64 THEN 1.0 * COUNT(*)
+                   ELSE 63.0 * 2147483647 / MAX(h) END, 3) AS est_distinct
+      FROM u),
+    th AS (SELECT MIN(CASE WHEN retained < 64 THEN 2147483647
+                           ELSE kth END) AS theta
+           FROM pt WHERE event_type IN ('click', 'purchase')),
+    icnt AS (SELECT COUNT(*)::BIGINT AS retained
+             FROM sk a JOIN sk b ON a.h = b.h
+               AND a.event_type = 'click' AND b.event_type = 'purchase', th
+             WHERE a.h < th.theta),
+    i_row AS (SELECT 'click_x_purchase' AS set_name, retained,
+        ROUND(retained * 2147483647.0 / theta, 3) AS est_distinct
+      FROM icnt, th)
+    SELECT * FROM t_rows UNION ALL SELECT * FROM u_row
+    UNION ALL SELECT * FROM i_row ORDER BY set_name"""
+
   /** As-of join — an operator Spark has no native form of (SURVEY §2
     * preference order (a): compose existing ops). Each `purchase`
     * event is joined to the most recent prior `click` of the same
@@ -464,5 +569,6 @@ object Events {
     Op("q_events_funnel", qEventsFunnel, Some(qEventsFunnelSql)),
     Op("q_asof_join", qAsofJoin, Some(qAsofJoinSql)),
     Op("q_approx_distinct", qApproxDistinct, None),
+    Op("q_kmv_sketch", qKmvSketch, Some(qKmvSketchSql)),
   )
 }

@@ -806,6 +806,54 @@ object TextAnalysis {
       (start_tok + n_tokens - 1) // $PackSeqLen - start_tok // $PackSeqLen + 1 AS n_seqs
     FROM c ORDER BY lang, doc_id"""
 
+  /** Chunk geometry for [[textChunkOverlap]]: 64-token windows every
+    * 48 tokens (16-token overlap — the RAG/pretraining default shape).
+    */
+  val ChunkLen = 64L
+  val ChunkStride = 48L
+
+  /** Sliding-window chunking with overlap (the context-window chunker
+    * every RAG / pretraining ingest runs): each document becomes
+    * [[ChunkLen]]-token chunks starting every [[ChunkStride]] tokens.
+    * A tail start is emitted only if it contributes tokens beyond the
+    * previous chunk's coverage (start = 0 ∨ start + overlap < n), so
+    * chunks never duplicate a suffix already fully covered. Purely
+    * per-row (split → filtered `sequence` → posexplode → slice): no
+    * shuffle at all before the gate's cosmetic orderBy — the 100 TB
+    * plan is scan → generate → write, embarrassingly parallel. The
+    * chunk ordinal is the generator's own position index, not a window.
+    */
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ov = ChunkLen - ChunkStride
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast(LongType))
+      .select(col("doc_id"), col("ws"), col("n"),
+        posexplode(expr(
+          s"filter(sequence(0L, n - 1L, ${ChunkStride}L), s -> s = 0 OR s + $ov < n)")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("chunk_id"),
+        col("col").as("start_tok"),
+        least(lit(ChunkLen), col("n") - col("col")).as("n_tokens"),
+        concat_ws(" ", expr(s"slice(ws, col + 1, $ChunkLen)")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val textChunkOverlapSql: String = s"""
+    WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        string_split(text, ' ') AS ws,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    ex AS (SELECT doc_id, ws, n,
+        unnest(generate_series(0, n - 1, $ChunkStride)) AS s
+      FROM t),
+    st AS (SELECT doc_id, ws, n, s,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS chunk_id
+      FROM ex WHERE s = 0 OR s + ${ChunkLen - ChunkStride} < n)
+    SELECT doc_id, chunk_id, s AS start_tok,
+      LEAST($ChunkLen, n - s) AS n_tokens,
+      array_to_string(list_slice(ws, s + 1, s + $ChunkLen), ' ') AS chunk_text
+    FROM st ORDER BY doc_id, chunk_id"""
+
   def ops: Seq[Op] = Seq(
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
@@ -822,5 +870,6 @@ object TextAnalysis {
     Op("text_decontaminate", textDecontaminate, Some(textDecontaminateSql)),
     Op("text_compress_ratio", textCompressRatio, None),
     Op("text_pack_sequences", textPackSequences, Some(textPackSequencesSql)),
+    Op("text_chunk_overlap", textChunkOverlap, Some(textChunkOverlapSql)),
   )
 }

@@ -107,6 +107,32 @@ class GraphSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("sssp: planted toll graph has the known weighted distances") {
+    val s = spark
+    import s.implicits._
+    // 1→2 (5), 1→3 (1), 3→2 (1), 2→4 (2), 3→4 (10); 8→9 unreachable.
+    // Best: d(2) = 2 via 3 (not the direct 5), d(4) = 4 via 3→2.
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 2L),
+      (3L, 4L, 10L), (8L, 9L, 1L)).toDF("src", "dst", "w")
+    def distsOf(maxLocal: Long) =
+      GraphOps.sssp(e, 1L, maxLocalEdges = maxLocal).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = Map(1L -> 0L, 3L -> 1L, 2L -> 2L, 4L -> 4L)
+    assert(distsOf(GraphOps.LocalEdgeThreshold) === expected)
+    assert(distsOf(0L) === expected)
+  }
+
+  test("sssp: local Dijkstra and distributed relaxation agree on the nation graph") {
+    val e = DerivedGraphs.nationWeightedEdges(spark, sfDir)
+    val src = e.agg(min(col("src"))).head().getLong(0)
+    def rows(maxLocal: Long) =
+      GraphOps.sssp(e, src, maxLocalEdges = maxLocal).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = rows(GraphOps.LocalEdgeThreshold)
+    assert(local === rows(0L))
+    assert(local.nonEmpty)
+  }
+
   test("connectedComponents local union-find and star loop agree") {
     val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
     val local = GraphOps.connectedComponents(e).collect()

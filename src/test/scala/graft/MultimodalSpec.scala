@@ -10,6 +10,32 @@ class MultimodalSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("shard manifest: per-source byte stream is gapless, offsets in range") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.mmShardManifest(spark, sfDir).localCheckpoint()
+    val b = Multimodal.ShardBytes
+    // offsets always inside a shard; shard naming embeds source + id
+    assert(out.where(col("offset") < 0 || col("offset") >= b).count() === 0)
+    assert(out.where(col("shard") =!=
+      concat(col("source"), lit("-"), lpad(col("shard_id").cast("string"), 5, "0")))
+      .count() === 0)
+    // reconstructing start bytes: within a source, each sample starts
+    // exactly where the previous one ended (no gaps, no overlaps)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val chained = out
+      .withColumn("start", col("shard_id") * b + col("offset"))
+      .withColumn("prev_end",
+        lag(col("shard_id") * b + col("offset") + col("n_bytes"), 1).over(w))
+    assert(chained.where(col("prev_end").isNotNull &&
+      col("start") =!= col("prev_end")).count() === 0)
+    assert(chained.where(col("prev_end").isNull && col("start") =!= 0).count() === 0)
+    // gate corpus actually spans multiple shards per source
+    val shardsPerSource = out.groupBy("source")
+      .agg(countDistinct("shard_id").as("ns"))
+    assert(shardsPerSource.where(col("ns") < 2).count() === 0)
+  }
+
   test("decodeMeta: byte length, magic bytes, stub dimensions") {
     val docs = fakeDocs((1L, "abcdefgh"))
     val r = Multimodal.decodeMeta(docs).head()

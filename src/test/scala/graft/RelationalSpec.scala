@@ -13,6 +13,45 @@ class RelationalSpec extends SparkSpec {
     assert(maxErr <= 0.05, s"max relative error $maxErr")
   }
 
+  test("q_kmv_sketch: estimates near exact, union row = sketch of the union") {
+    val dir = "/root/testdata/sf0.01" // 150 users/type saturates K=64
+    val out = Events.qKmvSketch(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val ev = Tables.events(spark, dir)
+    val exactType = ev.groupBy("event_type").agg(count_distinct(col("user_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactType.foreach { case (t, exact) =>
+      val est = out(t)._2
+      assert(math.abs(est - exact) / exact <= 0.35,
+        s"$t: est $est vs exact $exact")
+    }
+    // sketch saturated: retained pinned at K
+    assert(out("click")._1 === Events.KmvK)
+    // union estimate vs exact distinct-over-all
+    val exactAll = ev.agg(count_distinct(col("user_id"))).head.getLong(0)
+    assert(math.abs(out("union_all")._2 - exactAll) / exactAll <= 0.35)
+    // intersection estimate vs exact overlap
+    val byType = (t: String) => ev.where(col("event_type") === t)
+      .select("user_id").distinct()
+    val exactInter = byType("click").intersect(byType("purchase")).count()
+    assert(math.abs(out("click_x_purchase")._2 - exactInter)
+      <= math.max(12.0, 0.45 * exactInter),
+      s"inter est ${out("click_x_purchase")._2} vs exact $exactInter")
+    // Mergeability (the property HLL can't offer for intersections and
+    // the reason theta sketches exist): the union row computed from the
+    // per-type SKETCHES must equal KMV run directly on the raw union.
+    val p = 2147483647L
+    val x = col("user_id") % p
+    val h = (((x * x) % p) + ((lit(1103515245L) * x) % p) + lit(12345L)) % p
+    val direct = ev.select(h.as("h")).distinct()
+      .agg(slice(sort_array(collect_set(col("h"))), 1, Events.KmvK).as("hs"))
+      .select(element_at(col("hs"), Events.KmvK).as("kth"))
+      .head.getLong(0)
+    val directEst = BigDecimal((Events.KmvK - 1).toDouble * p / direct)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("union_all")._2 === directEst)
+  }
+
   test("q_incremental merge of base+delta partials equals the one-shot aggregation") {
     val o = Tables.orders(spark, sfDir)
     val direct = o.groupBy(col("o_orderstatus").as("status"),

@@ -12,6 +12,34 @@ class TextSpec extends SparkSpec {
     assert(correct / n >= 0.9, s"accuracy ${correct / n}")
   }
 
+  test("chunk_overlap: geometry, coverage, and no-contained-tail rule") {
+    val out = TextAnalysis.textChunkOverlap(spark, sfDir).localCheckpoint()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    // every doc chunked; chunks jointly cover exactly [0, n)
+    val cover = out.groupBy("doc_id").agg(
+      max(col("start_tok") + col("n_tokens")).as("covered"),
+      min("start_tok").as("first"),
+      count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+    assert(cover.count() === docs.count())
+    assert(cover.where(col("covered") =!= col("n") || col("first") =!= 0).count() === 0)
+    // starts advance by exactly the stride; short docs are one chunk
+    val byStride = out.withColumn("prev",
+      lag("start_tok", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("chunk_id")))
+    assert(byStride.where(col("prev").isNotNull &&
+      col("start_tok") - col("prev") =!= TextAnalysis.ChunkStride).count() === 0)
+    assert(cover.where(col("n") <= TextAnalysis.ChunkLen && col("n_chunks") =!= 1)
+      .count() === 0)
+    // the tail rule: every non-first chunk contributes > overlap tokens
+    val ov = TextAnalysis.ChunkLen - TextAnalysis.ChunkStride
+    assert(out.where(col("chunk_id") > 0 && col("n_tokens") <= ov).count() === 0)
+    // chunk_text round-trips its token slice
+    val bad = out.where(size(split(col("chunk_text"), " ")) =!= col("n_tokens"))
+    assert(bad.count() === 0)
+  }
+
   test("token counts and quality features on a pinned document") {
     val s = spark
     import s.implicits._

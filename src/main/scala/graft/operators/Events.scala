@@ -168,17 +168,24 @@ object Events {
     * sort, so the final window task sees ≤ K·partitions rows, never
     * the distinct stream. Sketch composition runs over ≤ 5·K rows.
     */
-  def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-type sketch build (lazy; [[qKmvSketch]] checkpoints it).
+    * Exposed so the spec can pin the plan shape: the rank-≤K filter
+    * must compile to WindowGroupLimit (partial per map task, final
+    * per type), not a bare per-type window over the distinct stream.
+    */
+  private[graft] def kmvSketchBuild(spark: SparkSession, dir: String): DataFrame = {
     val x = col("user_id") % KmvP
     val h = (((x * x) % KmvP) + ((lit(1103515245L) * x) % KmvP) + lit(12345L)) % KmvP
-    val hashes = Tables.events(spark, dir)
+    Tables.events(spark, dir)
       .select(col("event_type"), h.as("h")).distinct()
-    val sk = hashes
       .withColumn("rk", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
       .where(col("rk") <= KmvK)
       .select("event_type", "h")
-      .localCheckpoint()
+  }
+
+  def qKmvSketch(spark: SparkSession, dir: String): DataFrame = {
+    val sk = kmvSketchBuild(spark, dir).localCheckpoint()
     val perType = sk.groupBy("event_type")
       .agg(count(lit(1)).as("retained"), max("h").as("kth"))
       .localCheckpoint()

@@ -141,6 +141,62 @@ class GraphShuffleGeometrySpec extends SparkSpec {
       s"shuffleWrite=$shuffleWrite levels=$levels edgeBytes=$edgeBytes")
   }
 
+  test("forced shuffled-path sssp matches the local Dijkstra and bounds shuffle writes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // Same topology as the BFS byte-bound test (depth-N chain + K
+    // backward edges per vertex) with deterministic 1..7 tolls: the
+    // relaxation wave advances one chain hop per round (~N rounds,
+    // frontier size 1) while the edge set is (K+1)·N rows — a
+    // regression to re-exchanging edges per round blows the bound by
+    // an order of magnitude.
+    val N = 60L
+    val K = 50
+    val chain = spark.range(0L, N - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val back = spark.range(0L, N).as[Long].flatMap { v =>
+      (1 to K).map(j => (v, math.max(v - j, 0L)))
+    }.toDF("src", "dst").where(col("src") =!= col("dst"))
+    val edges = chain.unionAll(back)
+      .withColumn("w", lit(1L) + (col("src") + col("dst")) % 7L)
+      .localCheckpoint()
+    val edgeBytes = edges.count() * 24 // three longs per row
+
+    val localPath = rowsOf(GraphOps.sssp(edges, 0L))
+
+    @volatile var shuffleWrite = 0L
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    System.setProperty("graft.bfs.broadcastFrontier", "0")
+    val prevAbt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    val shuffledPath =
+      try rowsOf(GraphOps.sssp(edges, 0L, maxLocalEdges = 0L))
+      finally {
+        System.clearProperty("graft.bfs.broadcastFrontier")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAbt)
+        var prev = -1L; var stable = 0; var tries = 0
+        while (stable < 3 && tries < 50) {
+          Thread.sleep(200)
+          val cur = shuffleWrite
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+          tries += 1
+        }
+        spark.sparkContext.removeSparkListener(listener)
+      }
+
+    assert(shuffledPath === localPath)
+    // Same bands as the BFS bound (see the compression note above):
+    // healthy = one edge-sized exchange + per-round frontier/dist
+    // traffic; regressed = ~rounds × compressed edge set.
+    info(s"sssp shuffleWrite=$shuffleWrite edgeBytes=$edgeBytes " +
+      s"(bound=${6 * edgeBytes})")
+    assert(shuffleWrite < 6 * edgeBytes,
+      s"shuffleWrite=$shuffleWrite edgeBytes=$edgeBytes")
+  }
+
   test("score-push loops (pagerank/ppr/hits) pay the edge exchange once, not per iteration") {
     val spark2 = spark
     import spark2.implicits._

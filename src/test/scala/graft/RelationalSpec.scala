@@ -50,6 +50,11 @@ class RelationalSpec extends SparkSpec {
     val directEst = BigDecimal((Events.KmvK - 1).toDouble * p / direct)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(out("union_all")._2 === directEst)
+    // Plan pin: the rank-≤K filter must compile to WindowGroupLimit
+    // (per-map-task partial limit before the per-type sort), so the
+    // sketch build never sorts the full distinct stream in one task.
+    val plan = Events.kmvSketchBuild(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
   test("q_incremental merge of base+delta partials equals the one-shot aggregation") {

@@ -205,5 +205,33 @@ object SqlSurface {
             FROM s)
       SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
       FROM r WHERE rank <= ${similarity.Ann.K} ORDER BY qid, rank""",
+
+    "text_chunk_overlap" -> s"""
+      SELECT doc_id, CAST(pos AS BIGINT) AS chunk_id, s AS start_tok,
+        LEAST(${text.TextAnalysis.ChunkLen}L, n - s) AS n_tokens,
+        concat_ws(' ', slice(ws, s + 1, ${text.TextAnalysis.ChunkLen})) AS chunk_text
+      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS ws,
+              CAST(size(split(text, ' ')) AS BIGINT) AS n
+            FROM documents)
+      LATERAL VIEW posexplode(
+        filter(sequence(0L, n - 1L, ${text.TextAnalysis.ChunkStride}L),
+          x -> x = 0 OR x + ${text.TextAnalysis.ChunkLen - text.TextAnalysis.ChunkStride} < n)) AS pos, s
+      ORDER BY doc_id, chunk_id""",
+
+    "mm_shard_manifest" -> s"""
+      SELECT doc_id, source,
+        concat(source, '-', lpad(CAST(shard_id AS STRING), 5, '0')) AS shard,
+        shard_id, start_byte - shard_id * ${multimodal.Multimodal.ShardBytes}L AS offset,
+        n_bytes
+      FROM (SELECT doc_id, source, n_bytes, start_byte,
+              start_byte div ${multimodal.Multimodal.ShardBytes}L AS shard_id
+            FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                    CAST(octet_length(text) AS BIGINT) AS n_bytes,
+                    CAST(COALESCE(SUM(octet_length(text)) OVER (
+                      PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS start_byte
+                  FROM documents))
+      ORDER BY source, doc_id""",
   )
 }

@@ -1526,6 +1526,118 @@ object GraphOps {
     dist
   }
 
+  /** Minimum spanning forest over a (src, dst, w) edge list, treated
+    * undirected (per unordered pair the minimum toll wins). The
+    * composite order (w, a, b) totally orders the edge set, so the MSF
+    * is UNIQUE — every correct algorithm returns the same forest,
+    * which is what lets the driver Kruskal twin, the distributed
+    * Borůvka loop, and the oracle's cycle-property formulation all be
+    * hash-compared. Output: (src, dst, w) canonical (src < dst).
+    *
+    * Distributed execution is Borůvka — the textbook MSF that
+    * distributes: per round every component nominates its (w, a, b)-
+    * minimum outgoing edge (one min(struct) aggregate = map-side
+    * partial), nominated edges join the forest, and components
+    * contract by running [[connectedComponents]] on the nomination
+    * graph (component-count-sized, itself adaptive). Components at
+    * least halve per round → ≤ log₂(V) rounds; each round's network
+    * is two label joins + one aggregate over surviving cross edges,
+    * and the surviving edge set only shrinks. Driver Kruskal under
+    * `maxLocalEdges` (same adaptive split as every traversal).
+    */
+  def msf(edges: DataFrame, maxRounds: Int = 64,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    val ue = edges.select(
+      least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"),
+      col("w").cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ueCount = ue.count()
+    if (ueCount <= maxLocalEdges) {
+      val out = localKruskal(spark, ue)
+      ue.unpersist()
+      return out
+    }
+    // comp: (vertex, comp) — every vertex starts as its own component.
+    var comp = ue.select(col("a").as("vertex"))
+      .unionAll(ue.select(col("b").as("vertex"))).distinct()
+      .select(col("vertex"), col("vertex").as("comp"))
+      .repartition(col("vertex")).localCheckpoint()
+    var live = ue
+    val forest = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var liveRows = ueCount
+    while (liveRows > 0 && round < maxRounds) {
+      round += 1
+      // relabel both endpoints, keep cross-component edges only
+      val ca = comp.select(col("vertex").as("a"), col("comp").as("cu"))
+      val cb = comp.select(col("vertex").as("b"), col("comp").as("cv"))
+      val e2 = live.join(ca, "a").join(cb, "b")
+        .where(col("cu") =!= col("cv"))
+        .localCheckpoint()
+      liveRows = e2.count()
+      if (liveRows > 0) {
+        // each component nominates its (w, a, b)-minimum incident edge
+        val cand = e2.select(col("cu").as("c"), col("w"), col("a"), col("b"),
+            col("cu"), col("cv"))
+          .unionAll(e2.select(col("cv").as("c"), col("w"), col("a"), col("b"),
+            col("cu"), col("cv")))
+        val sel = cand.groupBy("c")
+          .agg(min(struct(col("w"), col("a"), col("b"), col("cu"), col("cv")))
+            .as("m"))
+          .select(col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b"),
+            col("m.cu").as("cu"), col("m.cv").as("cv"))
+          .distinct() // both endpoints' components may nominate the same edge
+          .localCheckpoint()
+        forest += sel.select("a", "b", "w")
+        // contract: components connected by nominations share a label
+        val cc = connectedComponents(
+          sel.select(col("cu").as("src"), col("cv").as("dst")),
+          maxLocalEdges = maxLocalEdges)
+        val relabel = cc.select(col("vertex").as("comp"),
+          col("component").as("newComp"))
+        comp = comp.join(relabel, Seq("comp"), "left")
+          .select(col("vertex"),
+            coalesce(col("newComp"), col("comp")).as("comp"))
+          .repartition(col("vertex")).localCheckpoint()
+        live = e2.select("a", "b", "w")
+        if (sys.env.contains("GRAFT_GRAPH_TRACE"))
+          System.err.println(s"GRAFT_MSF round=$round cross=$liveRows")
+      }
+    }
+    ue.unpersist()
+    if (forest.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    } else
+      forest.reduce(_ unionAll _).distinct()
+        .select(col("a").as("src"), col("b").as("dst"), col("w"))
+  }
+
+  /** Driver Kruskal twin: sort by (w, a, b), union-find. */
+  private def localKruskal(spark: SparkSession, ue: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = ue.collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(identity)
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    es.foreach { case (w, a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent.put(math.max(ra, rb), math.min(ra, rb)); out += ((a, b, w)) }
+    }
+    out.toSeq.toDF("src", "dst", "w")
+  }
+
   /** Driver-side Dijkstra twin of the relaxation loop: same
     * (vertex, dist) min-toll contract, identical output.
     */

@@ -581,6 +581,42 @@ object GraphQueries {
        |SELECT v AS vertex, CAST(MIN(d) AS BIGINT) AS dist
        |FROM r GROUP BY v ORDER BY vertex""".stripMargin
 
+  /** Minimum spanning forest of the tolled nation graph (undirected,
+    * min toll per unordered pair): Borůvka distributed, Kruskal
+    * locally — see [[GraphOps.msf]]. The (w, a, b) composite order
+    * makes the forest unique, so all paths hash-compare.
+    */
+  def graphMsf(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.msf(DerivedGraphs.nationWeightedEdges(spark, dir))
+      .orderBy("src", "dst")
+
+  /** Oracle: the cycle property under the (w, a, b) total order — an
+    * edge is in the unique MSF iff its endpoints are NOT connected by
+    * strictly smaller edges. The recursive CTE enumerates, per
+    * candidate edge, the vertices reachable from its `a` endpoint
+    * through edges ordered strictly below it; the edge survives iff
+    * `b` is never reached. States are (edge, vertex) pairs on a
+    * ≤25-vertex graph — bounded, and UNION dedups.
+    */
+  val graphMsfSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationWeightedEdgesSql},
+       |ue AS (SELECT a, b, MIN(w) AS w FROM (
+       |         SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, w
+       |         FROM nwe WHERE src != dst) GROUP BY 1, 2),
+       |r AS (
+       |  SELECT a AS ea, b AS eb, w AS ew, a AS v FROM ue
+       |  UNION
+       |  SELECT r.ea, r.eb, r.ew,
+       |    CASE WHEN u.a = r.v THEN u.b ELSE u.a END
+       |  FROM r JOIN ue u ON (u.a = r.v OR u.b = r.v)
+       |  WHERE (u.w, u.a, u.b) < (r.ew, r.ea, r.eb)
+       |)
+       |SELECT e.a AS src, e.b AS dst, e.w AS w
+       |FROM ue e
+       |WHERE NOT EXISTS (SELECT 1 FROM r
+       |  WHERE r.ea = e.a AND r.eb = e.b AND r.ew = e.w AND r.v = e.b)
+       |ORDER BY src, dst""".stripMargin
+
   /** HITS hubs & authorities on the directed nation graph, 2 rounds
     * with L1 normalization per half-step; oracle = the identical
     * unrolled CTE chain (same schedule: a from h, normalize; h from a,
@@ -687,5 +723,6 @@ object GraphQueries {
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
     Op("graph_sssp_weighted", graphSsspWeighted, Some(graphSsspWeightedSql)),
+    Op("graph_msf", graphMsf, Some(graphMsfSql)),
   )
 }

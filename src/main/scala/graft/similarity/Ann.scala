@@ -197,6 +197,46 @@ object Ann {
   def annMips(spark: SparkSession, dir: String): DataFrame =
     mipsTopK(Tables.embeddings(spark, dir))
 
+  /** Metadata filter for hybrid search: the allowed label set. */
+  val HybridLabels: Seq[Int] = Seq(1, 4, 7)
+
+  /** Hybrid (filtered) vector search — the vector-DB staple: top-k by
+    * cosine among only the vectors passing a metadata predicate
+    * (label ∈ [[HybridLabels]]), queries unrestricted. This is
+    * PRE-filtering: the predicate lands in the parquet scan
+    * (PushedFilters — spec-pinned), the heap scan scores only
+    * surviving rows, and top-k over the filtered set is exact — unlike
+    * post-filtering an unfiltered ANN result, which silently returns
+    * < k when the filter is selective. At 100 TB the same IVF/LSH
+    * candidate paths compose (filter first, index the survivors or
+    * carry the predicate into the bucket join).
+    */
+  def hybridTopK(emb: DataFrame, k: Int = K): DataFrame =
+    heapTopK(emb.where(col("label").isin(HybridLabels: _*)),
+      collectQueries(emb), k)
+
+  def annHybrid(spark: SparkSession, dir: String): DataFrame =
+    hybridTopK(Tables.embeddings(spark, dir))
+
+  val annHybridSql: String = s"""
+    WITH v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    s AS (SELECT q.qid, n.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, len(qv)),
+              i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS score
+          FROM q JOIN n ON n.vec_id != q.qid
+          WHERE n.label IN (${HybridLabels.mkString(", ")})),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+
   val annMipsSql: String = s"""
     WITH v AS (SELECT vec_id,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -898,5 +938,6 @@ object Ann {
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     Op("ann_mips", annMips, Some(annMipsSql)),
+    Op("ann_hybrid", annHybrid, Some(annHybridSql)),
   )
 }

@@ -640,6 +640,63 @@ object Streaming {
           FROM events)
     WHERE rn = 1 ORDER BY user_id"""
 
+  /** Ranks kept per window by [[streamTopk]]. */
+  val TopKPerWindow = 3
+
+  /** Per-window top-k: the hourly top-[[TopKPerWindow]] users by
+    * summed value. The STREAMING stage is exactly the bounded-state
+    * part — a watermarked per-(window, user) aggregation in append
+    * mode, state evicted as the watermark passes each window — and the
+    * rank runs over the finalized sink table (one window-partitioned
+    * row_number over window-sized groups). That split is the
+    * production shape: ranking inside the stream would re-rank every
+    * update and pin every user into ranking state; ranking finalized
+    * windows at the sink costs one small batch stage. Value sums ride
+    * the decimal snap so ties (and the tie-break by user_id) are
+    * engine-exact.
+    */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-topk")
+    val agg = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
+      .withWatermark("ts_ev", "0 seconds")
+      .groupBy(window(col("ts_ev"), s"${Events.WindowSec} seconds"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("user_id"), col("n_events"), col("total_value"))
+    val name = "graft_stream_topk"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      driveSentinels(spark, schema, inDir, q)
+    } finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start")
+      .orderBy(col("total_value").desc, col("user_id"))
+    spark.table(name)
+      .where(col("user_id") =!= SentinelUser)
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .where(col("rk") <= TopKPerWindow)
+      .orderBy("window_start", "rk")
+  }
+
+  val streamTopkSql: String = s"""
+    WITH w AS (
+      SELECT ((epoch_ns(ts)//1000000000) // ${Events.WindowSec}) * ${Events.WindowSec} AS window_start,
+        user_id, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, user_id, n_events, total_value, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+        ORDER BY total_value DESC, user_id) AS rk
+      FROM w)
+    WHERE rk <= $TopKPerWindow ORDER BY window_start, rk"""
+
   def ops: Seq[Op] = Seq(
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     Op("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
@@ -649,5 +706,6 @@ object Streaming {
     Op("stream_dedup", streamDedup, Some(streamDedupSql)),
     Op("stream_join_recent", streamJoinRecent, Some(streamJoinRecentSql)),
     Op("stream_dedup_watermark", streamDedupWatermark, Some(streamDedupSql)),
+    Op("stream_topk", streamTopk, Some(streamTopkSql)),
   )
 }

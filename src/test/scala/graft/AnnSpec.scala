@@ -103,6 +103,34 @@ class AnnSpec extends SparkSpec {
     assert(top.last._2 === -1.0)
   }
 
+  test("hybrid search: pre-filter is exact, disallowed labels never rank, filter reaches the scan") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // vec 20 is the best cosine for qid 0 but carries a disallowed
+    // label — pre-filtering must rank 23/22/21 instead (post-filtering
+    // an unfiltered top-2 would have returned only one row).
+    val data = Seq(
+      (0L, v(1, 0, 0, 0), 1),
+      (20L, v(2, 0, 0, 0), 2),
+      (23L, v(1, 1, 0, 0), 1),
+      (22L, v(0, 1, 0, 0), 4),
+      (21L, v(-1, 0, 0, 0), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val top = Ann.hybridTopK(data, k = 3).where($"qid" === 0L)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(top === Seq(23L, 22L, 21L))
+    // corpus op: only allowed labels appear, and the predicate is
+    // pushed into the parquet scan (pre-filter, not post-filter)
+    val out = Ann.annHybrid(spark, sfDir).localCheckpoint()
+    val lbl = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+    assert(out.join(lbl, "vec_id")
+      .where(!col("label").isin(Ann.HybridLabels: _*)).count() === 0)
+    val plan = Ann.annHybrid(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"label filter not pushed:\n$plan")
+  }
+
   test("knnJoin LSH scale path: high recall vs exact, scores exact (rerank)") {
     val exact = Ann.knnJoin(emb)
     // maxBroadcastRows = 0 forces the distributed LSH candidate path —

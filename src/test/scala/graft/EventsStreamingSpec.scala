@@ -112,6 +112,20 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rowsOf(stream) === rowsOf(batch))
   }
 
+  test("stream_topk equals the batch per-window top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("window_start")
+      .orderBy(col("total_value").desc, col("user_id"))
+    val batch = Events.eventsSec(spark, sfDir)
+      .groupBy(expr(s"(ts_sec div ${Events.WindowSec}) * ${Events.WindowSec}")
+        .as("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= Streaming.TopKPerWindow)
+    assert(rowsOf(Streaming.streamTopk(spark, sfDir)) === rowsOf(batch))
+  }
+
   test("stream_join_recent equals the batch bounded-interval join") {
     val stream = rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir))
     val ev = operators.Events.eventsSec(spark, sfDir)

@@ -133,6 +133,38 @@ class GraphSpec extends SparkSpec {
     assert(local.nonEmpty)
   }
 
+  test("msf: planted graph yields the unique forest; Kruskal and Borůvka agree") {
+    val s = spark
+    import s.implicits._
+    // Square 1-2-3-4 with a chord and a reverse-duplicate (2,1,7) that
+    // the min-per-pair rule must fold into (1,2,1); separate component
+    // 8-9. Unique MSF under (w,a,b): {(1,2,1),(3,4,1),(2,3,2),(8,9,5)}.
+    val e = Seq((1L, 2L, 1L), (2L, 1L, 7L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (1L, 4L, 3L), (1L, 3L, 9L), (8L, 9L, 5L)).toDF("src", "dst", "w")
+    def forest(maxLocal: Long) =
+      GraphOps.msf(e, maxLocalEdges = maxLocal).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = Set((1L, 2L, 1L), (3L, 4L, 1L), (2L, 3L, 2L), (8L, 9L, 5L))
+    assert(forest(GraphOps.LocalEdgeThreshold) === expected)
+    assert(forest(0L) === expected)
+  }
+
+  test("msf: local and Borůvka paths agree on the nation graph, forest is acyclic-spanning") {
+    val e = DerivedGraphs.nationWeightedEdges(spark, sfDir)
+    def rows(maxLocal: Long) =
+      GraphOps.msf(e, maxLocalEdges = maxLocal).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = rows(GraphOps.LocalEdgeThreshold)
+    assert(local === rows(0L))
+    // forest size = vertices − components (spanning, acyclic)
+    val und = e.select(col("src"), col("dst"))
+    val nVerts = und.select(col("src").as("v"))
+      .unionAll(und.select(col("dst").as("v"))).distinct().count()
+    val nComps = GraphOps.connectedComponents(und)
+      .select("component").distinct().count()
+    assert(local.size.toLong === nVerts - nComps)
+  }
+
   test("connectedComponents local union-find and star loop agree") {
     val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
     val local = GraphOps.connectedComponents(e).collect()

@@ -1,6 +1,7 @@
 package graft
 
 import graft.similarity.Ann
+import org.apache.spark.sql.functions.col
 
 /** ANN guarantees: IVF with full probing degenerates to exact brute
   * force; LSH recall against brute force is bounded below; ranking is

@@ -7,14 +7,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and a representative slice of the operator surface (one or
-  * more per family: OLAP aggregation, star join, top-k, semi/anti,
-  * window, rollup, graph degrees, exact dedup, ANN brute force) is
-  * expressed as plain Spark SQL over those views. Each SQL entry is
+  * views, and 50+ of the gate operators — the whole relational and
+  * event families, every sampling op, text/dedup representatives, and
+  * the fixed-iteration graph algorithms (PageRank, PPR, LPA, HITS,
+  * triangles, link prediction) as unrolled CTE chains — are expressed
+  * as plain Spark SQL over those views. Each SQL entry is
   * contract-equal to its operator: SqlSurfaceSpec runs both and
   * compares the full row set under the driver's column-sorted
   * convention, so the SQL surface is gated by exactly the oracle
-  * answers the operators are.
+  * answers the operators are. (The to-fixpoint graph traversals — BFS,
+  * CC, SCC, SSSP, Borůvka — stay Scala-API-only: Spark SQL has no
+  * recursive CTE, and a depth-unrolled transcription would misstate
+  * their convergence contract.)
   *
   * The session's custom Catalyst expressions (`graft_dot`,
   * `graft_norm`, `graft_isect`, `graft_argmin`, `graft_might_contain`
@@ -44,6 +48,12 @@ object SqlSurface {
       .createOrReplaceTempView("graph_supply_und")
     graph.DerivedGraphs.nationEdges(spark, dir).createOrReplaceTempView("graph_nation")
     graph.DerivedGraphs.hashEdges(spark, dir).createOrReplaceTempView("graph_hash")
+    // Canonical event-time view: `events` + `ts_sec` (integer epoch
+    // seconds, derived timezone-independently for whatever physical
+    // type `ts` carries — see [[operators.Events.tsSecOf]]). The event
+    // family's SQL runs on integer seconds like its operators, so a
+    // SQL user can never be bitten by session-timezone drift.
+    operators.Events.eventsSec(spark, dir).createOrReplaceTempView("events_sec")
   }
 
   /** Run one named surface query against `dir`. */
@@ -233,5 +243,566 @@ object SqlSurface {
                       AS start_byte
                   FROM documents))
       ORDER BY source, doc_id""",
+
+    // ---- relational family (r13 widening) --------------------------------
+
+    "q_cube" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""",
+
+    "q_grouping_sets" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY status, priority""",
+
+    "q_pivot" -> {
+      val cols = operators.Relational.PivotPriorities.map(p =>
+        s"COUNT(*) FILTER (WHERE o_orderpriority = '$p') AS p${p.head}")
+        .mkString(",\n        ")
+      s"""
+      SELECT o_orderstatus,
+        $cols
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    },
+
+    "q_intersect_except" -> """
+      WITH c95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      c96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      SELECT o_custkey, 'both_95_96' AS tag FROM
+        (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      UNION ALL
+      SELECT o_custkey, 'only_95' AS tag FROM
+        (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)
+      ORDER BY tag, o_custkey""",
+
+    "q_skew_agg" -> """
+      SELECT l_suppkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_items
+      FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+    "q_percentiles" -> """
+      SELECT l_returnflag,
+        ROUND(ps[0], 4) AS p25, ROUND(ps[1], 4) AS p50,
+        ROUND(ps[2], 4) AS p90, ROUND(ps[3], 4) AS p99
+      FROM (SELECT l_returnflag,
+              percentile(CAST(l_extendedprice AS DOUBLE),
+                array(0.25D, 0.5D, 0.9D, 0.99D)) AS ps
+            FROM lineitem GROUP BY l_returnflag)
+      ORDER BY l_returnflag""",
+
+    "q_incremental" -> """
+      SELECT o_orderstatus AS status,
+        date_trunc('month', o_orderdate) AS mon,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_bloom_semijoin" -> """
+      SELECT o_orderstatus AS status,
+        COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_histogram" -> s"""
+      SELECT width_bucket(o_totalprice, ${operators.Funcs.HistLo}D,
+               ${operators.Funcs.HistHi}D, ${operators.Funcs.HistN}) AS bucket,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_corr_stats" -> """
+      WITH ex AS (
+        SELECT event_type, value AS v,
+          CAST(get_json_object(props, '$.k') AS DOUBLE) AS k
+        FROM events)
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        ROUND(corr(v, k), 4) AS corr_vk,
+        ROUND(covar_samp(v, k), 4) AS covar_vk,
+        ROUND(stddev_samp(v), 4) AS stddev_v,
+        ROUND(var_samp(v), 4) AS var_v,
+        ROUND(regr_slope(v, k), 4) AS slope_vk,
+        ROUND(regr_intercept(v, k), 4) AS icept_vk
+      FROM ex GROUP BY event_type ORDER BY event_type""",
+
+    "q_string_funcs" -> """
+      SELECT c_custkey,
+        upper(c_name) AS up,
+        lower(c_mktsegment) AS lo,
+        length(c_name) AS len,
+        substring(c_name, 10, 5) AS sub,
+        concat_ws('|', c_mktsegment, c_name) AS cat,
+        lpad(CAST(c_custkey AS STRING), 10, '0') AS pad,
+        reverse(c_name) AS rev,
+        regexp_replace(c_name, '^Customer#0*', 'C') AS rep,
+        instr(c_name, '#') AS pos,
+        regexp_extract(c_name, '([0-9]+)', 1) AS num,
+        repeat(substring(c_mktsegment, 1, 1), 3) AS rpt
+      FROM customer WHERE c_custkey % 50 = 0 ORDER BY c_custkey""",
+
+    "q_date_funcs" -> """
+      SELECT o_orderkey,
+        date_format(o_orderdate, 'yyyy-MM-dd') AS ymd,
+        year(o_orderdate) AS y, month(o_orderdate) AS m,
+        dayofmonth(o_orderdate) AS dom,
+        quarter(o_orderdate) AS q,
+        weekday(o_orderdate) AS wd,
+        dayofyear(o_orderdate) AS doy,
+        date_format(date_trunc('month', o_orderdate), 'yyyy-MM-dd') AS trunc_m,
+        date_format(last_day(o_orderdate), 'yyyy-MM-dd') AS last_d,
+        datediff(o_orderdate, CAST('1995-01-01' AS DATE)) AS days_since,
+        date_format(add_months(o_orderdate, 3), 'yyyy-MM-dd') AS plus_3m
+      FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""",
+
+    "q_unnest_tokens" -> """
+      SELECT doc_id, tok, COUNT(*) AS n,
+        CAST(MIN(pos) AS BIGINT) AS first_pos,
+        CAST(MAX(pos) AS BIGINT) AS last_pos
+      FROM documents
+      LATERAL VIEW posexplode(split(text, ' ')) t AS pos, tok
+      GROUP BY doc_id, tok HAVING COUNT(*) >= 3
+      ORDER BY doc_id, tok""",
+  ) ++ eventQueries ++ samplingQueries ++ textDedupQueries ++ graphQueries
+
+  /** Event-log family over the `events_sec` view (canonical integer
+    * epoch seconds — see [[register]]).
+    */
+  private lazy val eventQueries: Map[String, String] = Map(
+    "q_events_sessionize" -> s"""
+      WITH tagged AS (
+        SELECT user_id, event_id, ts_sec, value,
+          CASE WHEN ts_sec - LAG(ts_sec) OVER
+                 (PARTITION BY user_id ORDER BY ts_sec, event_id)
+               > ${operators.Events.GapSec} THEN 1L ELSE 0L END AS new_sess
+        FROM events_sec),
+      sess AS (
+        SELECT user_id, ts_sec, value,
+          1L + SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM tagged)
+      SELECT user_id, session_id,
+        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    "q_events_window" -> s"""
+      SELECT (ts_sec div ${operators.Events.WindowSec}) * ${operators.Events.WindowSec}
+          AS window_start,
+        event_type, COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events_sec GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_asof_join" -> """
+      WITH tagged AS (
+        SELECT event_id, user_id, event_type, ts_sec,
+          MAX(CASE WHEN event_type = 'click' THEN ts_sec END) OVER
+            (PARTITION BY user_id ORDER BY ts_sec, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+        FROM events_sec WHERE event_type IN ('click', 'purchase'))
+      SELECT event_id, user_id, ts_sec AS purchase_ts, last_click_ts,
+        ts_sec - last_click_ts AS gap_sec
+      FROM tagged WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    "q_events_funnel" -> """
+      WITH u1 AS (SELECT user_id, MIN(ts_sec) AS v FROM events_sec
+                  WHERE event_type = 'view' GROUP BY 1),
+      u2 AS (SELECT e.user_id, MIN(e.ts_sec) AS c
+             FROM events_sec e JOIN u1 USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts_sec > u1.v GROUP BY 1),
+      u3 AS (SELECT e.user_id, MIN(e.ts_sec) AS p
+             FROM events_sec e JOIN u2 USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts_sec > u2.c GROUP BY 1)
+      SELECT stage, n_users FROM (
+        SELECT '1_view' AS stage, COUNT(*) AS n_users FROM u1
+        UNION ALL
+        SELECT '2_view_click' AS stage, COUNT(*) AS n_users FROM u2
+        UNION ALL
+        SELECT '3_view_click_purchase' AS stage, COUNT(*) AS n_users FROM u3)
+      ORDER BY stage""",
+
+    "q_events_json" -> """
+      WITH ex AS (
+        SELECT event_type, user_id,
+          CAST(get_json_object(props, '$.k') AS BIGINT) AS k,
+          CAST(value AS DECIMAL(18,2)) AS v
+        FROM events)
+      SELECT CAST(floor(k / 10) AS BIGINT) AS k_band, event_type,
+        COUNT(*) AS n_events,
+        COUNT(DISTINCT user_id) AS n_users,
+        MIN(k) AS min_k, MAX(k) AS max_k,
+        CAST(SUM(v) AS DOUBLE) AS total_value
+      FROM ex GROUP BY 1, 2 ORDER BY k_band ASC NULLS FIRST, event_type""",
+
+    "q_window_range" -> s"""
+      SELECT event_id, user_id, ts_sec,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events_sec
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                   RANGE BETWEEN ${operators.Events.WindowSec} PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    "q_scd2" -> """
+      WITH tagged AS (
+        SELECT user_id, event_id, event_type, ts_sec,
+          CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+               THEN 1L ELSE 0L END AS chg
+        FROM events_sec
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)),
+      runs AS (
+        SELECT user_id, event_type, ts_sec,
+          SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        FROM tagged),
+      hist AS (
+        SELECT user_id, run_id, event_type,
+          MIN(ts_sec) AS valid_from, COUNT(*) AS n_events
+        FROM runs GROUP BY 1, 2, 3)
+      SELECT user_id, event_type, valid_from,
+        LEAD(valid_from) OVER h AS valid_to,
+        CAST(LEAD(valid_from) OVER h IS NULL AS INT) AS is_current,
+        n_events
+      FROM hist
+      WINDOW h AS (PARTITION BY user_id ORDER BY run_id)
+      ORDER BY user_id, valid_from, event_type""",
+
+    "q_events_retention" -> """
+      WITH ev AS (
+        SELECT user_id, ((ts_sec div 86400) + 3) div 7 AS wk FROM events_sec),
+      f AS (SELECT user_id, MIN(wk) AS cwk FROM ev GROUP BY user_id)
+      SELECT date_add(CAST('1970-01-01' AS DATE), CAST(cwk * 7 - 3 AS INT)) AS cohort_week,
+        wk - cwk AS week_offset,
+        COUNT(DISTINCT ev.user_id) AS n_users
+      FROM ev JOIN f ON ev.user_id = f.user_id
+      WHERE wk - cwk <= 8
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_merge_upsert" -> """
+      WITH es AS (
+        SELECT user_id, event_id, event_type, value, ts_sec,
+          ((ts_sec div 86400) + 3) div 7 AS wk
+        FROM events_sec),
+      mx AS (SELECT MAX(wk) AS maxwk FROM es),
+      tgt AS (
+        SELECT user_id, event_type, value, ts_sec FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts_sec DESC, event_id DESC) AS rn
+          FROM es e CROSS JOIN mx WHERE e.wk < mx.maxwk) WHERE rn = 1),
+      dlt AS (
+        SELECT user_id, event_type, value, ts_sec FROM (
+          SELECT e.*, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ts_sec DESC, event_id DESC) AS rn
+          FROM es e CROSS JOIN mx WHERE e.wk = mx.maxwk) WHERE rn = 1)
+      SELECT COALESCE(d.user_id, t.user_id) AS user_id,
+        COALESCE(d.event_type, t.event_type) AS event_type,
+        COALESCE(d.value, t.value) AS value,
+        COALESCE(d.ts_sec, t.ts_sec) AS ts_sec,
+        CASE WHEN d.user_id IS NULL THEN 'keep'
+             WHEN t.user_id IS NULL THEN 'insert'
+             ELSE 'update' END AS action
+      FROM dlt d FULL OUTER JOIN tgt t ON d.user_id = t.user_id
+      ORDER BY user_id""",
+
+    "q_kmv_sketch" -> s"""
+      WITH hs AS (SELECT DISTINCT event_type,
+          (((1103515245L * (user_id % 2147483647L)) % 2147483647L) + 12345L)
+          % 2147483647L AS h
+        FROM events),
+      sk AS (SELECT event_type, h FROM (
+          SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+          FROM hs) WHERE rk <= ${operators.Events.KmvK}),
+      pt AS (SELECT event_type, COUNT(*) AS retained, MAX(h) AS kth
+             FROM sk GROUP BY 1),
+      t_rows AS (SELECT event_type AS set_name, retained,
+          ROUND(CASE WHEN retained < ${operators.Events.KmvK}
+                     THEN CAST(retained AS DOUBLE)
+                     ELSE ${operators.Events.KmvK - 1}.0D * 2147483647L / kth END, 3)
+            AS est_distinct
+        FROM pt),
+      u AS (SELECT slice(sort_array(collect_set(h)), 1, ${operators.Events.KmvK}) AS hs
+            FROM sk),
+      u_row AS (SELECT 'union_all' AS set_name,
+          CAST(size(hs) AS BIGINT) AS retained,
+          ROUND(CASE WHEN size(hs) < ${operators.Events.KmvK}
+                     THEN CAST(size(hs) AS DOUBLE)
+                     ELSE ${operators.Events.KmvK - 1}.0D * 2147483647L
+                          / element_at(hs, ${operators.Events.KmvK}) END, 3)
+            AS est_distinct
+        FROM u),
+      th AS (SELECT MIN(CASE WHEN retained < ${operators.Events.KmvK}
+                             THEN 2147483647L ELSE kth END) AS theta
+             FROM pt WHERE event_type IN ('click', 'purchase')),
+      icnt AS (SELECT COUNT(*) AS retained
+               FROM (SELECT h FROM sk WHERE event_type = 'click') a
+               JOIN (SELECT h AS hb FROM sk WHERE event_type = 'purchase') b
+                 ON a.h = b.hb
+               CROSS JOIN th WHERE a.h < th.theta),
+      i_row AS (SELECT 'click_x_purchase' AS set_name, retained,
+          ROUND(retained * 2147483647.0D / theta, 3) AS est_distinct
+        FROM icnt CROSS JOIN th)
+      SELECT * FROM t_rows UNION ALL SELECT * FROM u_row
+      UNION ALL SELECT * FROM i_row ORDER BY set_name""",
   )
+
+  /** Deterministic sampling family (hash-keyed — reproducible from the
+    * SQL text alone, no rand()).
+    */
+  private lazy val samplingQueries: Map[String, String] = {
+    def saltMd5(salt: String) =
+      s"md5(CAST(concat('$salt:', CAST(doc_id AS STRING)) AS BINARY))"
+    Map(
+      "q_train_split" -> s"""
+        WITH assigned AS (
+          SELECT doc_id, lang, n_chars,
+            CASE WHEN substring(${saltMd5("split")}, 1, 2) < '${operators.Sampling.TrainUpper}' THEN 'train'
+                 WHEN substring(${saltMd5("split")}, 1, 2) < '${operators.Sampling.ValUpper}' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs,
+          SUM(n_chars) AS total_chars,
+          MIN(doc_id) AS min_doc_id
+        FROM assigned GROUP BY split, lang ORDER BY split, lang""",
+
+      "q_sample_stratified" -> s"""
+        WITH k AS (SELECT MIN(n) AS k FROM
+                     (SELECT COUNT(*) AS n FROM documents GROUP BY lang)),
+        ranked AS (
+          SELECT doc_id, lang, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY lang
+              ORDER BY ${saltMd5("sample")}, doc_id) AS BIGINT) AS rn
+          FROM documents)
+        SELECT doc_id, lang, rn, n_chars
+        FROM ranked WHERE rn <= (SELECT k FROM k) ORDER BY doc_id""",
+
+      "q_sample_weighted" -> s"""
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+            ln((CAST(conv(substring(${saltMd5("wsample")}, 1, 13), 16, 10) AS DOUBLE)
+                + 1.0D) / 4503599627370496.0D)
+              / (CAST(COALESCE(n_chars, 0L) AS DOUBLE) + 1.0D) AS k
+          FROM documents)
+        SELECT doc_id, lang, n_chars FROM (
+          SELECT doc_id, lang, n_chars FROM keyed
+          ORDER BY k DESC, doc_id LIMIT ${operators.Sampling.WeightedK})
+        ORDER BY doc_id""",
+
+      "q_sample_balanced" -> s"""
+        WITH ranked AS (
+          SELECT doc_id, source, lang, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${saltMd5("balance")}, doc_id) AS BIGINT) AS rn
+          FROM documents)
+        SELECT doc_id, source, lang, rn, n_chars
+        FROM ranked WHERE rn <= ${operators.Sampling.SourceCap} ORDER BY doc_id""",
+
+      "q_shuffle_shard" -> s"""
+        WITH sharded AS (
+          SELECT doc_id, n_chars, h,
+            CAST(CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT)
+                 % ${operators.Sampling.Shards} AS INT) AS shard
+          FROM (SELECT doc_id, n_chars, ${saltMd5("shuf")} AS h FROM documents))
+        SELECT doc_id, shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+          n_chars
+        FROM sharded ORDER BY shard, pos""",
+    )
+  }
+
+  /** Text-analysis + dedup entries (the LLM-pipeline families). */
+  private lazy val textDedupQueries: Map[String, String] = {
+    val stopList = text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    Map(
+      "text_tokens" -> s"""
+        SELECT doc_id,
+          CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+          CAST(regexp_count(text, '${text.TextAnalysis.TokenPattern}') AS BIGINT) AS bpe_tokens,
+          CAST(length(text) AS BIGINT) AS char_len
+        FROM documents ORDER BY doc_id""",
+
+      "text_quality" -> s"""
+        WITH f AS (
+          SELECT doc_id,
+            CAST(length(text) AS BIGINT) AS char_len,
+            CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+            CAST(size(filter(split(text, ' '), t -> t IN ($stopList))) AS BIGINT) AS stop_tokens,
+            CAST(regexp_count(text, '[^a-z0-9 ]') AS BIGINT) AS punct_marks
+          FROM documents)
+        SELECT doc_id, char_len, ws_tokens,
+          ROUND(stop_tokens / ws_tokens, 6) AS stop_ratio,
+          ROUND(punct_marks / char_len, 6) AS punct_ratio,
+          ROUND((char_len - (ws_tokens - 1)) / ws_tokens, 6) AS mean_word_len,
+          ROUND(LEAST(ws_tokens / 50.0D, 1.0D) * 0.4D
+            + (1.0D - punct_marks / char_len) * 0.3D
+            + LEAST(stop_tokens / ws_tokens * 5.0D, 1.0D) * 0.3D, 6) AS quality_score
+        FROM f ORDER BY doc_id""",
+
+      "text_fingerprint" -> """
+        SELECT doc_id, md5(CAST(text AS BINARY)) AS fp,
+          CAST(length(text) div 100 AS BIGINT) AS len_band
+        FROM documents ORDER BY doc_id""",
+
+      "dedup_ngram_jaccard" -> s"""
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS w
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+               FROM w
+               LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 2 < size(w)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+          ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = doc_a
+        JOIN cnt cb ON cb.doc_id = doc_b
+        WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= ${dedup.Dedup.JaccardTau}
+        ORDER BY doc_a, doc_b""",
+    )
+  }
+
+  /** Graph algorithms from SQL: the fixed-iteration family unrolls the
+    * same CTE chains the DuckDB oracles pin (Spark has no recursive
+    * CTE; the to-fixpoint traversals stay Scala-API-only).
+    */
+  private lazy val graphQueries: Map[String, String] = {
+    val prIter = (prev: String, cur: String) =>
+      s"""$cur AS (
+        SELECT verts.v, (1.0D - 0.85D)/(SELECT n FROM nn)
+               + 0.85D * COALESCE(SUM($prev.r / od.od), 0.0D) AS r
+        FROM verts
+        LEFT JOIN graph_hash he ON he.dst = verts.v
+        LEFT JOIN od ON od.src = he.src
+        LEFT JOIN $prev ON $prev.v = he.src
+        GROUP BY verts.v)"""
+    val pprIter = (prev: String, cur: String) =>
+      s"""$cur AS (
+        SELECT rv.v, (1.0D - 0.85D) * rv.s
+               + 0.85D * COALESCE(SUM($prev.r / od.od), 0.0D) AS r
+        FROM rv
+        LEFT JOIN graph_hash he ON he.dst = rv.v
+        LEFT JOIN od ON od.src = he.src
+        LEFT JOIN $prev ON $prev.v = he.src
+        GROUP BY rv.v, rv.s)"""
+    val lpaRound = (i: Int) =>
+      s"""c$i AS (SELECT u.a AS v, l.lab, COUNT(*) AS c
+        FROM und u JOIN l${i - 1} l ON l.v = u.b GROUP BY u.a, l.lab),
+      l$i AS (SELECT v, lab FROM (
+        SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
+        FROM c$i) WHERE rn = 1)"""
+    val hitsHalf = (prev: String, cur: String, inC: String, outC: String) =>
+      s"""${cur}r AS (
+        SELECT verts.v, COALESCE(SUM($prev.s), 0.0D) AS x
+        FROM verts LEFT JOIN graph_nation ne ON ne.$outC = verts.v
+        LEFT JOIN $prev ON $prev.v = ne.$inC
+        GROUP BY verts.v),
+      $cur AS (SELECT v, x / (SELECT SUM(x) FROM ${cur}r) AS s FROM ${cur}r)"""
+    val hitsRounds = (1 to graph.GraphQueries.HitsIters).map { i =>
+      val prevH = if (i == 1) "h0" else s"h${i - 1}"
+      hitsHalf(prevH, s"a$i", "src", "dst") + ",\n      " +
+        hitsHalf(s"a$i", s"h$i", "dst", "src")
+    }.mkString(",\n      ")
+    Map(
+      "graph_triangles" -> """
+        WITH u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM graph_nation WHERE src != dst),
+        tri AS (SELECT x.a AS a, x.b AS b, y.b AS c
+                FROM u x JOIN u y ON y.a = x.b
+                JOIN u z ON z.a = x.a AND z.b = y.b)
+        SELECT vertex, COUNT(*) AS n_tri
+        FROM (SELECT a AS vertex FROM tri
+              UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri)
+        GROUP BY vertex ORDER BY vertex""",
+
+      "graph_link_predict" -> """
+        WITH und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM graph_nation
+          UNION SELECT dst, src FROM graph_nation)
+          WHERE a != b),
+        deg AS (SELECT a AS v, COUNT(*) AS d FROM und GROUP BY 1),
+        wedge AS (
+          SELECT x.a AS a, y.a AS b, COUNT(*) AS cn, SUM(1.0D / LN(deg.d)) AS aa
+          FROM und x JOIN und y ON y.b = x.b AND x.a < y.a
+          JOIN deg ON deg.v = x.b
+          GROUP BY x.a, y.a),
+        nonadj AS (
+          SELECT w.* FROM wedge w LEFT JOIN und u ON u.a = w.a AND u.b = w.b
+          WHERE u.a IS NULL)
+        SELECT n.a, n.b, n.cn,
+          ROUND(n.cn / (da.d + db.d - n.cn), 6) AS jaccard,
+          ROUND(n.aa, 6) AS adamic_adar
+        FROM nonadj n JOIN deg da ON da.v = n.a JOIN deg db ON db.v = n.b
+        ORDER BY a, b""",
+
+      "graph_pagerank" -> s"""
+        WITH verts AS (SELECT src AS v FROM graph_hash UNION SELECT dst FROM graph_hash),
+        nn AS (SELECT COUNT(*) AS n FROM verts),
+        od AS (SELECT src, COUNT(*) AS od FROM graph_hash GROUP BY src),
+        p0 AS (SELECT v, 1.0D/(SELECT n FROM nn) AS r FROM verts),
+        ${prIter("p0", "p1")},
+        ${prIter("p1", "p2")},
+        ${prIter("p2", "p3")}
+        SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""",
+
+      "graph_ppr" -> s"""
+        WITH verts AS (SELECT src AS v FROM graph_hash UNION SELECT dst FROM graph_hash),
+        seeds AS (SELECT v FROM verts ORDER BY v LIMIT ${graph.GraphQueries.PprSeeds}),
+        ns AS (SELECT COUNT(*) AS n FROM seeds),
+        rv AS (SELECT verts.v,
+                 CASE WHEN seeds.v IS NOT NULL
+                      THEN 1.0D/(SELECT n FROM ns) ELSE 0.0D END AS s
+               FROM verts LEFT JOIN seeds ON seeds.v = verts.v),
+        od AS (SELECT src, COUNT(*) AS od FROM graph_hash GROUP BY src),
+        p0 AS (SELECT v, s AS r FROM rv),
+        ${pprIter("p0", "p1")},
+        ${pprIter("p1", "p2")},
+        ${pprIter("p2", "p3")}
+        SELECT v AS vertex, ROUND(r, 6) AS rank FROM p3 ORDER BY vertex""",
+
+      "graph_lpa" -> s"""
+        WITH und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM graph_nation
+          UNION SELECT dst, src FROM graph_nation)
+          WHERE a != b),
+        l0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
+        ${(1 to graph.GraphQueries.LpaIters).map(lpaRound).mkString(",\n      ")}
+        SELECT v AS vertex, lab AS community
+        FROM l${graph.GraphQueries.LpaIters} ORDER BY vertex""",
+
+      "graph_hits" -> s"""
+        WITH verts AS (SELECT src AS v FROM graph_nation UNION SELECT dst FROM graph_nation),
+        h0 AS (SELECT v, 1.0D AS s FROM verts),
+        $hitsRounds
+        SELECT verts.v AS vertex,
+          ROUND(a${graph.GraphQueries.HitsIters}.s, 6) AS authority,
+          ROUND(h${graph.GraphQueries.HitsIters}.s, 6) AS hub
+        FROM verts
+        JOIN a${graph.GraphQueries.HitsIters}
+          ON a${graph.GraphQueries.HitsIters}.v = verts.v
+        JOIN h${graph.GraphQueries.HitsIters}
+          ON h${graph.GraphQueries.HitsIters}.v = verts.v
+        ORDER BY vertex""",
+    )
+  }
 }

@@ -1523,6 +1523,14 @@ object GraphOps {
     }
     e.unpersist()
     if (eBySrc != null) eBySrc.unpersist()
+    // Mirror scc's contract: an exhausted round budget with a live
+    // frontier means the returned distances are NOT final — fail loudly
+    // rather than emit silently-wrong output (bfs's precedent is an
+    // unbounded default; sssp's bound exists only to cap a pathological
+    // toll chain, so hitting it is an error, not a result).
+    require(frontierRows == 0,
+      s"sssp: frontier still has $frontierRows improvable vertices after " +
+        s"$maxRounds rounds — distances not converged; raise maxRounds")
     dist
   }
 
@@ -1609,6 +1617,13 @@ object GraphOps {
       }
     }
     ue.unpersist()
+    // Component halving bounds convergence at log₂(V) ≤ 64 for any
+    // real V, so live cross edges here can only mean a contraction bug
+    // — fail loudly instead of returning a partial forest that would
+    // still hash-compare as "a forest" downstream.
+    require(liveRows == 0,
+      s"msf: $liveRows cross-component edges alive after $maxRounds " +
+        "Borůvka rounds — forest incomplete (contraction did not converge)")
     if (forest.isEmpty) {
       import spark.implicits._
       Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")

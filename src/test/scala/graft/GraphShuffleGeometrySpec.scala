@@ -263,4 +263,101 @@ class GraphShuffleGeometrySpec extends SparkSpec {
     info(s"hits shuffleWrite=$hitsW edgeBytes=$edgeBytes (bound=${8 * edgeBytes})")
     assert(hitsW < 8 * edgeBytes, s"hits shuffleWrite=$hitsW edgeBytes=$edgeBytes")
   }
+
+  test("twin-cache lifecycle: by-dst copies are DISK_ONLY and brandes frees by-src before the sweep") {
+    val buf = scala.collection.mutable.Buffer.empty[String]
+    GraphOps.cacheAudit.set(buf)
+    System.setProperty("graft.bfs.broadcastFrontier", "0")
+    try {
+      val edges = spark.range(0L, 3000L)
+        .select((col("id") % 200).as("src"), ((col("id") * 13 + 1) % 200).as("dst"))
+        .where(col("src") =!= col("dst")).localCheckpoint()
+      def r6(df: DataFrame, cols: String*) =
+        rowsOf(df.select(col(cols.head) +: cols.tail.map(c => round(col(c), 6).as(c)): _*))
+      // hits: the distributed path builds the by-dst copy; output must
+      // match the driver twin at the callers' rounding
+      val hitsDist = GraphOps.hits(edges, iters = 2, maxLocalEdges = 0L)
+      val hitsLocal = GraphOps.hits(edges, iters = 2)
+      assert(r6(hitsDist, "vertex", "authority", "hub")
+        === r6(hitsLocal, "vertex", "authority", "hub"))
+      // betweenness: forced-shuffled frontiers build BOTH copies; the
+      // audit below pins when each lives and at what storage level
+      val bDist = rowsOf(GraphOps.betweenness(edges, maxLocalEdges = 0L))
+      val bLocal = rowsOf(GraphOps.betweenness(edges))
+      assert(bDist === bLocal)
+    } finally {
+      System.clearProperty("graft.bfs.broadcastFrontier")
+      GraphOps.cacheAudit.remove()
+    }
+    info(buf.mkString(", "))
+    assert(buf.contains("hits:eByDst:DISK_ONLY"))
+    val persistSrc = buf.indexOf("brandes:eBySrc:MEMORY_AND_DISK")
+    val releaseSrc = buf.indexOf("brandes:eBySrc:released")
+    val backStart = buf.indexOf("brandes:backward:start")
+    val persistDst = buf.indexOf("brandes:eByDst:DISK_ONLY")
+    // forward copy exists, is released no later than the sweep starts,
+    // and the sweep's copy is disk-resident — so the loop family's
+    // memory cache footprint is one edges-sized frame at any point
+    assert(persistSrc >= 0 && releaseSrc > persistSrc && releaseSrc <= backStart,
+      buf.mkString(", "))
+    assert(persistDst > backStart, buf.mkString(", "))
+  }
+
+  test("planted hub: two-frame split bounds the max cached partition, output unchanged") {
+    // Power-law plant: one vertex carries ~83% of all out-edges —
+    // under HashPartitioning(src) its entire edge list lands in ONE
+    // cached partition (the per-iteration straggler), which the
+    // hubSplit layout must dissolve without changing the answer.
+    val hubD = 40000L
+    val hub = spark.range(0L, hubD)
+      .select(lit(0L).as("src"), (col("id") + 10000L).as("dst"))
+    val tail = spark.range(0L, 8000L)
+      .select((col("id") % 997 + 1).as("src"), ((col("id") * 31 + 7) % 997 + 1).as("dst"))
+    val edges = hub.unionAll(tail).where(col("src") =!= col("dst")).localCheckpoint()
+
+    def maxPart(df: DataFrame): Int =
+      df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+
+    // layout evidence — the split the loops build internally, with an
+    // explicit partition count so AQE's small-data coalescing can't
+    // blur the measurement (at scale the advisory size never merges
+    // real partitions)
+    val e = edges.repartition(8, col("src")).distinct().persist()
+    val eCount = e.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val unsplitMax = maxPart(e)
+    val hs = GraphOps.hubSplit(e, eCount, outdeg, hubOutDegree = 1000L)
+    try {
+      assert(hs.hub.nonEmpty && hs.hubDeg.get.count() === 1L)
+      val tailMax = maxPart(hs.tail)
+      val hubParts = hs.hub.get.rdd.mapPartitions(it => Iterator(it.size)).collect()
+      info(s"unsplitMax=$unsplitMax tailMax=$tailMax hubParts=${hubParts.toSeq}")
+      // the unsplit cache really has the straggler partition...
+      assert(unsplitMax >= hubD, s"unsplitMax=$unsplitMax")
+      // ...the tail frame is bounded by the tail degree distribution...
+      assert(tailMax <= 3000, s"tailMax=$tailMax")
+      // ...and the hub frame spreads evenly (RoundRobin): no partition
+      // holds more than 2x the ideal share
+      assert(hubParts.max <= 2L * (hubD / hubParts.length + 1),
+        s"hubParts=${hubParts.toSeq}")
+      assert(math.max(tailMax.toLong, hubParts.max.toLong) <= unsplitMax / 3,
+        s"straggler not dissolved: tailMax=$tailMax hubMax=${hubParts.max}")
+    } finally hs.unpersistAll()
+
+    // output contract: hub-split ≡ unsplit at the callers' 6-dp
+    // rounding (the union flips double-summation order) for both push
+    // loops. The unsplit runs use the auto threshold, which stays
+    // above the planted degree (HubMinOutDegree floor) — no hubs.
+    def r6(df: DataFrame) =
+      rowsOf(df.select(col("vertex"), round(col("rank"), 6).as("r")))
+    val prBase = GraphOps.pagerank(edges, iters = 2, maxLocalEdges = 0L)
+    val prSplit = GraphOps.pagerank(edges, iters = 2, maxLocalEdges = 0L,
+      hubOutDegree = 1000L)
+    assert(r6(prSplit) === r6(prBase))
+    val seeds = Seq(0L, 1L, 2L)
+    val pprBase = GraphOps.ppr(edges, seeds, iters = 2, maxLocalEdges = 0L)
+    val pprSplit = GraphOps.ppr(edges, seeds, iters = 2, maxLocalEdges = 0L,
+      hubOutDegree = 1000L)
+    assert(r6(pprSplit) === r6(pprBase))
+  }
 }

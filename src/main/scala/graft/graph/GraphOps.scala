@@ -480,28 +480,28 @@ object GraphOps {
     def unpersistAll(): Unit = { tail.unpersist(); hub.foreach(_.unpersist()) }
   }
 
-  private[graft] def hubSplit(e: DataFrame, eCount: Long, outdeg: DataFrame,
-      hubOutDegree: Long): HubSplit = {
+  private[graft] def hubSplit(e: DataFrame, eCount: Long, deg: DataFrame,
+      hubOutDegree: Long, key: String = "src",
+      tailLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): HubSplit = {
     val spark = e.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val threshold =
       if (hubOutDegree > 0) hubOutDegree
       else math.max(HubMinOutDegree, eCount / parts)
-    val hubDeg = outdeg.where(col("od") > threshold).localCheckpoint()
+    val hubDeg = deg.where(col("od") > threshold).localCheckpoint()
     val nHubs = hubDeg.count()
-    if (nHubs == 0) HubSplit(e, outdeg, None, None, threshold)
+    if (nHubs == 0) HubSplit(e, deg, None, None, threshold)
     else {
       require(nHubs <= (1L << 20),
-        s"hubSplit: $nHubs sources above out-degree $threshold — hub catalog " +
+        s"hubSplit: $nHubs sources above $key-degree $threshold — hub catalog " +
           "too large to broadcast; raise the threshold")
-      val hubSrcs = broadcast(hubDeg.select("src"))
-      val tail = e.join(hubSrcs, Seq("src"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hub = e.join(hubSrcs, Seq("src"), "left_semi")
-        .repartition(parts).persist(StorageLevel.MEMORY_AND_DISK)
+      val hubKeys = broadcast(hubDeg.select(key))
+      val tail = e.join(hubKeys, Seq(key), "left_anti").persist(tailLevel)
+      val hub = e.join(hubKeys, Seq(key), "left_semi")
+        .repartition(parts).persist(tailLevel)
       tail.count(); hub.count()
       e.unpersist()
-      HubSplit(tail, outdeg.join(hubSrcs, Seq("src"), "left_anti"),
+      HubSplit(tail, deg.join(hubKeys, Seq(key), "left_anti"),
         Some(hub), Some(hubDeg), threshold)
     }
   }
@@ -1158,11 +1158,12 @@ object GraphOps {
     * vectors). Callers round (6 dp) — normalization noise is ~1e-15.
     */
   def hits(edges: DataFrame, iters: Int,
-      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+      maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     // Born hash-partitioned by src (one exchange, see [[pagerank]]).
     val e = canonEdges(edges).repartition(col("src")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (e.count() <= maxLocalEdges) {
+    val eCount = e.count()
+    if (eCount <= maxLocalEdges) {
       val out = localHits(edges.sparkSession, e, iters)
       e.unpersist()
       return out
@@ -1181,12 +1182,33 @@ object GraphOps {
     audit("hits:eByDst:DISK_ONLY")
     val verts = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
       .distinct().localCheckpoint()
+    // Power-law skew splits BOTH directions (same [[hubSplit]] layout
+    // as pagerank): out-degree hubs straggle the authority step's
+    // by-src partition, IN-degree hubs the hub step's by-dst
+    // partition. Auto threshold ⇒ no-op on every shipped graph.
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    val srcSplit = hubSplit(e, eCount, outdeg, hubOutDegree)
+    val indeg = eByDst.groupBy("dst").agg(count(lit(1)).as("od"))
+    val dstSplit = hubSplit(eByDst, eCount, indeg, hubOutDegree,
+      key = "dst", tailLevel = StorageLevel.DISK_ONLY)
     var h = verts.withColumn("s", lit(1.0))
     var a = h
     def halfStep(scores: DataFrame, inCol: String, outCol: String): DataFrame = {
-      val ej = if (inCol == "src") e else eByDst
-      val pushed = ej.join(scores.withColumnRenamed("v", inCol), inCol)
-        .groupBy(col(outCol).as("v")).agg(sum(col("s")).as("x"))
+      val split = if (inCol == "src") srcSplit else dstSplit
+      val tailRows = split.tail.join(scores.withColumnRenamed("v", inCol), inCol)
+        .select(col(outCol).as("v"), col("s"))
+      val rows = split.hub match {
+        case None => tailRows
+        case Some(hubE) =>
+          val hubScores = scores
+            .join(broadcast(split.hubDeg.get
+              .withColumnRenamed(inCol, "v").select("v")), "v")
+            .withColumnRenamed("v", inCol)
+          tailRows.unionAll(
+            hubE.join(broadcast(hubScores), inCol)
+              .select(col(outCol).as("v"), col("s")))
+      }
+      val pushed = rows.groupBy("v").agg(sum(col("s")).as("x"))
       val raw = verts.join(pushed, Seq("v"), "left")
         .select(col("v"), coalesce(col("x"), lit(0.0)).as("x"))
         .localCheckpoint()
@@ -1201,7 +1223,7 @@ object GraphOps {
     // are no longer needed for the final join — release them here (the
     // local path above unpersists too; leaving them cached leaks
     // blocks across bench iterations).
-    e.unpersist(); eByDst.unpersist()
+    srcSplit.unpersistAll(); dstSplit.unpersistAll()
     verts.join(a.withColumnRenamed("s", "authority"), "v")
       .join(h.withColumnRenamed("s", "hub"), "v")
       .select(col("v").as("vertex"), col("authority"), col("hub"))

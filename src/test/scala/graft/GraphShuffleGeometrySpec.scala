@@ -359,5 +359,15 @@ class GraphShuffleGeometrySpec extends SparkSpec {
     val pprSplit = GraphOps.ppr(edges, seeds, iters = 2, maxLocalEdges = 0L,
       hubOutDegree = 1000L)
     assert(r6(pprSplit) === r6(pprBase))
+    // hits splits BOTH directions: vertex 0 is the out-degree hub on
+    // this graph and the IN-degree hub on its reverse
+    def r6h(df: DataFrame) = rowsOf(df.select(col("vertex"),
+      round(col("authority"), 6).as("a"), round(col("hub"), 6).as("h")))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"))
+    for (g <- Seq(edges, rev)) {
+      val hb = GraphOps.hits(g, iters = 2, maxLocalEdges = 0L)
+      val hsp = GraphOps.hits(g, iters = 2, maxLocalEdges = 0L, hubOutDegree = 1000L)
+      assert(r6h(hsp) === r6h(hb))
+    }
   }
 }

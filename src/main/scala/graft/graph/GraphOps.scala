@@ -86,7 +86,7 @@ object GraphOps {
     * order is not.
     */
   def bfs(edges: DataFrame, sources: DataFrame, maxDepth: Int = Int.MaxValue,
-      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+      maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     val e = canonEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val tagged =
       if (sources.columns.contains("tag")) sources.select(col("tag").cast("long"), col("vertex").cast("long"))
@@ -118,33 +118,57 @@ object GraphOps {
     // scale-killer on a web graph where the frontier exceeds the
     // broadcast bound within 2-3 hops. On the first such level the
     // edge frame is re-persisted under HashPartitioning(src) (one
-    // edges-sized exchange, paid once); the cached partitioning then
+    // edges-sized exchange, paid once) and [[hubSplit]] peels
+    // power-law hubs into a RoundRobin frame (auto threshold: a no-op
+    // on hub-free graphs); the cached tail partitioning then
     // satisfies the join's required distribution on every later level
-    // and only the frontier side shuffles — O(levels × frontier).
+    // and only the frontier side shuffles — O(levels × frontier) —
+    // while hub out-edges are probed by broadcast of the ≤|hubs|×tags
+    // frontier slice instead of straggling one task per level.
     // Broadcast-only traversals never pay the repartition.
-    var eBySrc: DataFrame = null
-    def partitionedEdges(): DataFrame = {
-      if (eBySrc == null) {
-        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    var eSplit: HubSplit = null
+    def partitionedSplit(): HubSplit = {
+      if (eSplit == null) {
+        val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
+        val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
+        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
         // The unpartitioned copy is now redundant: a later
-        // broadcast-sized level joins eBySrc just as well (broadcast
-        // joins ignore the probe side's partitioning), and holding
-        // both would double cached edge storage for the rest of the
-        // traversal — at web-graph scale that's the difference
+        // broadcast-sized level joins the split frames just as well
+        // (broadcast joins ignore the probe side's partitioning), and
+        // holding both would double cached edge storage for the rest
+        // of the traversal — at web-graph scale that's the difference
         // between fitting in storage memory and spilling.
         e.unpersist()
       }
-      eBySrc
+      eSplit
+    }
+    // frontier×edges rows for one level over whichever layout exists
+    def expand(f: DataFrame, broadcastSide: Boolean): DataFrame = {
+      if (eSplit == null && broadcastSide)
+        return e.join(broadcast(f), e("src") === f("vertex"))
+          .select(col("tag"), col("dst").as("vertex"))
+      val hs = partitionedSplit()
+      val fb = if (broadcastSide) broadcast(f) else f
+      val tailRows = hs.tail.join(fb, hs.tail("src") === fb("vertex"))
+        .select(col("tag"), col("dst").as("vertex"))
+      hs.hub match {
+        case None => tailRows
+        case Some(hubE) =>
+          val hubF = broadcast(f.join(
+            broadcast(hs.hubDeg.get.select(col("src").as("vertex"))),
+            Seq("vertex"), "left_semi"))
+          tailRows.unionAll(
+            hubE.join(hubF, hubE("src") === hubF("vertex"))
+              .select(col("tag"), col("dst").as("vertex")))
+      }
     }
     while (frontierRows > 0 && level < maxDepth) {
       level += 1
       val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
       val small = frontierRows <= broadcastFrontier
-      val f = if (small) broadcast(frontier) else frontier
-      val ej = if (small && eBySrc == null) e else partitionedEdges()
-      val nextRaw = ej.join(f, ej("src") === f("vertex"))
-        .select(col("tag"), col("dst").as("vertex")).distinct()
+      val nextRaw = expand(frontier, small)
+        .distinct()
         .join(visited, Seq("tag", "vertex"), "left_anti")
       // Small frontiers collapse to one partition so the checkpointed
       // frames stay single-task (the visited union then scans L tasks,
@@ -168,7 +192,7 @@ object GraphOps {
       frontier = next
     }
     e.unpersist()
-    if (eBySrc != null) eBySrc.unpersist()
+    if (eSplit != null) eSplit.unpersistAll()
     frames.map { case (lvl, df) => df.withColumn("level", lit(lvl)) }
       .reduce(_ unionAll _)
   }

@@ -369,5 +369,17 @@ class GraphShuffleGeometrySpec extends SparkSpec {
       val hsp = GraphOps.hits(g, iters = 2, maxLocalEdges = 0L, hubOutDegree = 1000L)
       assert(r6h(hsp) === r6h(hb))
     }
+    // the BFS frontier loop (forced onto the shuffled-join path, where
+    // the partitioned layout exists) splits the hub identically
+    System.setProperty("graft.bfs.broadcastFrontier", "0")
+    try {
+      val s = spark
+      import s.implicits._
+      val sources = Seq(1L, 0L).toDF("vertex")
+      val bfsBase = rowsOf(GraphOps.bfs(edges, sources, maxLocalEdges = 0L))
+      val bfsSplit = rowsOf(GraphOps.bfs(edges, sources, maxLocalEdges = 0L,
+        hubOutDegree = 1000L))
+      assert(bfsSplit === bfsBase)
+    } finally System.clearProperty("graft.bfs.broadcastFrontier")
   }
 }

@@ -7,8 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and 50+ of the gate operators — the whole relational and
-  * event families, every sampling op, text/dedup representatives, and
+  * views, and 60 of the gate operators — the whole relational and
+  * event families, every sampling op, the text/dedup representatives
+  * (tokens, quality, fingerprint, ngrams, vocab, repetition, PII
+  * scrub, chunking; exact, ngram-Jaccard, containment), the ANN
+  * scoring family (brute force, MIPS, range, hybrid pre-filter), and
   * the fixed-iteration graph algorithms (PageRank, PPR, LPA, HITS,
   * triangles, link prediction) as unrolled CTE chains — are expressed
   * as plain Spark SQL over those views. Each SQL entry is
@@ -629,7 +632,138 @@ object SqlSurface {
   /** Text-analysis + dedup entries (the LLM-pipeline families). */
   private lazy val textDedupQueries: Map[String, String] = {
     val stopList = text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    // Spark SQL string literals interpret backslash escapes (unlike
+    // DuckDB's), so regex patterns double them.
+    def rx(p: String) = p.replace("\\", "\\\\")
     Map(
+      "text_ngrams" -> s"""
+        WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                      split(text, ' ') AS w FROM documents),
+        bg AS (SELECT lang, doc_id, concat_ws(' ', w[i], w[i+1]) AS g
+               FROM sp LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 1 < size(w)),
+        cnt AS (SELECT lang, g, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+                FROM bg GROUP BY lang, g),
+        r AS (SELECT lang, g, n, n_docs,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY n DESC, g) AS BIGINT) AS rn
+              FROM cnt)
+        SELECT lang, rn, g AS bigram, n, n_docs
+        FROM r WHERE rn <= ${text.TextAnalysis.NgramTopK} ORDER BY lang, rn""",
+
+      "text_vocab" -> s"""
+        WITH words AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, w FROM documents
+                       LATERAL VIEW explode(split(text, ' ')) t AS w),
+        cnt AS (SELECT w, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+                FROM words GROUP BY w),
+        top AS (SELECT w, n, n_docs FROM cnt
+                ORDER BY n DESC, w LIMIT ${text.TextAnalysis.VocabTopK})
+        SELECT
+          CAST(ROW_NUMBER() OVER (PARTITION BY pmod(n, 1)
+            ORDER BY n DESC, w) AS BIGINT) AS rn,
+          w AS word, n, n_docs,
+          ROUND(CAST(n AS DOUBLE) /
+            (SELECT CAST(SUM(n) AS DOUBLE) FROM cnt), 6) AS frac
+        FROM top ORDER BY rn""",
+
+      "text_repetition" -> """
+        WITH words AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, w FROM documents
+                       LATERAL VIEW explode(split(text, ' ')) t AS w),
+        wc AS (SELECT doc_id, w, COUNT(*) AS n FROM words GROUP BY doc_id, w),
+        ws AS (SELECT doc_id, SUM(n) AS n_words, COUNT(*) AS n_distinct_words,
+                 MAX(n) AS top_word_n
+               FROM wc GROUP BY doc_id),
+        sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS w
+               FROM documents),
+        bg AS (SELECT doc_id, concat_ws(' ', w[i], w[i+1]) AS g
+               FROM sp LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 1 < size(w)),
+        bc AS (SELECT doc_id, g, COUNT(*) AS n FROM bg GROUP BY doc_id, g),
+        bs AS (SELECT doc_id, SUM(n) AS n_bigrams,
+                 COUNT(*) AS n_distinct_bigrams
+               FROM bc GROUP BY doc_id)
+        SELECT ws.doc_id, n_words, n_distinct_words, top_word_n,
+          ROUND(CAST(top_word_n AS DOUBLE) / n_words, 6) AS top_word_frac,
+          COALESCE(ROUND(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) /
+            n_bigrams, 6), 0.0D) AS dup_bigram_frac
+        FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        ORDER BY ws.doc_id""",
+
+      "text_pii_scrub" -> s"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+          CAST(regexp_count(text, '${rx(text.TextAnalysis.PiiEmail)}') AS BIGINT) AS n_email,
+          CAST(regexp_count(text, '${rx(text.TextAnalysis.PiiIp)}') AS BIGINT) AS n_ip,
+          CAST(regexp_count(text, '${rx(text.TextAnalysis.PiiPhone)}') AS BIGINT) AS n_phone,
+          CAST(regexp_count(text, '${rx(text.TextAnalysis.PiiLongNum)}') AS BIGINT) AS n_longnum,
+          md5(CAST(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text, '${rx(text.TextAnalysis.PiiEmail)}', '<EMAIL>'),
+            '${rx(text.TextAnalysis.PiiIp)}', '<IP>'),
+            '${rx(text.TextAnalysis.PiiPhone)}', '<PHONE>'),
+            '${rx(text.TextAnalysis.PiiLongNum)}', '<NUM>') AS BINARY)) AS scrubbed_fp
+        FROM documents ORDER BY doc_id""",
+
+      "dedup_containment" -> s"""
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS w
+                   FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                 concat_ws(' ', w[i], w[i+1], w[i+2]) AS s
+               FROM w LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 2 < size(w)),
+        cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ninter
+                  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id != b.doc_id
+                  GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, ROUND(ninter / ca.n_sh, 6) AS containment
+        FROM inter JOIN cnt ca ON ca.doc_id = doc_a
+        WHERE ROUND(ninter / ca.n_sh, 6) >= ${dedup.Dedup.ContainTau}
+        ORDER BY doc_a, doc_b""",
+
+      "ann_mips" -> s"""
+        WITH n AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv FROM n
+              WHERE vec_id < ${similarity.Ann.NumQueries}),
+        s AS (SELECT q.qid, n.vec_id,
+                ROUND(graft_dot(qv, v), 6) + 0.0D AS score
+              FROM q JOIN n ON n.vec_id != q.qid),
+        r AS (SELECT qid, vec_id, score,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+        FROM r WHERE rank <= ${similarity.Ann.K} ORDER BY qid, rank""",
+
+      "ann_range" -> s"""
+        WITH n AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+                          graft_norm(embedding) AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < ${similarity.Ann.NumQueries}),
+        s AS (SELECT q.qid, n.vec_id,
+                ROUND(graft_dot(qv, v) / (qn * nrm), 6) + 0.0D AS score
+              FROM q JOIN n ON n.vec_id != q.qid)
+        SELECT qid, vec_id, score FROM s
+        WHERE score >= ${similarity.Ann.RangeTau}
+        ORDER BY qid, vec_id""",
+
+      "ann_hybrid" -> s"""
+        WITH n AS (SELECT vec_id, label, CAST(embedding AS ARRAY<DOUBLE>) AS v,
+                          graft_norm(embedding) AS nrm
+                   FROM embeddings),
+        q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+              WHERE vec_id < ${similarity.Ann.NumQueries}),
+        c AS (SELECT vec_id, v, nrm FROM n
+              WHERE label IN (${similarity.Ann.HybridLabels.mkString(", ")})),
+        s AS (SELECT q.qid, c.vec_id,
+                ROUND(CASE WHEN qn * nrm = 0.0D THEN CAST('NaN' AS DOUBLE)
+                      ELSE graft_dot(qv, v) / (qn * nrm) END, 6) + 0.0D AS score
+              FROM q JOIN c ON c.vec_id != q.qid),
+        r AS (SELECT qid, vec_id, score,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY score DESC, vec_id) AS rank
+              FROM s)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+        FROM r WHERE rank <= ${similarity.Ann.K} ORDER BY qid, rank""",
       "text_tokens" -> s"""
         SELECT doc_id,
           CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,

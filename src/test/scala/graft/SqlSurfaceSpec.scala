@@ -30,7 +30,7 @@ class SqlSurfaceSpec extends SparkSpec {
     // r13 widening: the whole relational/event/sampling families, the
     // text+dedup representatives, and the fixed-iteration graph
     // algorithms are reachable from spark.sql
-    assert(SqlSurface.queries.size >= 50)
+    assert(SqlSurface.queries.size >= 58)
   }
 
   test("warehouse tables and named graphs are queryable as views") {

@@ -1424,7 +1424,8 @@ object GraphOps {
   def betweenness(edges: DataFrame,
       maxExactVerts: Long = ExactAllSourcesVerts,
       maxLocalEdges: Long = LocalEdgeThreshold,
-      sampleSources: Int = BetweennessSampleSources): DataFrame = {
+      sampleSources: Int = BetweennessSampleSources,
+      hubOutDegree: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     val e = canonEdges(edges).where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
@@ -1441,7 +1442,7 @@ object GraphOps {
     val scale = nv.toDouble / srcArr.length
     val dep =
       if (e.count() <= maxLocalEdges) localBrandes(spark, collectPairs(e), srcArr)
-      else distBrandes(e, srcArr)
+      else distBrandes(e, srcArr, hubOutDegree)
     verts.join(dep, verts("v") === dep("vertex"), "left")
       .select(verts("v").as("vertex"),
         round(coalesce(col("dep"), lit(0.0)) * lit(scale), 6).as("betweenness"),
@@ -1511,30 +1512,63 @@ object GraphOps {
     * trade), after which only frontier-sized frames move per level.
     * Driver state: nothing but loop counters.
     */
-  private def distBrandes(e0: DataFrame, sources: Array[Long]): DataFrame = {
+  private def distBrandes(e0: DataFrame, sources: Array[Long],
+      hubOutDegree: Long = 0L): DataFrame = {
     val spark = e0.sparkSession
     import spark.implicits._
     val e = e0.persist(StorageLevel.MEMORY_AND_DISK)
-    var eBySrc: DataFrame = null
-    var eByDst: DataFrame = null
-    def bySrc(): DataFrame = {
-      if (eBySrc == null) {
-        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val eCount = e.count()
+    var srcSplit: HubSplit = null
+    var dstSplit: HubSplit = null
+    def bySrc(): HubSplit = {
+      if (srcSplit == null) {
+        val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
+        val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
+        srcSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
         audit("brandes:eBySrc:MEMORY_AND_DISK")
       }
-      eBySrc
+      srcSplit
     }
     // The backward copy is DISK_ONLY like [[hits]]'s: one sequential
     // read per level, and the sweep's memory footprint stays one
     // edges-sized frame (`e`) after the forward copy is released.
-    def byDst(): DataFrame = {
-      if (eByDst == null) {
-        eByDst = e.repartition(col("dst")).persist(StorageLevel.DISK_ONLY)
+    // Both copies get the [[hubSplit]] peel on their own join key
+    // (out-degree forward, IN-degree backward).
+    def byDst(): HubSplit = {
+      if (dstSplit == null) {
+        val eByDst = e.repartition(col("dst")).persist(StorageLevel.DISK_ONLY)
         eByDst.count()
+        val ind = eByDst.groupBy("dst").agg(count(lit(1)).as("od"))
+        dstSplit = hubSplit(eByDst, eCount, ind, hubOutDegree,
+          key = "dst", tailLevel = StorageLevel.DISK_ONLY)
         audit("brandes:eByDst:DISK_ONLY")
       }
-      eByDst
+      dstSplit
+    }
+    // frontier×edges rows over whichever layout exists, keyed by the
+    // direction's join column (src forward, dst backward); probeKey is
+    // the frontier column the edges key matches
+    def expand(f: DataFrame, broadcastSide: Boolean, forward: Boolean,
+        probeKey: String, project: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      val key = if (forward) "src" else "dst"
+      val built = if (forward) srcSplit else dstSplit
+      if (built == null && broadcastSide) {
+        val fb = broadcast(f)
+        return project(e.join(fb, e(key) === fb(probeKey)), fb)
+      }
+      val hs = if (forward) bySrc() else byDst()
+      val fb = if (broadcastSide) broadcast(f) else f
+      val tailRows = project(hs.tail.join(fb, hs.tail(key) === fb(probeKey)), fb)
+      hs.hub match {
+        case None => tailRows
+        case Some(hubE) =>
+          val hubF = broadcast(f.join(
+            broadcast(hs.hubDeg.get.select(col(key).as(probeKey))),
+            Seq(probeKey), "left_semi"))
+          tailRows.unionAll(
+            project(hubE.join(hubF, hubE(key) === hubF(probeKey)), hubF))
+      }
     }
     // forward: levels(l) = (tag, vertex, sigma) checkpointed per level
     var frontier = sources.toSeq.toDF("tag")
@@ -1550,10 +1584,8 @@ object GraphOps {
     while (rows > 0) {
       val visited = (visitedBase +: recent.toSeq).reduce(_ unionAll _)
       val small = rows <= broadcastFrontier
-      val f = if (small) broadcast(frontier) else frontier
-      val ej = if (small && eBySrc == null) e else bySrc()
-      val nextRaw = ej.join(f, ej("src") === f("vertex"))
-        .select(col("tag"), col("dst").as("vertex"), col("sigma"))
+      val nextRaw = expand(frontier, small, forward = true, probeKey = "vertex",
+          (j, _) => j.select(col("tag"), col("dst").as("vertex"), col("sigma")))
         .groupBy("tag", "vertex").agg(sum("sigma").as("sigma"))
         .join(visited, Seq("tag", "vertex"), "left_anti")
       val next = (if (rows <= 1000000) nextRaw.coalesce(1) else nextRaw)
@@ -1577,9 +1609,9 @@ object GraphOps {
     // dst only — so release it BEFORE the backward loop (r13): the
     // sweep's cache peak is one memory edges frame + the disk-resident
     // by-dst copy, not three edges-sized frames.
-    if (eBySrc != null) {
-      eBySrc.unpersist()
-      eBySrc = null
+    if (srcSplit != null) {
+      srcSplit.unpersistAll()
+      srcSplit = null
       audit("brandes:eBySrc:released")
     }
     audit("brandes:backward:start")
@@ -1594,10 +1626,8 @@ object GraphOps {
         .select(col("tag"), col("vertex").as("w"),
           ((lit(1.0) + col("delta")) / col("sigma")).as("m"))
       val small = levelRows(l + 1) <= broadcastFrontier
-      val f = if (small) broadcast(wd) else wd
-      val ej = if (small && eByDst == null) e else byDst()
-      val contrib = ej.join(f, ej("dst") === f("w"))
-        .select(col("tag"), col("src").as("vertex"), col("m"))
+      val contrib = expand(wd, small, forward = false, probeKey = "w",
+          (j, _) => j.select(col("tag"), col("src").as("vertex"), col("m")))
         .groupBy("tag", "vertex").agg(sum("m").as("msum"))
       val dRaw = levels(l).join(contrib, Seq("tag", "vertex"), "left")
         .select(col("tag"), col("vertex"),
@@ -1608,8 +1638,8 @@ object GraphOps {
       l -= 1
     }
     e.unpersist()
-    if (eBySrc != null) eBySrc.unpersist()
-    if (eByDst != null) eByDst.unpersist()
+    if (srcSplit != null) srcSplit.unpersistAll()
+    if (dstSplit != null) dstSplit.unpersistAll()
     deltaFrames.reduce(_ unionAll _)
       .where(col("vertex") =!= col("tag"))
       .groupBy("vertex").agg(sum("delta").as("dep"))
@@ -1639,7 +1669,7 @@ object GraphOps {
     * every other traversal; specs force 0 to pin both paths equal).
     */
   def sssp(edges: DataFrame, source: Long, maxRounds: Int = 256,
-      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+      maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src").cast("long").as("src"),
@@ -1655,23 +1685,48 @@ object GraphOps {
       .repartition(col("vertex")).localCheckpoint()
     var frontier = dist
     var frontierRows = 1L
-    var eBySrc: DataFrame = null
-    def partitionedEdges(): DataFrame = {
-      if (eBySrc == null) {
-        eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    // Same lazily-built partitioned layout as the BFS loop, with the
+    // same [[hubSplit]] hub peel: past the broadcast bound only the
+    // frontier shuffles per round, and a power-law source's edges are
+    // relaxed by every partition (broadcast of the frontier's hub
+    // slice) instead of one straggler task.
+    var eSplit: HubSplit = null
+    def partitionedSplit(): HubSplit = {
+      if (eSplit == null) {
+        val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
+        val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
+        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
         e.unpersist()
       }
-      eBySrc
+      eSplit
+    }
+    // frontier×edges candidate rows for one round over whichever
+    // layout exists (mirrors the BFS expand)
+    def relaxed(f: DataFrame, broadcastSide: Boolean): DataFrame = {
+      if (eSplit == null && broadcastSide)
+        return e.join(broadcast(f), e("src") === f("vertex"))
+          .select(col("dst").as("vertex"), (f("dist") + col("w")).as("nd"))
+      val hs = partitionedSplit()
+      val fb = if (broadcastSide) broadcast(f) else f
+      val tailRows = hs.tail.join(fb, hs.tail("src") === fb("vertex"))
+        .select(col("dst").as("vertex"), (fb("dist") + col("w")).as("nd"))
+      hs.hub match {
+        case None => tailRows
+        case Some(hubE) =>
+          val hubF = broadcast(f.join(
+            broadcast(hs.hubDeg.get.select(col("src").as("vertex"))),
+            Seq("vertex"), "left_semi"))
+          tailRows.unionAll(
+            hubE.join(hubF, hubE("src") === hubF("vertex"))
+              .select(col("dst").as("vertex"), (hubF("dist") + col("w")).as("nd")))
+      }
     }
     var round = 0
     while (frontierRows > 0 && round < maxRounds) {
       round += 1
       val small = frontierRows <= broadcastFrontier
-      val f = if (small) broadcast(frontier) else frontier
-      val ej = if (small && eBySrc == null) e else partitionedEdges()
-      val cand = ej.join(f, ej("src") === f("vertex"))
-        .select(col("dst").as("vertex"), (f("dist") + col("w")).as("nd"))
+      val cand = relaxed(frontier, small)
         .groupBy("vertex").agg(min("nd").as("nd"))
       // dist is hash(vertex)-partitioned (repartition at birth, then
       // each round's merge retains the join partitioning through the
@@ -1693,7 +1748,7 @@ object GraphOps {
         System.err.println(s"GRAFT_SSSP round=$round improved=$frontierRows")
     }
     e.unpersist()
-    if (eBySrc != null) eBySrc.unpersist()
+    if (eSplit != null) eSplit.unpersistAll()
     // Mirror scc's contract: an exhausted round budget with a live
     // frontier means the returned distances are NOT final — fail loudly
     // rather than emit silently-wrong output (bfs's precedent is an

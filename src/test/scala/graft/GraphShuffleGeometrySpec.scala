@@ -380,6 +380,20 @@ class GraphShuffleGeometrySpec extends SparkSpec {
       val bfsSplit = rowsOf(GraphOps.bfs(edges, sources, maxLocalEdges = 0L,
         hubOutDegree = 1000L))
       assert(bfsSplit === bfsBase)
+      // weighted sssp relaxation loop: integer-exact equality
+      val we = edges.withColumn("w", (col("src") + col("dst")) % 7 + 1)
+      val ssspBase = rowsOf(GraphOps.sssp(we, source = 1L, maxLocalEdges = 0L))
+      val ssspSplit = rowsOf(GraphOps.sssp(we, source = 1L, maxLocalEdges = 0L,
+        hubOutDegree = 1000L))
+      assert(ssspSplit === ssspBase)
+      // betweenness (sampled pivots, forced-distributed σ-BFS + sweep):
+      // both directions' splits engage — the hub has out-degree 40k
+      // here and in-degree 40k on the reversed SP-DAG sweep
+      val bBase = rowsOf(GraphOps.betweenness(edges, maxExactVerts = 0L,
+        sampleSources = 4, maxLocalEdges = 0L))
+      val bSplit = rowsOf(GraphOps.betweenness(edges, maxExactVerts = 0L,
+        sampleSources = 4, maxLocalEdges = 0L, hubOutDegree = 1000L))
+      assert(bSplit === bBase)
     } finally System.clearProperty("graft.bfs.broadcastFrontier")
   }
 }

@@ -33,6 +33,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(SqlSurface.queries.size >= 58)
   }
 
+  test("no SQL-surface plan degenerates to a cartesian product") {
+    // The non-equi ANN joins (vec_id != qid) must plan as broadcast
+    // nested loops over the 16-row query side, never a cartesian; the
+    // graph CTE chains must stay hash/broadcast joins. Same guarantee
+    // PlanInvariantsSpec pins for the operators, extended to the SQL
+    // front door.
+    SqlSurface.register(spark, sfDir)
+    SqlSurface.queries.foreach { case (name, sql) =>
+      val plan = spark.sql(sql).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
   test("warehouse tables and named graphs are queryable as views") {
     SqlSurface.register(spark, sfDir)
     (Tables.names ++ Seq("graph_supply", "graph_supply_und", "graph_nation", "graph_hash"))

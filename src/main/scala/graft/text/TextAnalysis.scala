@@ -854,7 +854,123 @@ object TextAnalysis {
       array_to_string(list_slice(ws, s + 1, s + $ChunkLen), ' ') AS chunk_text
     FROM st ORDER BY doc_id, chunk_id"""
 
+  /** Merge rounds for [[textBpeTrain]] (the unrolled-oracle bound; a
+    * production vocabulary runs the same loop 30k rounds).
+    */
+  val BpeRounds = 6
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016, the
+    * vocabulary-driven formulation): learn [[BpeRounds]] merge rules
+    * over the corpus — per round, count adjacent symbol pairs across
+    * the word vocabulary (weighted by word frequency), pick the most
+    * frequent pair under the deterministic (count DESC, left, right)
+    * order, and re-segment every word by greedy left-to-right
+    * non-overlapping replacement. Output is the merge TABLE — the
+    * `merges.txt` artifact a tokenizer ships — one row per round:
+    * (round, left_sym, right_sym, merged, pair_count).
+    *
+    * Scale shape — the reason BPE training distributes at 100 TB:
+    * after the one corpus-wide word count (a map-side-combined
+    * aggregation — the only pass that ever touches raw text), ALL
+    * rounds run over the compressed (word, count, symbols) vocabulary
+    * frame, which is |distinct words|-sized regardless of corpus
+    * bytes. Per round: one pair-count aggregation (explode of ≤|word|
+    * adjacent pairs per vocab row, map-side partial), one
+    * TakeOrdered(1) for the argmax, and one scan-side re-segmentation
+    * (an `aggregate` fold — greedy left-to-right merge is a linear
+    * fold, no shuffle). Driver state: the [[BpeRounds]] merge rows —
+    * the model being trained, the irreducible driver payload (same
+    * contract as k-means centroids). Oracle: the identical rounds
+    * unrolled in SQL, greedy re-segmentation as a per-word
+    * position-scan recursive CTE.
+    */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(spark, dir))
+
+  /** The training loop over any frame with a `text` column (see
+    * [[textBpeTrain]] for the contract and scale shape).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var seg = words.select(col("w"), col("n"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = seg.select(col("n"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("a"),
+              element_at(col("s"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .head()
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, a + b, cnt))
+      // greedy left-to-right merge as a fold: a freshly-merged symbol
+      // (the string a||b) can never equal the bare `a`, so the fold's
+      // last-element test is exactly non-overlapping greedy semantics
+      val fold = aggregate(col("s"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0 &&
+            try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+      seg = seg.select(col("w"), col("n"), fold.as("s")).localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
+  val textBpeTrainSql: String = {
+    def roundCtes(r: Int): String = {
+      val p = r - 1
+      s"""cnt$r AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b,
+         |    CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, s, unnest(generate_series(1, len(s)-1)) AS i FROM seg$p)
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT a, b, cnt FROM cnt$r
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |ap$r AS (SELECT w, n, s, 1 AS i, CAST([] AS VARCHAR[]) AS out FROM seg$p
+         |  UNION ALL
+         |  SELECT ap.w, ap.n, ap.s,
+         |    CASE WHEN ap.i < len(ap.s) AND ap.s[ap.i] = best$r.a
+         |              AND ap.s[ap.i+1] = best$r.b
+         |         THEN ap.i + 2 ELSE ap.i + 1 END,
+         |    list_append(ap.out,
+         |      CASE WHEN ap.i < len(ap.s) AND ap.s[ap.i] = best$r.a
+         |                AND ap.s[ap.i+1] = best$r.b
+         |           THEN best$r.a || best$r.b ELSE ap.s[ap.i] END)
+         |  FROM ap$r ap, best$r WHERE ap.i <= len(ap.s)),
+         |seg$r AS MATERIALIZED (SELECT w, n, out AS s FROM ap$r
+         |  WHERE i = len(s) + 1)""".stripMargin
+    }
+    val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, cnt AS pair_count FROM best$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |w0 AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM
+       |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |seg0 AS MATERIALIZED (SELECT w, n,
+       |    list_append(list_transform(generate_series(1, length(w)),
+       |      i -> substr(w, i, 1)), '</w>') AS s
+       |  FROM w0),
+       |$rounds
+       |$out
+       |ORDER BY round""".stripMargin
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)),

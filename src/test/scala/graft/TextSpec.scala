@@ -237,6 +237,29 @@ class TextSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a >= 2L || b >= 2L })
   }
 
+  test("bpeMerges: planted merges, greedy non-overlap, lexicographic ties, determinism") {
+    val s = spark
+    import s.implicits._
+    // vocab: aa ×3, aaa ×1. Round 1 pairs: (a,a) = 3·1 + 1·2 = 5 beats
+    // (a,</w>) = 4 → merge 'aa'. Greedy NON-overlap re-segmentation of
+    // 'aaa' = [a,a,a,</w>] must give [aa, a, </w>] (leftmost pair
+    // merges, the overlapping middle pair does not).
+    // Round 2 pairs: (aa,</w>) = 3, (aa,a) = 1, (a,</w>) = 1 → 'aa</w>'.
+    val docs = Seq((0L, "aa aa aa"), (1L, "aaa")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "a", "aa", 5L),
+      (2L, "aa", "</w>", "aa</w>", 3L)))
+    // tie-break: (a,b) and (b,</w>) both count 2 → lexicographic min
+    val tie = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeMerges(tie, rounds = 1).head()
+    assert((t.getString(1), t.getString(2), t.getLong(4)) === (("a", "b", 2L)))
+    // deterministic: re-run bit-identical
+    assert(TextAnalysis.bpeMerges(docs, rounds = 2).collect().toSeq
+      === TextAnalysis.bpeMerges(docs, rounds = 2).collect().toSeq)
+  }
+
   test("piiScrubbed: plants are counted and redacted, clean text untouched") {
     val s = spark
     import s.implicits._

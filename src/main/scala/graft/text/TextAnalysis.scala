@@ -885,12 +885,28 @@ object TextAnalysis {
     * position-scan recursive CTE.
     */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeMerges(Tables.documents(spark, dir))
+    bpeStateFor(spark, dir).merges
+
+  /** Trained BPE state: the merge table plus the final per-word
+    * segmentation (the vocabulary the encoder joins against). Shared
+    * per (session, dir) through the [[graft.Materialized]] catalog —
+    * training and encoding read ONE training run, the same
+    * load-once-query-many model as the derived graphs and the k-means
+    * centroid catalog.
+    */
+  private[graft] case class BpeState(merges: DataFrame, seg: DataFrame)
+
+  private def bpeStateFor(spark: SparkSession, dir: String): BpeState =
+    graft.Materialized.of(spark, dir, "text:bpe") {
+      bpeTrain(Tables.documents(spark, dir), BpeRounds)
+    }
 
   /** The training loop over any frame with a `text` column (see
-    * [[textBpeTrain]] for the contract and scale shape).
-    */
-  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame = {
+    * [[textBpeTrain]] for the contract and scale shape). */
+  def bpeMerges(docs: DataFrame, rounds: Int = BpeRounds): DataFrame =
+    bpeTrain(docs, rounds).merges
+
+  private[graft] def bpeTrain(docs: DataFrame, rounds: Int): BpeState = {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs
@@ -925,10 +941,43 @@ object TextAnalysis {
           .otherwise(concat(acc, array(x))))
       seg = seg.select(col("w"), col("n"), fold.as("s")).localCheckpoint()
     }
-    merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count")
+    BpeState(
+      merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count"),
+      seg)
   }
 
-  val textBpeTrainSql: String = {
+  /** Tokenizer application — encode the corpus with the trained
+    * merges: per document, the BPE token count is the sum of its
+    * words' trained segmentation lengths, next to the whitespace word
+    * count and the chars-per-token compression the tokenizer achieves.
+    * Scale shape: the trained vocabulary (word → |symbols|) is
+    * vocabulary-sized and broadcastable; encoding is one broadcast
+    * join on the exploded word stream + one doc-keyed aggregation —
+    * the raw text is touched exactly once. Training cost is paid once
+    * per (session, dir) through the catalog ([[bpeStateFor]]).
+    */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val seg = bpeStateFor(spark, dir).seg
+    val docs = Tables.documents(spark, dir)
+    val words = docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    words.join(broadcast(seg.select(col("w"), size(col("s")).cast(LongType).as("k"))), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("k")).as("bpe_tokens"))
+      .join(docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars")), "doc_id")
+      .select(col("doc_id"), col("n_words"), col("bpe_tokens"),
+        round(col("n_chars").cast(DoubleType) / col("bpe_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared oracle prefix: the unrolled training chain (w0, seg0,
+    * cnt/best/ap/seg per round) both BPE oracles build on.
+    */
+  private def bpeChainSql: String = {
     def roundCtes(r: Int): String = {
       val p = r - 1
       s"""cnt$r AS MATERIALIZED (SELECT s[i] AS a, s[i+1] AS b,
@@ -952,10 +1001,6 @@ object TextAnalysis {
          |  WHERE i = len(s) + 1)""".stripMargin
     }
     val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
-         |  a || b AS merged, cnt AS pair_count FROM best$r""".stripMargin)
-      .mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE
        |w0 AS MATERIALIZED (SELECT w, COUNT(*) AS n FROM
        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -964,13 +1009,35 @@ object TextAnalysis {
        |    list_append(list_transform(generate_series(1, length(w)),
        |      i -> substr(w, i, 1)), '</w>') AS s
        |  FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val textBpeTrainSql: String = {
+    val out = (1 to BpeRounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, a AS left_sym, b AS right_sym,
+         |  a || b AS merged, cnt AS pair_count FROM best$r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""$bpeChainSql
        |$out
        |ORDER BY round""".stripMargin
   }
 
+  val textBpeEncodeSql: String =
+    s"""$bpeChainSql,
+       |dwf AS (SELECT doc_id, w FROM
+       |    (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |enc AS (SELECT doc_id, COUNT(*) AS n_words,
+       |    CAST(SUM(len(s)) AS BIGINT) AS bpe_tokens
+       |  FROM dwf JOIN seg$BpeRounds USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, enc.n_words, enc.bpe_tokens,
+       |  ROUND(CAST(length(d.text) AS DOUBLE) / enc.bpe_tokens, 6) AS chars_per_token
+       |FROM enc JOIN documents d ON d.doc_id = enc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def ops: Seq[Op] = Seq(
     Op("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
+    Op("text_bpe_encode", textBpeEncode, Some(textBpeEncodeSql)),
     Op("text_tokens", textTokens, Some(textTokensSql)),
     Op("text_quality", textQuality, Some(textQualitySql)),
     Op("text_fingerprint", textFingerprint, Some(textFingerprintSql)),

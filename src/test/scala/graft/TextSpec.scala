@@ -258,6 +258,13 @@ class TextSpec extends SparkSpec {
     // deterministic: re-run bit-identical
     assert(TextAnalysis.bpeMerges(docs, rounds = 2).collect().toSeq
       === TextAnalysis.bpeMerges(docs, rounds = 2).collect().toSeq)
+    // the trained segmentation the encoder joins against: after
+    // (a,a)→aa then (aa,</w>)→aa</w>, 'aa' is ONE symbol and 'aaa'
+    // stays [aa, a, </w>] (round 2's pair never occurs in it)
+    val seg = TextAnalysis.bpeTrain(docs, rounds = 2).seg.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("aa") === Seq("aa</w>"))
+    assert(seg("aaa") === Seq("aa", "a", "</w>"))
   }
 
   test("piiScrubbed: plants are counted and redacted, clean text untouched") {

@@ -114,7 +114,7 @@ object Bench {
     // checkpoint sets accumulating mid-pass would distort exactly the
     // first-touch timings this pass exists to measure.
     val catalogOps = queries.filter { case (n, _) =>
-      n.startsWith("graph_") || n.startsWith("dedup_") }
+      n.startsWith("graph_") || n.startsWith("dedup_") || n.startsWith("text_bpe") }
     val coldFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     val cold = runOps(catalogOps,
       beforeEach = () => { Materialized.evict(spark); System.gc() },

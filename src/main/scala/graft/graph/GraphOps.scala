@@ -132,7 +132,8 @@ object GraphOps {
         val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
         val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
-        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
+        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree,
+          releaseOnError = Seq(e))
         // The unpartitioned copy is now redundant: a later
         // broadcast-sized level joins the split frames just as well
         // (broadcast joins ignore the probe side's partitioning), and
@@ -506,7 +507,8 @@ object GraphOps {
 
   private[graft] def hubSplit(e: DataFrame, eCount: Long, deg: DataFrame,
       hubOutDegree: Long, key: String = "src",
-      tailLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK): HubSplit = {
+      tailLevel: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      releaseOnError: Seq[DataFrame] = Nil): HubSplit = {
     val spark = e.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val threshold =
@@ -514,11 +516,19 @@ object GraphOps {
       else math.max(HubMinOutDegree, eCount / parts)
     val hubDeg = deg.where(col("od") > threshold).localCheckpoint()
     val nHubs = hubDeg.count()
-    if (nHubs == 0) HubSplit(e, deg, None, None, threshold)
-    else {
-      require(nHubs <= (1L << 20),
+    // Validate BEFORE building tail/hub frames, and release the caller's
+    // persisted edge frame on the error path — a user-supplied small
+    // hubOutDegree on a large graph must not leak cached edge-sized
+    // blocks (the success paths hand ownership of `e` to the HubSplit).
+    if (nHubs > (1L << 20)) {
+      e.unpersist()
+      releaseOnError.foreach(_.unpersist())
+      throw new IllegalArgumentException(
         s"hubSplit: $nHubs sources above $key-degree $threshold — hub catalog " +
           "too large to broadcast; raise the threshold")
+    }
+    if (nHubs == 0) HubSplit(e, deg, None, None, threshold)
+    else {
       val hubKeys = broadcast(hubDeg.select(key))
       val tail = e.join(hubKeys, Seq(key), "left_anti").persist(tailLevel)
       val hub = e.join(hubKeys, Seq(key), "left_semi")
@@ -1525,7 +1535,8 @@ object GraphOps {
         val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
         val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
-        srcSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
+        srcSplit = hubSplit(eBySrc, eCount, od, hubOutDegree,
+          releaseOnError = Seq(e))
         audit("brandes:eBySrc:MEMORY_AND_DISK")
       }
       srcSplit
@@ -1541,7 +1552,8 @@ object GraphOps {
         eByDst.count()
         val ind = eByDst.groupBy("dst").agg(count(lit(1)).as("od"))
         dstSplit = hubSplit(eByDst, eCount, ind, hubOutDegree,
-          key = "dst", tailLevel = StorageLevel.DISK_ONLY)
+          key = "dst", tailLevel = StorageLevel.DISK_ONLY,
+          releaseOnError = Seq(e))
         audit("brandes:eByDst:DISK_ONLY")
       }
       dstSplit
@@ -1662,13 +1674,18 @@ object GraphOps {
     *  - the vertex-partitioned dist frame full-outer-merges the
     *    candidates exchange-free (both sides already hash(vertex)), and
     *    the rows that improved become the next frontier.
-    *  - Rounds are bounded by maxRounds; with integer tolls ≥ 1 the
-    *    loop needs at most (max shortest dist) rounds and each round is
-    *    one checkpointed job, so driver state is a row count only.
+    *  - Rounds are bounded by [[ssspRoundCap]]: `maxRounds` 0 (the
+    *    default) auto-scales the cap to max(256, |E|). Label-correcting
+    *    relaxation can legitimately need up to the weighted
+    *    shortest-path hop depth (≤ |V|−1 ≤ |E|+1 per component)
+    *    rounds, so the auto cap can NEVER reject a valid input — it
+    *    only stops a genuinely non-terminating loop (which, with
+    *    non-negative integer tolls, cannot occur; the cap is a
+    *    backstop, and hitting it still fails loudly).
     * Driver Dijkstra below `maxLocalEdges` (the same adaptive split as
     * every other traversal; specs force 0 to pin both paths equal).
     */
-  def sssp(edges: DataFrame, source: Long, maxRounds: Int = 256,
+  def sssp(edges: DataFrame, source: Long, maxRounds: Int = 0,
       maxLocalEdges: Long = LocalEdgeThreshold, hubOutDegree: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -1696,7 +1713,8 @@ object GraphOps {
         val eBySrc = e.repartition(col("src")).persist(StorageLevel.MEMORY_AND_DISK)
         eBySrc.count()
         val od = eBySrc.groupBy("src").agg(count(lit(1)).as("od"))
-        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree)
+        eSplit = hubSplit(eBySrc, eCount, od, hubOutDegree,
+          releaseOnError = Seq(e))
         e.unpersist()
       }
       eSplit
@@ -1722,8 +1740,9 @@ object GraphOps {
               .select(col("dst").as("vertex"), (hubF("dist") + col("w")).as("nd")))
       }
     }
-    var round = 0
-    while (frontierRows > 0 && round < maxRounds) {
+    val roundCap = ssspRoundCap(maxRounds, eCount)
+    var round = 0L
+    while (frontierRows > 0 && round < roundCap) {
       round += 1
       val small = frontierRows <= broadcastFrontier
       val cand = relaxed(frontier, small)
@@ -1756,9 +1775,19 @@ object GraphOps {
     // toll chain, so hitting it is an error, not a result).
     require(frontierRows == 0,
       s"sssp: frontier still has $frontierRows improvable vertices after " +
-        s"$maxRounds rounds — distances not converged; raise maxRounds")
+        s"$roundCap rounds — distances not converged; raise maxRounds")
     dist
   }
+
+  /** The sssp round budget as a pure function of (caller request,
+    * edge count) — spec-pinned in all three regimes. `maxRounds` > 0
+    * is an explicit caller cap, taken verbatim; 0 auto-scales to
+    * max(256, |E|), an upper bound on the hop depth of any weighted
+    * shortest path (≤ |V|−1 ≤ |E|+1 within a component), so the
+    * default can never reject a valid deep-chain graph.
+    */
+  private[graft] def ssspRoundCap(maxRounds: Int, eCount: Long): Long =
+    if (maxRounds > 0) maxRounds.toLong else math.max(256L, eCount)
 
   /** Minimum spanning forest over a (src, dst, w) edge list, treated
     * undirected (per unordered pair the minimum toll wins). The

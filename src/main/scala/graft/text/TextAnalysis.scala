@@ -920,26 +920,45 @@ object TextAnalysis {
         array(lit("</w>"))).as("s"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    for (r <- 1 to rounds) {
-      val best = seg.select(col("n"), explode(
-          transform(sequence(lit(1), size(col("s")) - 1),
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      r += 1
+      // Sennrich-style early stop: a small corpus can exhaust its
+      // mergeable pairs before `rounds` (every word fully merged to one
+      // symbol) — then the pair frame is EMPTY and training is done;
+      // return the merges learned so far with seg unchanged. The oracle
+      // chain tolerates the same case (best$r LEFT JOIN ON TRUE carries
+      // seg forward and emits no merge row for the exhausted round).
+      // try_element_at + null-filter, NOT element_at over sequence(1,
+      // size-1): Spark's sequence(1, 0) is the DESCENDING [1, 0], so a
+      // fully-merged single-symbol word (size(s) = 1 — reachable as
+      // soon as any short word collapses before the round budget ends)
+      // would evaluate element_at(s, 2) and throw.
+      val bestRows = seg.select(col("n"), explode(
+          transform(sequence(lit(1), greatest(size(col("s")) - 1, lit(1))),
             i => struct(element_at(col("s"), i).as("a"),
-              element_at(col("s"), i + 1).as("b")))).as("p"))
+              try_element_at(col("s"), i + 1).as("b")))).as("p"))
+        .where(col("p.b").isNotNull)
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .head()
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((r.toLong, a, b, a + b, cnt))
-      // greedy left-to-right merge as a fold: a freshly-merged symbol
-      // (the string a||b) can never equal the bare `a`, so the fold's
-      // last-element test is exactly non-overlapping greedy semantics
-      val fold = aggregate(col("s"), array().cast("array<string>"),
-        (acc, x) => when(size(acc) > 0 &&
-            try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-          .otherwise(concat(acc, array(x))))
-      seg = seg.select(col("w"), col("n"), fold.as("s")).localCheckpoint()
+        .take(1)
+      if (bestRows.isEmpty) exhausted = true
+      else {
+        val best = bestRows.head
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r.toLong, a, b, a + b, cnt))
+        // greedy left-to-right merge as a fold: a freshly-merged symbol
+        // (the string a||b) can never equal the bare `a`, so the fold's
+        // last-element test is exactly non-overlapping greedy semantics
+        val fold = aggregate(col("s"), array().cast("array<string>"),
+          (acc, x) => when(size(acc) > 0 &&
+              try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        seg = seg.select(col("w"), col("n"), fold.as("s")).localCheckpoint()
+      }
     }
     BpeState(
       merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count"),
@@ -996,7 +1015,7 @@ object TextAnalysis {
          |      CASE WHEN ap.i < len(ap.s) AND ap.s[ap.i] = best$r.a
          |                AND ap.s[ap.i+1] = best$r.b
          |           THEN best$r.a || best$r.b ELSE ap.s[ap.i] END)
-         |  FROM ap$r ap, best$r WHERE ap.i <= len(ap.s)),
+         |  FROM ap$r ap LEFT JOIN best$r ON TRUE WHERE ap.i <= len(ap.s)),
          |seg$r AS MATERIALIZED (SELECT w, n, out AS s FROM ap$r
          |  WHERE i = len(s) + 1)""".stripMargin
     }

@@ -122,6 +122,29 @@ class GraphSpec extends SparkSpec {
     assert(distsOf(0L) === expected)
   }
 
+  test("sssp: round budget auto-scales with edge count so deep chains cannot be rejected") {
+    // The default cap must never reject a valid input: relaxation can
+    // need up to the shortest-path hop depth (≤ |V|−1 ≤ |E|+1) rounds,
+    // so auto = max(256, |E|) is a non-termination backstop only.
+    assert(GraphOps.ssspRoundCap(0, 10L) === 256L)          // small graph: floor
+    assert(GraphOps.ssspRoundCap(0, 5000000L) === 5000000L) // deep graph: |E| bound
+    assert(GraphOps.ssspRoundCap(7, 5000000L) === 7L)       // explicit caller cap wins
+    // end-to-end: a 300-hop toll chain (|E| = 300 > the old fixed 256)
+    // converges under the DEFAULT cap on the driver-Dijkstra twin, and
+    // an explicit too-small cap still fails loudly on the distributed
+    // path (cheap: 3 edges, maxRounds = 1).
+    val s = spark
+    import s.implicits._
+    val chain = s.range(0L, 300L).selectExpr("id as src", "id + 1 as dst", "1L as w")
+    val far = GraphOps.sssp(chain, 0L).where(col("vertex") === 300L).head()
+    assert(far.getLong(1) === 300L)
+    val tiny = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.sssp(tiny, 1L, maxRounds = 1, maxLocalEdges = 0L).collect()
+    }
+    assert(ex.getMessage.contains("not converged"))
+  }
+
   test("sssp: local Dijkstra and distributed relaxation agree on the nation graph") {
     val e = DerivedGraphs.nationWeightedEdges(spark, sfDir)
     val src = e.agg(min(col("src"))).head().getLong(0)
@@ -385,7 +408,8 @@ class GraphSpec extends SparkSpec {
   test("betweenness: Brandes–Pich estimator accuracy bound above the exact-verts threshold") {
     // The sampled estimator is the declared production contract at
     // 100 TB; this pins its accuracy on a graph ABOVE the exact-path
-    // size, with the deterministic lowest-id pivots the engine uses.
+    // size, with the deterministic seeded-hash (xxhash64) pivot order
+    // the engine uses.
     // The graph must have real betweenness VARIANCE for the bounds to
     // mean anything (a near-transitive graph makes every rank a tie):
     // 8 communities of 50 with random-ish internal digraphs, chained
@@ -425,8 +449,8 @@ class GraphSpec extends SparkSpec {
     assert(mare <= 0.25, f"top-20 mean abs rel err $mare%.4f above bound")
     assert((bridges & estTop16) === bridges,
       s"estimator lost bridges: ${bridges -- estTop16}")
-    // determinism: the pivot set is the lowest-id half, so a re-run is
-    // bit-identical
+    // determinism: pivots are drawn in seeded-hash (xxhash64) order —
+    // a pure function of the vertex ids — so a re-run is bit-identical
     assert(bcOf(GraphOps.betweenness(edges, maxExactVerts = n - 1,
       sampleSources = (n / 2).toInt)) === est)
   }

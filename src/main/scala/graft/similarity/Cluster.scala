@@ -12,9 +12,10 @@ import org.apache.spark.sql.types._
   * al., "SemDeDup: Data-efficient learning at web-scale through
   * semantic deduplication", arXiv:2303.09540).
   *
-  * k-means is the trainer the ANN family's IVF index assumes (its
-  * gate op seeds cells with the first vectors — "k-means-lite" —
-  * precisely because the trainer lived nowhere; now it does), and
+  * k-means is the trainer the ANN family's IVF index assumes — the
+  * IVF/IVF-PQ coarse quantizer routes through [[lloydCentroids]] at
+  * k = [[graft.similarity.Ann.IvfCells]] (trained means, normalized
+  * to unit directions for cosine routing) — and
   * cluster-then-dedup is the second of the two production semantic
   * dedup shapes next to [[graft.dedup.Dedup.embeddingDupSummary]]'s
   * LSH blocks: clustering bounds the candidate set by partition
@@ -187,7 +188,7 @@ object Cluster {
     * Generic-DataFrame callers ([[semanticDupSummary]] on arbitrary
     * frames) still train per call, unaffected.
     */
-  private def embNormed(spark: SparkSession, dir: String): DataFrame =
+  private[similarity] def embNormed(spark: SparkSession, dir: String): DataFrame =
     graft.Materialized.of(spark, dir, "cluster:normed") {
       normed(Tables.embeddings(spark, dir)
         .select(col("vec_id").cast(LongType).as("vec_id"), col("embedding")))
@@ -239,14 +240,15 @@ object Cluster {
     * `af` against c_iters. `kLimit` is a SQL expression (literal or
     * scalar subquery) bounding the init rank.
     */
-  private def lloydCtes(kLimit: String, iters: Int): String = {
+  private[similarity] def lloydCtes(kLimit: String, iters: Int,
+      vTable: String = "v", nTable: String = "n"): String = {
     def sCte(name: String, cents: String): String =
       s"""$name AS (SELECT a.vec_id, c.c,
          |        ROUND(a.nrm * a.nrm
          |              - 2.0 * list_sum(list_transform(generate_series(1, $OracleDim),
          |                  i -> a.v[i] * c.cv[i]))
          |              + list_sum(list_transform(c.cv, x -> x * x)), 6) AS d
-         |      FROM n a CROSS JOIN $cents c)""".stripMargin
+         |      FROM $nTable a CROSS JOIN $cents c)""".stripMargin
     def aCte(name: String, s: String): String =
       s"""$name AS (SELECT vec_id, c AS cluster, d FROM (
          |        SELECT vec_id, c, d,
@@ -257,13 +259,13 @@ object Cluster {
          |        SELECT x.cluster, gs.i,
          |          ROUND(CAST(SUM(CAST(a.v[gs.i] AS DECIMAL(27, 10))) AS DOUBLE)
          |                / COUNT(*), 6) AS m
-         |        FROM $a x JOIN v a USING (vec_id)
+         |        FROM $a x JOIN $vTable a USING (vec_id)
          |        CROSS JOIN generate_series(1, $OracleDim) AS gs(i)
          |        GROUP BY x.cluster, gs.i) GROUP BY cluster)""".stripMargin
     val init =
       s"""c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c,
          |        v AS cv
-         |      FROM v QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $kLimit)""".stripMargin
+         |      FROM $vTable QUALIFY ROW_NUMBER() OVER (ORDER BY vec_id) <= $kLimit)""".stripMargin
     val rounds = (1 to iters).map { t =>
       Seq(sCte(s"s$t", s"c${t - 1}"), aCte(s"a$t", s"s$t"), cCte(s"c$t", s"a$t"))
         .mkString(",\n")

@@ -21,13 +21,17 @@ class AnnSpec extends SparkSpec {
     assert(rowsOf(ivfAll) === rowsOf(bf))
   }
 
-  test("ivfTopK at nprobe=4 keeps recall ≥ 0.6") {
+  test("ivfTopK at nprobe=4 keeps recall ≥ 0.85 (trained quantizer + closure assignment)") {
+    // floor raised from the hard-assignment era's 0.6: the Lloyd-trained
+    // spherical quantizer with IvfClosureEps boundary replication
+    // measures 0.90-0.94 on the gate corpora; 0.85 guards regressions
+    // while tolerating corpus-regeneration variance
     val bf = neighborSets(Ann.bruteForceTopK(emb))
     val ivf = neighborSets(Ann.ivfTopK(emb))
     val recalls = bf.map { case (q, s) =>
       ivf.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
     }
-    assert(recalls.sum / recalls.size >= 0.6,
+    assert(recalls.sum / recalls.size >= 0.85,
       s"mean IVF recall ${recalls.sum / recalls.size}")
   }
 

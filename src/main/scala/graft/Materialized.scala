@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped materialization catalog shared by the derived-graph
   * and dedup families: a value derived from a corpus directory is
@@ -77,8 +77,12 @@ object Materialized {
     }
   }
 
-  def of[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A = {
-    val key = (spark, dir, dirVersion(dir), name)
+  def of[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A =
+    ofV(spark, dir, dirVersion(dir), name)(build)
+
+  private def ofV[A <: AnyRef](spark: SparkSession, dir: String, version: Long,
+      name: String)(build: => A): A = {
+    val key = (spark, dir, version, name)
     val hit = catalog.get(key)
     if (hit != null) return hit.asInstanceOf[A]
     if (evictionHooked.add(spark)) {
@@ -94,6 +98,171 @@ object Materialized {
     val prior = catalog.putIfAbsent(key, built)
     if (prior != null) prior.asInstanceOf[A] else built
   }
+
+  // ---------------------------------------------------------------------
+  // Persistent (cross-session) layer: a derivation that is a pure
+  // function of (corpus dir, code build) is spilled to a disk cache so
+  // the NEXT session's first touch pays read-back, not re-derivation —
+  // the sf10 cold pass's 100-200 s first-touch costs (cc contraction,
+  // semantic Lloyd training, dedup collapse) become one parquet scan.
+  // The cache key folds the dir fingerprint (same invalidation contract
+  // as the in-memory catalog: any regenerated corpus re-derives) AND a
+  // code-build fingerprint, so a recompiled engine can never serve a
+  // stale derivation produced by old code. Best-effort by design: any
+  // I/O failure falls back to building in memory; entries from
+  // superseded versions are bounded (a few per regeneration/build) and
+  // live under the OS temp dir.
+  // ---------------------------------------------------------------------
+
+  /** Cache root: $GRAFT_CACHE_DIR, or <java.io.tmpdir>/graft_materialized;
+    * the literal value "off" disables the disk layer entirely (the
+    * in-memory session catalog still serves).
+    */
+  private lazy val cacheRoot: Option[java.nio.file.Path] =
+    sys.env.get("GRAFT_CACHE_DIR") match {
+      case Some("off")           => None
+      case Some(p) if p.nonEmpty => Some(java.nio.file.Paths.get(p))
+      case _ => Some(java.nio.file.Paths.get(
+        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_materialized"))
+    }
+
+  /** Fingerprint of the running build, from this class's code source.
+    * A recompile changes it, so disk entries written by other code are
+    * invisible (never stale). Jar case folds entry (name, CRC) — CONTENT,
+    * not file mtime — because sbt's forked runMain repackages a fresh
+    * jar per invocation (same classes ⇒ same CRCs ⇒ same fingerprint,
+    * which is what lets two sbt sessions share the cache). Directory
+    * case folds the sorted classfile (name, size, mtime) tree.
+    */
+  private lazy val codeVersion: Long = {
+    try {
+      val src = getClass.getProtectionDomain.getCodeSource
+      if (src == null || src.getLocation == null) 0L
+      else {
+        val p = java.nio.file.Paths.get(src.getLocation.toURI)
+        if (java.nio.file.Files.isDirectory(p)) {
+          val s = java.nio.file.Files.walk(p)
+          try {
+            var h = 17L
+            val it = s.sorted().iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              if (java.nio.file.Files.isRegularFile(f)) {
+                h = h * 31 + f.getFileName.toString.hashCode
+                h = h * 31 + java.nio.file.Files.size(f)
+                h = h * 31 + java.nio.file.Files.getLastModifiedTime(f).toMillis
+              }
+            }
+            h
+          } finally s.close()
+        } else {
+          val jf = new java.util.jar.JarFile(p.toFile)
+          try {
+            var h = 17L
+            val es = jf.entries()
+            while (es.hasMoreElements) {
+              val e = es.nextElement()
+              h = h * 31 + e.getName.hashCode
+              h = h * 31 + e.getCrc
+            }
+            h
+          } finally jf.close()
+        }
+      }
+    } catch { case _: Exception => 0L }
+  }
+
+  private def diskPath(dir: String, version: Long, name: String,
+      ext: String): Option[java.nio.file.Path] =
+    cacheRoot.map { root =>
+      val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+      root.resolve(f"$safe-$version%016x-$codeVersion%016x-${dir.hashCode}%08x$ext")
+    }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+      }
+    } catch { case _: Exception => }
+
+  /** Atomic publish: build into a tmp sibling, rename into place. A
+    * lost race (or cross-filesystem move) drops the tmp copy and the
+    * winner's entry serves.
+    */
+  private def publish(tmp: java.nio.file.Path, dest: java.nio.file.Path): Unit =
+    try java.nio.file.Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: Exception => deleteTree(tmp) }
+
+  /** DataFrame entry with the disk layer: memory hit → serve; disk hit
+    * → one parquet read-back (localCheckpointed, so consumers see the
+    * same pinned-frame behavior as a built entry); miss → build, spill
+    * to parquet (best-effort), serve the built frame.
+    */
+  def ofDF(spark: SparkSession, dir: String, name: String)(build: => DataFrame): DataFrame = {
+    val version = dirVersion(dir)
+    ofV(spark, dir, version, name) {
+      diskPath(dir, version, name, ".parquet") match {
+        case None => build
+        case Some(p) =>
+          if (java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+            try spark.read.parquet(p.toString).localCheckpoint()
+            catch { case _: Exception => deleteTree(p); build }
+          else {
+            val df = build
+            try {
+              java.nio.file.Files.createDirectories(p.getParent)
+              val tmp = p.resolveSibling(
+                p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
+              df.write.mode("overwrite").parquet(tmp.toString)
+              publish(tmp, p)
+            } catch { case _: Exception => }
+            df
+          }
+      }
+    }
+  }
+
+  /** Small driver-state entry (centroid matrices, merge tables …) with
+    * the disk layer: java-serialized blob next to the parquet entries.
+    * Corrupt/unreadable blobs rebuild (and are dropped).
+    */
+  def ofBlob[A <: AnyRef](spark: SparkSession, dir: String, name: String)(build: => A): A = {
+    val version = dirVersion(dir)
+    ofV(spark, dir, version, name) {
+      diskPath(dir, version, name, ".bin") match {
+        case None => build
+        case Some(p) =>
+          val read: Option[A] =
+            if (!java.nio.file.Files.isRegularFile(p)) None
+            else try {
+              val in = new java.io.ObjectInputStream(
+                new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p)))
+              try Some(in.readObject().asInstanceOf[A]) finally in.close()
+            } catch { case _: Exception => deleteTree(p); None }
+          read.getOrElse {
+            val a = build
+            try {
+              java.nio.file.Files.createDirectories(p.getParent)
+              val tmp = p.resolveSibling(
+                p.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID)
+              val out = new java.io.ObjectOutputStream(
+                new java.io.BufferedOutputStream(java.nio.file.Files.newOutputStream(tmp)))
+              try out.writeObject(a) finally out.close()
+              publish(tmp, p)
+            } catch { case _: Exception => }
+            a
+          }
+      }
+    }
+  }
+
+  /** Test hook: wipe the disk layer (every version, every corpus). */
+  def evictDisk(): Unit = cacheRoot.foreach(deleteTree)
 
   /** Test/bench hook: drop every materialized entry for `spark`,
     * forcing the next lookup to re-derive (the cold-catalog bench

@@ -65,6 +65,88 @@ object SqlSurface {
     spark.sql(queries(name))
   }
 
+  /** Why each non-exposed gate op has no SQL entry — a machine-readable
+    * `category: reason` line per op. Categories:
+    *  - `fixpoint`  — runs a data-dependent to-convergence loop; Spark
+    *    SQL has no recursive CTE, and a depth-unrolled transcription
+    *    would misstate the convergence contract.
+    *  - `streaming` — a Structured Streaming query (readStream /
+    *    watermark / stateful operator); not a batch view query.
+    *  - `layout`    — a write-path / data-definition op (ingest,
+    *    format conversion, compaction, bucketing, sort/z-order
+    *    layout); its contract is files on disk, not a result set.
+    *  - `kernel`    — the hot path is a JVM scan kernel (seeded RNG
+    *    signatures, binary codecs, sketch state, banded DP) running in
+    *    mapPartitions / custom expressions; a SQL string over views
+    *    cannot carry that state.
+    *  - `model`     — serves driver-held trained state from the
+    *    Materialized catalog (centroid matrices, BPE merges, n-gram
+    *    profiles); a view-level SQL query would silently retrain per
+    *    query, misstating the train-once contract.
+    *  - `driver-twin` — the contract itself is driver-sequential
+    *    (reference-parity DFS preorder); there is no distributed
+    *    (hence no SQL) formulation by design.
+    * SqlSurfaceSpec asserts `queries.keySet ∪ excluded.keySet =
+    * SparkEntry.queries.keySet` with no overlap, so every future op
+    * must choose a side explicitly.
+    */
+  val excluded: Map[String, String] = {
+    val fixpoint = Seq("graph_bfs", "graph_bfs_deep", "graph_cc", "graph_cc_large",
+      "graph_scc", "graph_sssp_weighted", "graph_msf", "graph_shortest_paths",
+      "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_closeness",
+      "graph_eccentricity", "graph_betweenness", "dedup_cluster")
+      .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
+    val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
+      "stream_dedup", "stream_dedup_watermark", "stream_join_recent", "stream_topk",
+      "stream_latest_state", "stream_funnel")
+      .map(_ -> "streaming: Structured Streaming query (watermarks / stateful ops), not a batch view")
+    val layout = Seq(
+      "graph_load" -> "layout: graph ingestion (adjacency-matrix parse to edge store)",
+      "graph_load_text" -> "layout: byte-exact G*.txt round-trip (reference parity write path)",
+      "graph_modify" -> "layout: last-writer-wins snapshot replace (write path)",
+      "graph_from_tpch" -> "layout: derived-graph materialization into the session catalog",
+      "source_jsonl" -> "layout: format conversion (JSONL write+read round-trip)",
+      "source_csv" -> "layout: format conversion (CSV write+read round-trip)",
+      "source_orc" -> "layout: format conversion (ORC write+read round-trip)",
+      "source_partitioned" -> "layout: partitioned-layout write (partition pruning contract)",
+      "source_bucketed" -> "layout: bucketed-table write (exchange-free join contract)",
+      "source_sorted" -> "layout: sorted-file write (min/max skipping contract)",
+      "source_compact" -> "layout: small-file compaction (file-count contract)",
+      "source_zorder" -> "layout: z-order layout write (multi-column skipping contract)",
+      "source_stats" -> "layout: footer/statistics surface of written files")
+    val kernel = Seq(
+      "ann_lsh" -> "kernel: seeded Gaussian hyperplane signatures in a mapPartitions scan",
+      "ann_pq" -> "kernel: PQ encode + ADC tables in a mapPartitions scan",
+      "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
+      "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",
+      "dedup_minhash_lsh" -> "kernel: seeded minhash permutations in a scan kernel",
+      "dedup_simhash" -> "kernel: seeded simhash signatures + pigeonhole blocks",
+      "dedup_embedding" -> "kernel: seeded hyperplane LSH blocks over embeddings",
+      "dedup_edit_distance" -> "kernel: banded Levenshtein DP in a scan kernel",
+      "dedup_pipeline" -> "kernel: composes the seeded minhash kernel (transitively non-SQL)",
+      "graph_random_walk" -> "kernel: seeded per-step hash draws in an unrolled walk kernel",
+      "mm_decode_meta" -> "kernel: binary codec (stub) over binary columns",
+      "mm_dedup" -> "kernel: binary content hashing over binary columns",
+      "mm_features" -> "kernel: binary feature extraction over binary columns",
+      "mm_frame_sample" -> "kernel: binary frame sampling over binary columns",
+      "mm_phash" -> "kernel: perceptual-hash kernel + pigeonhole Hamming blocks",
+      "mm_resize" -> "kernel: binary resize (stub) over binary columns",
+      "q_approx_distinct" -> "kernel: HLL++ sketch internals (rows-only gate op)",
+      "text_compress_ratio" -> "kernel: zlib deflate internals (rows-only gate op)",
+      "text_winnow" -> "kernel: rolling-hash winnowing windows in a scan kernel",
+      "text_substr_dups" -> "kernel: rolling-hash substring windows in a scan kernel")
+    val model = Seq(
+      "ann_ivf" -> "model: trained coarse-quantizer centroids served from the catalog",
+      "ann_kmeans" -> "model: Lloyd-trained centroid matrix served from the catalog",
+      "dedup_semantic" -> "model: Lloyd-trained centroids (SemDeDup) served from the catalog",
+      "text_bpe_train" -> "model: trained BPE merge table served from the catalog",
+      "text_bpe_encode" -> "model: applies the catalog-held trained BPE segmentation",
+      "text_langid" -> "model: driver-collected n-gram profile literals folded into the plan")
+    val dt = Seq(
+      "graph_dfs_preorder" -> "driver-twin: driver-sequential DFS preorder (reference-parity contract)")
+    (fixpoint ++ streaming ++ layout ++ kernel ++ model ++ dt).toMap
+  }
+
   /** Spark SQL per gate-op name, output-identical to the operator
     * (same columns, same values — including the decimal-snap
     * aggregation pattern, so doubles are bit-equal).
@@ -636,6 +718,81 @@ object SqlSurface {
     // DuckDB's), so regex patterns double them.
     def rx(p: String) = p.replace("\\", "\\\\")
     Map(
+      "text_pack_sequences" -> s"""
+        WITH t AS (SELECT doc_id, lang,
+                     CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, lang, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  CAST(0 AS BIGINT)) AS start_tok
+              FROM t)
+        SELECT doc_id, lang, n_tokens, start_tok,
+          start_tok div ${text.TextAnalysis.PackSeqLen} AS seq_first,
+          (start_tok + n_tokens - 1) div ${text.TextAnalysis.PackSeqLen} AS seq_last,
+          (start_tok + n_tokens - 1) div ${text.TextAnalysis.PackSeqLen}
+            - start_tok div ${text.TextAnalysis.PackSeqLen} + 1 AS n_seqs
+        FROM c ORDER BY lang, doc_id""",
+
+      "text_perplexity" -> """
+        WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      split(text, ' ') AS w FROM documents),
+        bg AS (SELECT doc_id, w[i] AS a, w[i+1] AS b
+               FROM sp LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 1 < size(w)),
+        cab AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY a, b),
+        ca AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY a),
+        vv AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS v FROM bg)
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+          ROUND(-SUM(LN((cab + 1.0D) / (ca + (SELECT v FROM vv)))) / COUNT(*), 6) AS nll
+        FROM bg JOIN cab USING (a, b) JOIN ca USING (a)
+        GROUP BY doc_id ORDER BY doc_id""",
+
+      "text_tfidf" -> s"""
+        WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                      split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, lang, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+               FROM sp LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + 2 < size(w)),
+        df AS (SELECT g, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, g FROM gr) GROUP BY g),
+        tf AS (SELECT lang, g, COUNT(*) AS tf FROM gr GROUP BY lang, g),
+        sc AS (SELECT lang, g,
+                 ROUND(tf * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 6) AS tfidf
+               FROM tf JOIN df USING (g)),
+        r AS (SELECT lang, g, tfidf,
+                CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                  ORDER BY tfidf DESC, g) AS BIGINT) AS rn
+              FROM sc)
+        SELECT lang, rn, g AS term, tfidf
+        FROM r WHERE rn <= ${text.TextAnalysis.TfidfTopK} ORDER BY lang, rn""",
+
+      "text_decontaminate" -> {
+        val gram = (0 until text.TextAnalysis.DecontamN).map(j => s"w[i+$j]").mkString(", ")
+        val last = text.TextAnalysis.DecontamN - 1
+        val (bm, br) = (text.TextAnalysis.BenchMod, text.TextAnalysis.BenchRes)
+        s"""
+        WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                      split(text, ' ') AS w FROM documents),
+        gr AS (SELECT doc_id, concat_ws(' ', $gram) AS g
+               FROM sp LATERAL VIEW explode(sequence(0, size(w) - 1)) t AS i
+               WHERE i + $last < size(w)),
+        bench AS (SELECT DISTINCT doc_id AS bench_id, g FROM gr
+                  WHERE doc_id % $bm = $br),
+        hits AS (SELECT doc_id, COUNT(DISTINCT g) AS n_hit_grams,
+                   COUNT(DISTINCT bench_id) AS n_bench_docs
+                 FROM gr JOIN bench USING (g)
+                 WHERE doc_id % $bm != $br GROUP BY doc_id)
+        SELECT d.doc_id,
+          COALESCE(n_hit_grams, CAST(0 AS BIGINT)) AS n_hit_grams,
+          COALESCE(n_bench_docs, CAST(0 AS BIGINT)) AS n_bench_docs,
+          CAST(COALESCE(n_hit_grams, CAST(0 AS BIGINT)) > 0 AS INT) AS contaminated
+        FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+              WHERE doc_id % $bm != $br) d
+        LEFT JOIN hits USING (doc_id)
+        ORDER BY doc_id"""
+      },
+
       "text_ngrams" -> s"""
         WITH sp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
                       split(text, ' ') AS w FROM documents),

@@ -191,11 +191,20 @@ object Dedup {
     */
   private case class Collapsed(members: DataFrame, reps: DataFrame, docArr: DataFrame)
 
-  private def collapsedFor(spark: SparkSession, dir: String): Collapsed =
-    graft.Materialized.of(spark, dir, "dedup:collapse") {
+  private def collapsedFor(spark: SparkSession, dir: String): Collapsed = {
+    // Three disk-backed frame entries sharing ONE lazy collapse build
+    // (same shape as the BPE state): the steady state reads three
+    // parquet scans; a partial cache rebuilds once, deterministically.
+    lazy val built = {
       val (members, reps) = collapseByText(Tables.documents(spark, dir))
-      Collapsed(members, reps, docShingleArrays(reps).localCheckpoint())
+      Collapsed(members.localCheckpoint(), reps.localCheckpoint(),
+        docShingleArrays(reps).localCheckpoint())
     }
+    Collapsed(
+      graft.Materialized.ofDF(spark, dir, "dedup:collapse-members")(built.members),
+      graft.Materialized.ofDF(spark, dir, "dedup:collapse-reps")(built.reps),
+      graft.Materialized.ofDF(spark, dir, "dedup:collapse-docarr")(built.docArr))
+  }
 
   /** Doc-level expansion of rep-level near-dup pairs (the inverse of
     * [[collapseByText]]): duplicate-group-internal pairs get the

@@ -21,7 +21,7 @@ object DerivedGraphs {
     */
   private def materialized(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): DataFrame =
-    graft.Materialized.of(spark, dir, s"graph:$name")(build.localCheckpoint())
+    graft.Materialized.ofDF(spark, dir, s"graph:$name")(build.localCheckpoint())
 
   /** Test/bench hook: drop every derived frame for `spark`, forcing the
     * next lookup to re-derive (the cold-catalog bench mode's reset).

@@ -347,7 +347,7 @@ object Ann {
   }
 
   private def ivfCoarse(spark: SparkSession, dir: String): Array[Array[Double]] =
-    graft.Materialized.of(spark, dir, "ann:ivf-cents") {
+    graft.Materialized.ofBlob(spark, dir, "ann:ivf-cents") {
       unitCentroids(Cluster.lloydCentroids(
         unitVecs(Cluster.embNormed(spark, dir)).localCheckpoint(),
         IvfCells, Cluster.Iters))

@@ -189,18 +189,18 @@ object Cluster {
     * frames) still train per call, unaffected.
     */
   private[similarity] def embNormed(spark: SparkSession, dir: String): DataFrame =
-    graft.Materialized.of(spark, dir, "cluster:normed") {
+    graft.Materialized.ofDF(spark, dir, "cluster:normed") {
       normed(Tables.embeddings(spark, dir)
         .select(col("vec_id").cast(LongType).as("vec_id"), col("embedding")))
     }
 
   private def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
-    graft.Materialized.of(spark, dir, "cluster:kmeans-cents") {
+    graft.Materialized.ofBlob(spark, dir, "cluster:kmeans-cents") {
       lloydCentroids(embNormed(spark, dir), K, Iters)
     }
 
   private def semanticCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Double])] =
-    graft.Materialized.of(spark, dir, "cluster:semantic-cents") {
+    graft.Materialized.ofBlob(spark, dir, "cluster:semantic-cents") {
       val vecs = embNormed(spark, dir)
       lloydCentroids(vecs, kFor(vecs.count()), Iters)
     }

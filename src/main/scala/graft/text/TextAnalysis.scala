@@ -679,8 +679,8 @@ object TextAnalysis {
     * per-doc aggregation, which carries matched rows only.
     */
   val DecontamN = 8
-  private val BenchMod = 25
-  private val BenchRes = 3
+  private[graft] val BenchMod = 25
+  private[graft] val BenchRes = 3
 
   def decontaminated(docs: DataFrame): DataFrame = {
     val grams = shingleRows(docs, DecontamN)
@@ -896,10 +896,16 @@ object TextAnalysis {
     */
   private[graft] case class BpeState(merges: DataFrame, seg: DataFrame)
 
-  private def bpeStateFor(spark: SparkSession, dir: String): BpeState =
-    graft.Materialized.of(spark, dir, "text:bpe") {
-      bpeTrain(Tables.documents(spark, dir), BpeRounds)
-    }
+  private def bpeStateFor(spark: SparkSession, dir: String): BpeState = {
+    // Two disk-backed frame entries sharing ONE lazy training run: if
+    // both are cached (the steady state) training never runs; a partial
+    // cache (crash between the two writes) retrains once — the trainer
+    // is deterministic, so the halves can never disagree.
+    lazy val trained = bpeTrain(Tables.documents(spark, dir), BpeRounds)
+    BpeState(
+      graft.Materialized.ofDF(spark, dir, "text:bpe-merges")(trained.merges),
+      graft.Materialized.ofDF(spark, dir, "text:bpe-seg")(trained.seg))
+  }
 
   /** The training loop over any frame with a `text` column (see
     * [[textBpeTrain]] for the contract and scale shape). */
@@ -958,6 +964,102 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
         seg = seg.select(col("w"), col("n"), fold.as("s")).localCheckpoint()
+      }
+    }
+    BpeState(
+      merges.toSeq.toDF("round", "left_sym", "right_sym", "merged", "pair_count"),
+      seg)
+  }
+
+  /** Batched BPE training — the production-vocabulary scale path. The
+    * sequential trainer ([[bpeTrain]]) runs one Spark job round per
+    * merge: exact, but a 30k-merge vocabulary means 30k sequential
+    * driver rounds. This variant learns up to `batch` merges per
+    * corpus pass using the standard distributed-BPE batching: rank
+    * pairs by the same (count DESC, left, right) order, then greedily
+    * keep pairs whose symbols are DISJOINT from every
+    * earlier-selected pair's (and whose merged string collides with
+    * neither) — disjointness makes the selected merges commute (one
+    * merge can neither create, destroy, nor re-rank another selected
+    * pair's occurrences), so one left-to-right scan applies them all.
+    *
+    * Deviation contract vs sequential: within a pass, a merge CAN
+    * create a brand-new pair (x, ab) whose count exceeds a
+    * later-selected pair's — sequential would learn that new pair
+    * first. Batched training is therefore equal to sequential
+    * whenever each selected count dominates the pass's created
+    * pairs (TextSpec pins exact equality on such a corpus, and
+    * `batch = 1` degenerates to the sequential order exactly); on
+    * natural corpora the deviation is the well-known benign
+    * reordering every batched/parallel BPE implementation accepts.
+    * Scale shape: rounds/batch corpus passes instead of rounds — a
+    * 32k vocabulary in ~500 passes at batch=64; per-pass work is the
+    * same |vocab|-sized pair count + one scan-side merge apply.
+    */
+  def bpeTrainBatched(docs: DataFrame, rounds: Int, batch: Int = 64): BpeState = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(batch >= 1, "batch must be >= 1")
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    var seg = words.select(col("w"), col("n"),
+      concat(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))),
+        array(lit("</w>"))).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var exhausted = false
+    while (merges.size < rounds && !exhausted) {
+      val want = math.min(batch, rounds - merges.size)
+      // Oversample 4× before the conflict filter: adjacent ranked pairs
+      // often chain (share a symbol), so the top `want` rows rarely
+      // yield `want` disjoint pairs. Undershoot is benign — the next
+      // pass recounts and the remaining budget re-ranks.
+      val ranked = seg.select(col("n"), explode(
+          transform(sequence(lit(1), greatest(size(col("s")) - 1, lit(1))),
+            i => struct(element_at(col("s"), i).as("a"),
+              try_element_at(col("s"), i + 1).as("b")))).as("p"))
+        .where(col("p.b").isNotNull)
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(want * 4)
+        .collect()
+      if (ranked.isEmpty) exhausted = true
+      else {
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        ranked.iterator.takeWhile(_ => sel.size < want).foreach { r =>
+          val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
+          if (!used(a) && !used(b) && !used(a + b)) {
+            sel += ((a, b, cnt)); used += a; used += b; used += (a + b)
+          }
+        }
+        sel.foreach { case (a, b, cnt) =>
+          merges += ((merges.size + 1L, a, b, a + b, cnt))
+        }
+        val pairMap = sel.map { case (a, b, _) => (a, b) -> (a + b) }.toMap
+        val bsel = spark.sparkContext.broadcast(pairMap)
+        // one greedy left-to-right scan applies every selected merge
+        // (disjointness makes the order within the scan immaterial)
+        seg = seg.select(col("w"), col("n"), col("s"))
+          .as[(String, Long, Seq[String])]
+          .map { case (w, n, s) =>
+            val m = bsel.value
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              val merged = if (i + 1 < s.length) m.get((s(i), s(i + 1))) else None
+              merged match {
+                case Some(ab) => out += ab; i += 2
+                case None     => out += s(i); i += 1
+              }
+            }
+            (w, n, out.toSeq)
+          }.toDF("w", "n", "s").localCheckpoint()
       }
     }
     BpeState(

@@ -78,6 +78,58 @@ class MaterializedSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq === out1)
   }
 
+  test("disk layer: a second 'session' reads back the spilled frame instead of rebuilding") {
+    val (dir, _) = corpus()
+    val s = spark
+    import s.implicits._
+    var builds = 0
+    def get() = Materialized.ofDF(spark, dir.toString, "disk-df") {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "x").localCheckpoint()
+    }
+    val first = get().collect().map(_.toSeq).toSet
+    assert(builds === 1)
+    // evict = the next session's cold start (memory catalog empty, disk
+    // cache intact): the entry must serve from parquet, builder untouched
+    Materialized.evict(spark)
+    val second = get().collect().map(_.toSeq).toSet
+    assert(builds === 1, "cold start with a warm disk cache must not rebuild")
+    assert(second === first)
+  }
+
+  test("disk layer: corpus regeneration invalidates the spilled entry") {
+    val (dir, part) = corpus()
+    val s = spark
+    import s.implicits._
+    var builds = 0
+    def get() = Materialized.ofDF(spark, dir.toString, "disk-inv") {
+      builds += 1
+      Seq((builds.toLong, "v")).toDF("id", "x").localCheckpoint()
+    }
+    assert(get().collect().head.getLong(0) === 1L)
+    Files.write(part, Array.fill[Byte](96)(9)) // regenerate: size changed
+    Materialized.evict(spark)
+    assert(get().collect().head.getLong(0) === 2L,
+      "a regenerated corpus must re-derive, not serve the old spill")
+    assert(builds === 2)
+  }
+
+  test("disk layer: blob entries round-trip driver state across sessions") {
+    val (dir, _) = corpus()
+    var builds = 0
+    def get(): Seq[(Int, Array[Double])] =
+      Materialized.ofBlob(spark, dir.toString, "disk-blob") {
+        builds += 1
+        Seq((0, Array(1.5, 2.5)), (1, Array(3.5)))
+      }
+    val first = get()
+    Materialized.evict(spark)
+    val second = get()
+    assert(builds === 1, "cold start with a warm disk cache must not rebuild")
+    assert(second.map { case (i, a) => (i, a.toSeq) }
+      === first.map { case (i, a) => (i, a.toSeq) })
+  }
+
   test("in-place part rewrite invalidates without any parent-dir mtime change") {
     val (dir, part) = corpus()
     var builds = 0

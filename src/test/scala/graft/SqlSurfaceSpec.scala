@@ -33,6 +33,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(SqlSurface.queries.size >= 58)
   }
 
+  test("exposed ∪ excluded partitions the gate surface (every op chose a side)") {
+    val exposedAndExcluded = SqlSurface.queries.keySet ++ SqlSurface.excluded.keySet
+    val overlap = SqlSurface.queries.keySet.intersect(SqlSurface.excluded.keySet)
+    assert(overlap.isEmpty, s"ops both exposed and excluded: $overlap")
+    assert(exposedAndExcluded === SparkEntry.queries.keySet,
+      s"unclassified: ${SparkEntry.queries.keySet -- exposedAndExcluded}; " +
+        s"phantom: ${exposedAndExcluded -- SparkEntry.queries.keySet}")
+    // every exclusion reason is machine-readable: `category: detail`
+    val cats = Set("fixpoint", "streaming", "layout", "kernel", "model", "driver-twin")
+    SqlSurface.excluded.foreach { case (name, reason) =>
+      val cat = reason.takeWhile(_ != ':')
+      assert(cats.contains(cat), s"$name: unknown exclusion category '$cat'")
+    }
+  }
+
   test("no SQL-surface plan degenerates to a cartesian product") {
     // The non-equi ANN joins (vec_id != qid) must plan as broadcast
     // nested loops over the 16-row query side, never a cartesian; the

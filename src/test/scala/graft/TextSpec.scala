@@ -287,6 +287,44 @@ class TextSpec extends SparkSpec {
     assert(seg("b") === Seq("b</w>"))
   }
 
+  test("bpeTrainBatched: batch=1 degenerates to the sequential trainer exactly") {
+    val docs = Tables.documents(spark, sfDir).limit(40)
+    val seqSt = TextAnalysis.bpeTrain(docs, rounds = 4)
+    val batSt = TextAnalysis.bpeTrainBatched(docs, rounds = 4, batch = 1)
+    assert(batSt.merges.collect().map(_.toSeq).toSeq
+      === seqSt.merges.collect().map(_.toSeq).toSeq)
+    assert(batSt.seg.orderBy("w").collect().map(_.toSeq).toSeq
+      === seqSt.seg.orderBy("w").collect().map(_.toSeq).toSeq)
+  }
+
+  test("bpeTrainBatched: non-conflicting batch equals sequential; exhaustion early-stops") {
+    val s = spark
+    import s.implicits._
+    // Counts engineered so each selected pair dominates every pair a
+    // prior merge in the pass can create: (a,b)=16 > (c,d)=12 >
+    // (e,f)=10 > all context pairs (≤ 8) — the regime where batched
+    // training provably equals sequential (symbols disjoint, created
+    // pairs never outrank the remaining selections).
+    val docs = Seq(
+      Seq.fill(8)("abx"), Seq.fill(8)("aby"),
+      Seq.fill(6)("cdp"), Seq.fill(6)("cdq"),
+      Seq.fill(5)("efm"), Seq.fill(5)("efn")
+    ).flatten.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val seqM = TextAnalysis.bpeTrain(docs, rounds = 3).merges.collect().map(_.toSeq).toSeq
+    val batM = TextAnalysis.bpeTrainBatched(docs, rounds = 3, batch = 3)
+      .merges.collect().map(_.toSeq).toSeq
+    assert(batM === seqM)
+    assert(batM.map(r => (r(1), r(2), r(4))) ===
+      Seq(("a", "b", 16L), ("c", "d", 12L), ("e", "f", 10L)))
+    // exhaustion: every word fully merges before the budget (the two
+    // (x,</w>) merges conflict within a pass, so they land in
+    // consecutive passes — then nothing remains)
+    val tiny = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeTrainBatched(tiny, rounds = 6, batch = 4)
+      .merges.collect().map(r => (r.getString(1), r.getString(2), r.getLong(4)))
+    assert(m.toSeq === Seq(("a", "</w>", 2L), ("b", "</w>", 1L)))
+  }
+
   test("piiScrubbed: plants are counted and redacted, clean text untouched") {
     val s = spark
     import s.implicits._

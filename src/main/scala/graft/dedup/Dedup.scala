@@ -344,7 +344,10 @@ object Dedup {
     jaccardPairsCollapsed(c.members, c.docArr, JaccardTau)
   }
 
-  val dedupNgramJaccardSql: String = s"""
+  /** τ-templated oracle (the randomized differential pass draws τ per
+    * run; the gate entry pins τ = [[JaccardTau]]).
+    */
+  def dedupNgramJaccardSqlAt(tau: Double): String = s"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM (SELECT doc_id, w,
@@ -359,8 +362,10 @@ object Dedup {
     FROM inter
     JOIN cnt ca ON ca.doc_id = doc_a
     JOIN cnt cb ON cb.doc_id = doc_b
-    WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= $JaccardTau
+    WHERE ROUND(ninter / (ca.n_sh + cb.n_sh - ninter), 6) >= $tau
     ORDER BY doc_a, doc_b"""
+
+  val dedupNgramJaccardSql: String = dedupNgramJaccardSqlAt(JaccardTau)
 
   /** MinHash + banded LSH near-dup pairs, exact-verified. Signatures
     * are 128 universal-hash permutations h_i(x) = (a_i·x + b_i) mod p

@@ -307,7 +307,13 @@ object GraphOps {
     * frontier reach + one anti-join against the distinct src set.
     */
   def dfsLeaves(edges: DataFrame, source: DataFrame): DataFrame = {
-    val e = canonEdges(edges).localCheckpoint()
+    // No edge-list checkpoint here: duplicates cannot change the answer
+    // (reach dedups its frontiers; the anti-join's probe set is
+    // distinct), the reach traversal persists its own layout inside
+    // [[bfs]], and the gate path hands in a catalog-checkpointed frame
+    // anyway — a copy here was a full redundant edge materialization
+    // (59M rows at sf10) for nothing.
+    val e = canonEdges(edges)
     reach(e, source)
       .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
   }

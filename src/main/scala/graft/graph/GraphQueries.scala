@@ -132,7 +132,10 @@ object GraphQueries {
     * residues appear).
     */
   def graphDfsLeaves(spark: SparkSession, dir: String): DataFrame = {
-    val e = DerivedGraphs.supplyEdges(spark, dir).localCheckpoint()
+    // catalog-served frame is already checkpointed — a second
+    // localCheckpoint would materialize a redundant 59M-edge copy at
+    // sf10 (measured: the op's dominant cost was exactly these copies)
+    val e = DerivedGraphs.supplyEdges(spark, dir)
     val src = e.agg(min(col("src")).as("vertex"))
     GraphOps.dfsLeaves(e, src).orderBy("vertex")
   }

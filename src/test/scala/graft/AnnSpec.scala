@@ -70,8 +70,11 @@ class AnnSpec extends SparkSpec {
   }
 
   test("ivfPqTopK: full probing degenerates to PQ; routed recall holds; scores exact") {
-    // routing with every cell probed is a no-op — IVF-PQ ≡ PQ
-    assert(rowsOf(Ann.ivfPqTopK(emb, nprobe = Ann.IvfCells)) === rowsOf(Ann.pqTopK(emb)))
+    // routing with every cell probed is a no-op — IVF-PQ ≡ PQ at the
+    // same rerank budget (IVF-PQ's own budget is wider to compensate
+    // for closure-multiplied candidate pools)
+    assert(rowsOf(Ann.ivfPqTopK(emb, nprobe = Ann.IvfCells))
+      === rowsOf(Ann.pqTopK(emb, rerank = Ann.IvfPqRerank)))
     val bf = neighborSets(Ann.bruteForceTopK(emb))
     val ivfpqDf = Ann.ivfPqTopK(emb)
     val ivfpq = neighborSets(ivfpqDf)

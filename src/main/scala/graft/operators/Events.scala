@@ -514,6 +514,20 @@ object Events {
     * Scale shape: two user_id-partitioned windows + one full outer
     * join on user_id — one shuffle geometry end-to-end, the same plan
     * a MERGE statement compiles to when both sides are key-unique.
+    *
+    * Transactionality caveat (documented contract, not a gap to
+    * paper over): this op computes MERGE *semantics* over immutable
+    * parquet — the merged snapshot is the RESULT SET, not an ACID
+    * table mutation. A production deployment would sit this plan on a
+    * transactional table format (Delta/Iceberg/Hudi), whose MERGE
+    * compiles to exactly this join geometry plus a commit-protocol
+    * write (snapshot isolation, conflict detection, file-level
+    * rewrite). Those formats are external libraries this zero-egress
+    * sandbox cannot resolve; the semantics, determinism contract, and
+    * shuffle shape — the parts this engine owns — are identical
+    * either way, which is why the op is oracle-gated on the result
+    * set. Same story for q_scd2 and q_incremental (the other two
+    * write-pattern simulations).
     */
   def qMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     val ev = eventsSec(spark, dir)

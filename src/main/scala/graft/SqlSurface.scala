@@ -1081,6 +1081,90 @@ object SqlSurface {
         SELECT v AS vertex, lab AS community
         FROM l${graph.GraphQueries.LpaIters} ORDER BY vertex""",
 
+      "graph_clustering" -> """
+        WITH u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                   FROM graph_nation WHERE src != dst),
+        deg AS (SELECT vertex, COUNT(*) AS deg FROM (
+                 SELECT a AS vertex FROM u UNION ALL SELECT b FROM u) GROUP BY vertex),
+        tri AS (SELECT x.a AS a, x.b AS b, y.b AS c
+                FROM u x JOIN u y ON y.a = x.b
+                JOIN u z ON z.a = x.a AND z.b = y.b),
+        tc AS (SELECT vertex, COUNT(*) AS n_tri
+               FROM (SELECT a AS vertex FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri) GROUP BY vertex)
+        SELECT deg.vertex, deg.deg,
+          COALESCE(tc.n_tri, 0L) AS n_tri,
+          ROUND(CASE WHEN deg.deg >= 2
+            THEN (2.0D * COALESCE(tc.n_tri, 0L)) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0D END, 6) AS clustering
+        FROM deg LEFT JOIN tc ON tc.vertex = deg.vertex
+        ORDER BY vertex""",
+
+      "graph_assortativity" -> """
+        WITH deg AS (SELECT src AS v, COUNT(*) AS d FROM graph_supply_und GROUP BY src),
+        xy AS (SELECT dx.d AS x, dy.d AS y FROM graph_supply_und su
+               JOIN deg dx ON dx.v = su.src JOIN deg dy ON dy.v = su.dst),
+        mo AS (SELECT COUNT(*) AS m,
+                 CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                 CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                 CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                 CAST(SUM(y * y) AS DOUBLE) AS syy
+               FROM xy)
+        SELECT m AS n_edges,
+          ROUND(CASE WHEN SQRT(sxx * m - sx * sx) * SQRT(syy * m - sy * sy) = 0.0D
+            THEN NULL
+            ELSE (sxy * m - sx * sy)
+              / (SQRT(sxx * m - sx * sx) * SQRT(syy * m - sy * sy)) END, 6)
+            AS assortativity
+        FROM mo""",
+
+      "graph_modularity" -> s"""
+        WITH und AS (SELECT DISTINCT a, b FROM (
+          SELECT src AS a, dst AS b FROM graph_nation
+          UNION SELECT dst, src FROM graph_nation)
+          WHERE a != b),
+        l0 AS (SELECT DISTINCT a AS v, a AS lab FROM und),
+        ${(1 to graph.GraphQueries.LpaIters).map(lpaRound).mkString(",\n      ")},
+        u AS (SELECT a, b FROM und WHERE a < b),
+        mm AS (SELECT COUNT(*) AS m FROM u),
+        deg AS (SELECT a AS v, COUNT(*) AS deg FROM und GROUP BY a),
+        cs AS (SELECT l.lab AS community, COUNT(*) AS n_vertices,
+                 SUM(deg.deg) AS degree_sum
+               FROM deg JOIN l${graph.GraphQueries.LpaIters} l ON l.v = deg.v
+               GROUP BY l.lab),
+        ie AS (SELECT la.lab AS community, COUNT(*) AS internal_edges
+               FROM u JOIN l${graph.GraphQueries.LpaIters} la ON la.v = u.a
+               JOIN l${graph.GraphQueries.LpaIters} lb ON lb.v = u.b AND lb.lab = la.lab
+               GROUP BY la.lab)
+        SELECT cs.community, cs.n_vertices,
+          COALESCE(ie.internal_edges, 0L) AS internal_edges,
+          cs.degree_sum,
+          ROUND(CAST(COALESCE(ie.internal_edges, 0L) AS DOUBLE) / mm.m
+            - (CAST(cs.degree_sum AS DOUBLE) / (2.0D * mm.m))
+              * (CAST(cs.degree_sum AS DOUBLE) / (2.0D * mm.m)), 6) AS q_term
+        FROM cs LEFT JOIN ie ON ie.community = cs.community CROSS JOIN mm
+        ORDER BY community""",
+
+      "q_events_anomaly" -> """
+        WITH st AS (
+          SELECT user_id, COUNT(*) AS n,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM events GROUP BY user_id HAVING COUNT(*) >= 10),
+        ms AS (
+          SELECT user_id, s1 / n AS mean,
+            (s2 - s1 * s1 / n) / (n - 1) AS variance
+          FROM st),
+        fl AS (
+          SELECT e.event_id, e.user_id, e.event_type, e.value, ms.mean,
+            (e.value - ms.mean) / SQRT(ms.variance) AS z
+          FROM events e JOIN ms ON ms.user_id = e.user_id
+          WHERE ms.variance > 0.0D)
+        SELECT event_id, user_id, event_type, value,
+          ROUND(mean, 4) AS user_mean, ROUND(z, 4) AS z
+        FROM fl WHERE ABS(z) > 2.0D ORDER BY event_id""",
+
       "graph_hits" -> s"""
         WITH verts AS (SELECT src AS v FROM graph_nation UNION SELECT dst FROM graph_nation),
         h0 AS (SELECT v, 1.0D AS s FROM verts),

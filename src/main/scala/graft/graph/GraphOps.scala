@@ -805,6 +805,94 @@ object GraphOps {
     out
   }
 
+  /** Local clustering coefficient per vertex of the undirected simple
+    * graph: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) with deg(v) the
+    * distinct-neighbor count; vertices with deg < 2 score 0. Reuses
+    * the low→high triangle enumeration of [[triangleCounts]] (the
+    * wedge join is the only heavy stage) plus one degree aggregation;
+    * the coefficient itself is a single double division over exact
+    * integer counts, so values are engine-exact at 6 dp.
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val u = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val deg = u.select(col("a").as("vertex")).unionAll(u.select(col("b")))
+      .groupBy("vertex").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(u.select(col("a").as("src"), col("b").as("dst")))
+    deg.join(tri, Seq("vertex"), "left")
+      .select(col("vertex"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(col("deg") >= 2,
+            (lit(2.0) * coalesce(col("n_tri"), lit(0L))) / (col("deg") * (col("deg") - 1)))
+            .otherwise(lit(0.0)),
+          6).as("clustering"))
+  }
+
+  /** Degree assortativity (Newman 2002 r) of an undirected graph given
+    * as a both-orientations edge list: the Pearson correlation of
+    * endpoint degrees over directed edge rows. The five moments
+    * (m, Σx, Σxy, Σx², Σy²) are exact integer sums — one shuffle to
+    * join degrees onto edges, then a single full aggregate (map-side
+    * partial, 6 longs per partition) — and the correlation is a fixed
+    * double expression over those exact scalars, so the value is
+    * engine-exact at 6 dp. Regular graphs (zero degree variance)
+    * return NULL rather than NaN.
+    */
+  def assortativity(undirected: DataFrame): DataFrame = {
+    val e = canonEdges(undirected).localCheckpoint()
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val xy = e
+      .join(deg.select(col("v").as("src"), col("d").as("x")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("y")), "dst")
+    val moms = xy.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val m = col("m").cast("double")
+    def d(n: String) = col(n).cast("double")
+    val num = d("sxy") * m - d("sx") * d("sy")
+    val den = sqrt(d("sxx") * m - d("sx") * d("sx")) * sqrt(d("syy") * m - d("sy") * d("sy"))
+    moms.select(col("m").as("n_edges"),
+      round(when(den === 0.0, lit(null)).otherwise(num / den), 6).as("assortativity"))
+  }
+
+  /** Per-community modularity decomposition of a vertex labeling over
+    * the undirected simple graph: for each community c,
+    * q_term(c) = L_c/m − (D_c/2m)² with L_c the internal edge count,
+    * D_c the community degree sum, m the total edge count (Newman-
+    * Girvan Q = Σ_c q_term). All counts are exact integers (two
+    * label joins + two aggregations, each shuffled on vertex id or
+    * community); only the final per-community expression is floating,
+    * so terms are engine-exact at 6 dp. `m` is a single scalar count
+    * folded into the plan as a literal.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val u = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint()
+    val m = u.count()
+    val lab = labels.select(col("vertex"), col("community")).localCheckpoint()
+    val deg = u.select(col("a").as("vertex")).unionAll(u.select(col("b")))
+      .groupBy("vertex").agg(count(lit(1)).as("deg"))
+    val commStats = deg.join(lab, "vertex").groupBy("community")
+      .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("degree_sum"))
+    val internal = u
+      .join(lab.select(col("vertex").as("a"), col("community").as("ca")), "a")
+      .join(lab.select(col("vertex").as("b"), col("community").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("internal_edges"))
+    val ie = coalesce(col("internal_edges"), lit(0L))
+    val ds = col("degree_sum").cast("double")
+    commStats.join(internal, Seq("community"), "left")
+      .select(col("community"), col("n_vertices"), ie.as("internal_edges"),
+        col("degree_sum"),
+        round(ie.cast("double") / m - (ds / (2.0 * m)) * (ds / (2.0 * m)), 6).as("q_term"))
+  }
+
   /** Strongly connected components of the DIRECTED graph:
     * (vertex, scc) with scc = min vertex id of the component.
     *

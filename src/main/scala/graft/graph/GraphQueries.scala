@@ -371,7 +371,11 @@ object GraphQueries {
     GraphOps.labelPropagation(DerivedGraphs.nationEdges(spark, dir), LpaIters)
       .orderBy("vertex")
 
-  val graphLpaSql: String = {
+  /** The LPA oracle's CTE chain (nation edges → und → l0..l{iters}),
+    * shared by [[graphLpaSql]] and the modularity oracle so both read
+    * the identical labeling.
+    */
+  private val lpaCtes: String = {
     def round(i: Int): String =
       s"""c$i AS MATERIALIZED (SELECT u.a AS v, l.lab, COUNT(*) AS c
          |  FROM und u JOIN l${i - 1} l ON l.v = u.b GROUP BY 1, 2),
@@ -379,14 +383,49 @@ object GraphQueries {
          |  SELECT v, lab, ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lab) AS rn
          |  FROM c$i) WHERE rn = 1)""".stripMargin
     val rounds = (1 to LpaIters).map(round).mkString(",\n")
-    s"""WITH ${DerivedGraphs.nationEdgesSql},
+    s"""${DerivedGraphs.nationEdgesSql},
        |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
        |  SELECT src AS a, dst AS b FROM ne UNION SELECT dst, src FROM ne)
        |  WHERE a != b),
        |l0 AS MATERIALIZED (SELECT DISTINCT a AS v, a AS lab FROM und),
-       |$rounds
-       |SELECT v AS vertex, lab AS community FROM l$LpaIters ORDER BY vertex""".stripMargin
+       |$rounds""".stripMargin
   }
+
+  val graphLpaSql: String =
+    s"""WITH $lpaCtes
+       |SELECT v AS vertex, lab AS community FROM l$LpaIters ORDER BY vertex""".stripMargin
+
+  /** Per-community modularity decomposition of the LPA labeling on the
+    * nation graph: q_term(c) = L_c/m − (D_c/2m)² (Newman-Girvan; the
+    * global Q is the sum over rows). Oracle replays the identical LPA
+    * CTE chain, then the same exact-integer counts and the same double
+    * expression — see [[GraphOps.modularity]].
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.nationEdges(spark, dir)
+    GraphOps.modularity(e, GraphOps.labelPropagation(e, LpaIters))
+      .orderBy("community")
+  }
+
+  val graphModularitySql: String =
+    s"""WITH $lpaCtes,
+       |u AS (SELECT a, b FROM und WHERE a < b),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM u),
+       |deg AS (SELECT a AS v, COUNT(*) AS deg FROM und GROUP BY 1),
+       |cs AS (SELECT l.lab AS community, COUNT(*) AS n_vertices,
+       |         SUM(deg.deg) AS degree_sum
+       |       FROM deg JOIN l$LpaIters l ON l.v = deg.v GROUP BY 1),
+       |ie AS (SELECT la.lab AS community, COUNT(*) AS internal_edges
+       |       FROM u JOIN l$LpaIters la ON la.v = u.a
+       |       JOIN l$LpaIters lb ON lb.v = u.b AND lb.lab = la.lab GROUP BY 1)
+       |SELECT cs.community, CAST(cs.n_vertices AS BIGINT) AS n_vertices,
+       |  CAST(COALESCE(ie.internal_edges, 0) AS BIGINT) AS internal_edges,
+       |  CAST(cs.degree_sum AS BIGINT) AS degree_sum,
+       |  ROUND(CAST(COALESCE(ie.internal_edges, 0) AS DOUBLE) / mm.m
+       |    - (CAST(cs.degree_sum AS DOUBLE) / (2.0 * mm.m))
+       |      * (CAST(cs.degree_sum AS DOUBLE) / (2.0 * mm.m)), 6) AS q_term
+       |FROM cs LEFT JOIN ie ON ie.community = cs.community, mm
+       |ORDER BY cs.community""".stripMargin
 
   /** Strongly connected components on the directed 512-vertex hash
     * graph (functional graphs have real cycle structure); oracle =
@@ -528,6 +567,63 @@ object GraphQueries {
        |      UNION ALL SELECT b FROM tri
        |      UNION ALL SELECT c FROM tri)
        |GROUP BY vertex ORDER BY vertex""".stripMargin
+
+  /** Local clustering coefficient per vertex of the nation graph —
+    * same triangle enumeration as [[graphTriangles]] plus the degree
+    * normalization (2·tri / deg·(deg−1)).
+    */
+  def graphClustering(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.clusteringCoefficients(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  val graphClusteringSql: String =
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |      FROM ne WHERE src != dst),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |         SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+       |tri AS (SELECT x.a AS a, x.b AS b, y.b AS c
+       |        FROM u x JOIN u y ON y.a = x.b
+       |        JOIN u z ON z.a = x.a AND z.b = y.b),
+       |tc AS (SELECT vertex, COUNT(*) AS n_tri
+       |       FROM (SELECT a AS vertex FROM tri
+       |             UNION ALL SELECT b FROM tri
+       |             UNION ALL SELECT c FROM tri) GROUP BY vertex)
+       |SELECT deg.v AS vertex, CAST(deg.deg AS BIGINT) AS deg,
+       |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       |  ROUND(CASE WHEN deg.deg >= 2
+       |    THEN (2.0 * COALESCE(tc.n_tri, 0)) / (deg.deg * (deg.deg - 1))
+       |    ELSE 0.0 END, 6) AS clustering
+       |FROM deg LEFT JOIN tc ON tc.vertex = deg.v
+       |ORDER BY vertex""".stripMargin
+
+  /** Degree assortativity of the undirected supply graph (one scalar
+    * row — the Newman r over exact integer moments). The heavy side is
+    * the degree join over the full both-orientations edge list, so
+    * this is a genuine scale op on the largest derived graph.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.assortativity(DerivedGraphs.supplyEdgesUndirected(spark, dir))
+
+  val graphAssortativitySql: String =
+    s"""WITH ${DerivedGraphs.supplyEdgesSql},
+       |su AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+       |deg AS (SELECT src AS v, COUNT(*) AS d FROM su GROUP BY 1),
+       |xy AS (SELECT dx.d AS x, dy.d AS y FROM su
+       |       JOIN deg dx ON dx.v = su.src JOIN deg dy ON dy.v = su.dst),
+       |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+       |         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+       |         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+       |         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+       |         CAST(SUM(y * y) AS DOUBLE) AS syy
+       |       FROM xy)
+       |SELECT m AS n_edges,
+       |  ROUND(CASE WHEN SQRT(sxx * m - sx * sx) * SQRT(syy * m - sy * sy) = 0.0
+       |    THEN NULL
+       |    ELSE (sxy * m - sx * sy)
+       |      / (SQRT(sxx * m - sx * sx) * SQRT(syy * m - sy * sy)) END, 6)
+       |    AS assortativity
+       |FROM mo""".stripMargin
 
   /** Hop distance to each of the 3 smallest landmark vertices
     * (multi-source tagged BFS over reversed edges).
@@ -724,6 +820,9 @@ object GraphQueries {
     Op("graph_hits", graphHits, Some(graphHitsSql)),
     Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
+    Op("graph_clustering", graphClustering, Some(graphClusteringSql)),
+    Op("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
+    Op("graph_modularity", graphModularity, Some(graphModularitySql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),
     Op("graph_sssp_weighted", graphSsspWeighted, Some(graphSsspWeightedSql)),
     Op("graph_msf", graphMsf, Some(graphMsfSql)),

@@ -582,7 +582,57 @@ object Events {
     FROM dlt d FULL OUTER JOIN tgt t ON d.user_id = t.user_id
     ORDER BY user_id"""
 
+  /** Per-user anomaly detection: events whose value sits more than 2
+    * sample standard deviations from that user's mean, for users with
+    * ≥ 10 events and non-zero variance. The per-user moments are exact
+    * decimal sums (value is 2-dp money, value² exact at 4 dp), cast to
+    * double once; mean/variance/z are then a fixed double expression
+    * over those exact scalars, identical in both engines, so the
+    * selected row set and the 4-dp outputs hash-compare. One shuffle
+    * for the stats aggregate, one shuffle (or broadcast at gate scale)
+    * to join stats back onto the event stream — the 100 TB shape of
+    * every z-score filter.
+    */
+  def qEventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val es = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val stats = es.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast(DoubleType).as("s1"),
+        sum(dec2(col("value")) * dec2(col("value"))).cast(DoubleType).as("s2"))
+      .where(col("n") >= 10)
+      .select(col("user_id"), col("n"), (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)).as("variance"))
+      .where(col("variance") > 0.0)
+    es.join(stats, "user_id")
+      .withColumn("z", (col("value") - col("mean")) / sqrt(col("variance")))
+      .where(abs(col("z")) > 2.0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        round(col("mean"), 4).as("user_mean"), round(col("z"), 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  val qEventsAnomalySql: String = """
+    WITH st AS (
+      SELECT user_id, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 10),
+    ms AS (
+      SELECT user_id, s1 / n AS mean,
+        (s2 - s1 * s1 / n) / (n - 1) AS variance
+      FROM st),
+    fl AS (
+      SELECT e.event_id, e.user_id, e.event_type, e.value, ms.mean,
+        (e.value - ms.mean) / SQRT(ms.variance) AS z
+      FROM events e JOIN ms ON ms.user_id = e.user_id
+      WHERE ms.variance > 0.0)
+    SELECT event_id, user_id, event_type, value,
+      ROUND(mean, 4) AS user_mean, ROUND(z, 4) AS z
+    FROM fl WHERE ABS(z) > 2.0 ORDER BY event_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_events_anomaly", qEventsAnomaly, Some(qEventsAnomalySql)),
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
     Op("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),
     Op("q_events_retention", qEventsRetention, Some(qEventsRetentionSql)),

@@ -455,6 +455,49 @@ class GraphSpec extends SparkSpec {
       sampleSources = (n / 2).toInt)) === est)
   }
 
+  test("clusteringCoefficients: triangle scores 1, bridge vertex 1/3, leaf 0") {
+    // triangle {1,2,3} plus a tail 3-4: cc(1)=cc(2)=1 (their whole
+    // neighborhood is closed), cc(3)=2·1/(3·2)=1/3, cc(4)=0 (deg 1)
+    val e = edgeDf(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L)
+    val cc = GraphOps.clusteringCoefficients(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(cc === Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 0.333333)), 4L -> ((1L, 0L, 0.0))))
+  }
+
+  test("assortativity: star is perfectly disassortative, ring perfectly regular") {
+    // star center 0, spokes 1..4 (both orientations): every edge joins
+    // deg-4 to deg-1, so endpoint degrees anti-correlate exactly: r=-1
+    def undirect(pairs: (Long, Long)*) =
+      edgeDf(pairs ++ pairs.map(_.swap): _*)
+    val star = undirect(0L -> 1L, 0L -> 2L, 0L -> 3L, 0L -> 4L)
+    val r = GraphOps.assortativity(star).head
+    assert(r.getLong(0) === 8L && r.getDouble(1) === -1.0)
+    // a ring is 2-regular: zero degree variance → NULL, not NaN
+    val ring = undirect(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(GraphOps.assortativity(ring).head.isNullAt(1))
+  }
+
+  test("modularity: two planted cliques decompose to the known Newman-Girvan terms") {
+    val s = spark
+    import s.implicits._
+    // 3-cliques {1,2,3} and {4,5,6} joined by 3-4: m=7,
+    // each side L_c=3, D_c=7 → q_term = 3/7 − (7/14)² = 0.178571
+    val e = edgeDf(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L, 6L -> 20L)
+      .toDF("vertex", "community")
+    val q = GraphOps.modularity(e, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(q === Map(
+      10L -> ((3L, 3L, 7L, 0.178571)), 20L -> ((3L, 3L, 7L, 0.178571))))
+    // a merge-everything labeling scores 0 exactly (all edges internal,
+    // degree sum = 2m): the degenerate case Q is designed to punish
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("vertex").withColumn("community", lit(0L))
+    assert(GraphOps.modularity(e, one).head.getDouble(4) === 0.0)
+  }
+
   test("randomWalks: walks follow edges, diverge by walk_id, stop at dead ends") {
     // 1→{2,3}, 2→{1,3}, 3→1 plus an isolated dead-end chain 7→8
     val e = edgeDf(1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 3L, 3L -> 1L, 7L -> 8L)

@@ -73,6 +73,23 @@ class RelationalSpec extends SparkSpec {
     assert(o.where(col("o_orderdate") >= pivot).limit(1).count() === 1)
   }
 
+  test("q_events_anomaly: flags agree with directly recomputed per-user moments") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val stats = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), avg("value").as("mean"),
+        variance(col("value")).as("variance"))
+    val expected = ev.join(stats, "user_id")
+      .where(col("n") >= 10 && col("variance") > 0.0 &&
+        abs((col("value") - col("mean")) / sqrt(col("variance"))) > 2.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val flagged = Events.qEventsAnomaly(spark, sfDir).collect()
+    assert(flagged.map(_.getLong(0)).toSet === expected)
+    assert(flagged.nonEmpty)
+    // every reported z really exceeds the threshold
+    assert(flagged.forall(r => math.abs(r.getDouble(5)) > 2.0))
+  }
+
   test("q_scd2: intervals chain per user, one current row, events conserved") {
     val hist = Events.qScd2(spark, sfDir).collect()
     val ev = Events.eventsSec(spark, sfDir)

@@ -98,7 +98,7 @@ object SqlSurface {
       .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
     val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
       "stream_dedup", "stream_dedup_watermark", "stream_join_recent", "stream_topk",
-      "stream_latest_state", "stream_funnel")
+      "stream_latest_state", "stream_funnel", "stream_anomaly")
       .map(_ -> "streaming: Structured Streaming query (watermarks / stateful ops), not a batch view")
     val layout = Seq(
       "graph_load" -> "layout: graph ingestion (adjacency-matrix parse to edge store)",
@@ -119,6 +119,7 @@ object SqlSurface {
       "ann_pq" -> "kernel: PQ encode + ADC tables in a mapPartitions scan",
       "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
       "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",
+      "ann_mmr" -> "kernel: per-query greedy MMR selection loop in flatMapGroups over the bounded candidate pool",
       "dedup_minhash_lsh" -> "kernel: seeded minhash permutations in a scan kernel",
       "dedup_simhash" -> "kernel: seeded simhash signatures + pigeonhole blocks",
       "dedup_embedding" -> "kernel: seeded hyperplane LSH blocks over embeddings",
@@ -1164,6 +1165,43 @@ object SqlSurface {
         SELECT event_id, user_id, event_type, value,
           ROUND(mean, 4) AS user_mean, ROUND(z, 4) AS z
         FROM fl WHERE ABS(z) > 2.0D ORDER BY event_id""",
+
+      "q_rfm" -> """
+        WITH p AS (
+          SELECT user_id, ts_sec, CAST(value AS DECIMAL(18,2)) AS v2
+          FROM events_sec WHERE event_type = 'purchase'),
+        mx AS (SELECT MAX(ts_sec) AS mt FROM p),
+        per AS (
+          SELECT user_id, (mx.mt - MAX(ts_sec)) div 86400 AS recency_days,
+            COUNT(*) AS frequency, CAST(SUM(v2) AS DOUBLE) AS monetary
+          FROM p CROSS JOIN mx GROUP BY user_id, mx.mt),
+        cut AS (SELECT
+          ROUND(percentile(recency_days, 0.25D), 4) AS r1,
+          ROUND(percentile(recency_days, 0.5D), 4) AS r2,
+          ROUND(percentile(recency_days, 0.75D), 4) AS r3,
+          ROUND(percentile(frequency, 0.25D), 4) AS f1,
+          ROUND(percentile(frequency, 0.5D), 4) AS f2,
+          ROUND(percentile(frequency, 0.75D), 4) AS f3,
+          ROUND(percentile(monetary, 0.25D), 4) AS m1,
+          ROUND(percentile(monetary, 0.5D), 4) AS m2,
+          ROUND(percentile(monetary, 0.75D), 4) AS m3
+          FROM per),
+        sc AS (
+          SELECT user_id, recency_days, frequency, monetary,
+            5L - (1L + CAST(recency_days > cut.r1 AS BIGINT)
+                     + CAST(recency_days > cut.r2 AS BIGINT)
+                     + CAST(recency_days > cut.r3 AS BIGINT)) AS r_score,
+            1L + CAST(frequency > cut.f1 AS BIGINT)
+               + CAST(frequency > cut.f2 AS BIGINT)
+               + CAST(frequency > cut.f3 AS BIGINT) AS f_score,
+            1L + CAST(monetary > cut.m1 AS BIGINT)
+               + CAST(monetary > cut.m2 AS BIGINT)
+               + CAST(monetary > cut.m3 AS BIGINT) AS m_score
+          FROM per CROSS JOIN cut)
+        SELECT user_id, recency_days, frequency, monetary,
+          r_score, f_score, m_score,
+          r_score * 100L + f_score * 10L + m_score AS rfm
+        FROM sc ORDER BY user_id""",
 
       "graph_hits" -> s"""
         WITH verts AS (SELECT src AS v FROM graph_nation UNION SELECT dst FROM graph_nation),

@@ -631,7 +631,93 @@ object Events {
       ROUND(mean, 4) AS user_mean, ROUND(z, 4) AS z
     FROM fl WHERE ABS(z) > 2.0 ORDER BY event_id"""
 
+  /** RFM (recency / frequency / monetary) user segmentation over
+    * purchase events — the classic warehouse cohort op. Per user:
+    * recency = whole days since their last purchase relative to the
+    * corpus max purchase time, frequency = purchase count, monetary =
+    * exact decimal spend. Each metric is scored 1-4 by its quartile
+    * (computed over the per-user frame, cutpoints ROUNDed to 4 dp on
+    * both engines so the comparison literal is the same double), with
+    * recency inverted (most recent = 4); rfm = r·100 + f·10 + m.
+    *
+    * Scale shape: one aggregation over the purchase stream, then a
+    * 9-scalar quartile aggregate over the per-user frame (model-sized,
+    * folded back as literals — at 100 TB the cutpoints would come from
+    * the same rank-based machinery as q_percentiles or an approx
+    * sketch), then a scan-side projection. No windows, no global sort
+    * before the gate's canonical ORDER BY.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = eventsSec(spark, dir).where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_sec"), dec2(col("value")).as("v2"))
+    val maxTs = p.agg(max("ts_sec")).head.getLong(0)
+    val per = p.groupBy("user_id")
+      .agg(max(col("ts_sec")).as("last_ts"), count(lit(1)).as("frequency"),
+        sum(col("v2")).cast(DoubleType).as("monetary"))
+      .select(col("user_id"),
+        expr(s"($maxTs - last_ts) div 86400").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val cutRow = per.agg(
+      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
+      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fq"),
+      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq")).head()
+    def snap4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cuts(i: Int): Seq[Double] = cutRow.getSeq[Double](i).map(snap4)
+    def bucket(c: Column, q: Seq[Double]): Column =
+      lit(1L) + (c > q(0)).cast(LongType) + (c > q(1)).cast(LongType) +
+        (c > q(2)).cast(LongType)
+    val (rq, fq, mq) = (cuts(0), cuts(1), cuts(2))
+    per
+      .withColumn("r_score", lit(5L) - bucket(col("recency_days"), rq))
+      .withColumn("f_score", bucket(col("frequency"), fq))
+      .withColumn("m_score", bucket(col("monetary"), mq))
+      .withColumn("rfm", col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("user_id")
+  }
+
+  val qRfmSql: String = """
+    WITH p AS (
+      SELECT user_id, epoch_ns(ts)//1000000000 AS ts_sec,
+        CAST(value AS DECIMAL(18,2)) AS v2
+      FROM events WHERE event_type = 'purchase'),
+    mx AS (SELECT MAX(ts_sec) AS mt FROM p),
+    per AS (
+      SELECT user_id, (mx.mt - MAX(ts_sec)) // 86400 AS recency_days,
+        COUNT(*) AS frequency, CAST(SUM(v2) AS DOUBLE) AS monetary
+      FROM p, mx GROUP BY user_id, mx.mt),
+    cut AS (SELECT
+      ROUND(quantile_cont(recency_days, 0.25), 4) AS r1,
+      ROUND(quantile_cont(recency_days, 0.5), 4) AS r2,
+      ROUND(quantile_cont(recency_days, 0.75), 4) AS r3,
+      ROUND(quantile_cont(frequency, 0.25), 4) AS f1,
+      ROUND(quantile_cont(frequency, 0.5), 4) AS f2,
+      ROUND(quantile_cont(frequency, 0.75), 4) AS f3,
+      ROUND(quantile_cont(monetary, 0.25), 4) AS m1,
+      ROUND(quantile_cont(monetary, 0.5), 4) AS m2,
+      ROUND(quantile_cont(monetary, 0.75), 4) AS m3
+      FROM per),
+    sc AS (
+      SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        CAST(frequency AS BIGINT) AS frequency, monetary,
+        5 - (1 + CAST(recency_days > cut.r1 AS BIGINT)
+               + CAST(recency_days > cut.r2 AS BIGINT)
+               + CAST(recency_days > cut.r3 AS BIGINT)) AS r_score,
+        1 + CAST(frequency > cut.f1 AS BIGINT)
+          + CAST(frequency > cut.f2 AS BIGINT)
+          + CAST(frequency > cut.f3 AS BIGINT) AS f_score,
+        1 + CAST(monetary > cut.m1 AS BIGINT)
+          + CAST(monetary > cut.m2 AS BIGINT)
+          + CAST(monetary > cut.m3 AS BIGINT) AS m_score
+      FROM per, cut)
+    SELECT user_id, recency_days, frequency, monetary,
+      CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      CAST(m_score AS BIGINT) AS m_score,
+      CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
+    FROM sc ORDER BY user_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_rfm", qRfm, Some(qRfmSql)),
     Op("q_events_anomaly", qEventsAnomaly, Some(qEventsAnomalySql)),
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),
     Op("q_merge_upsert", qMergeUpsert, Some(qMergeUpsertSql)),

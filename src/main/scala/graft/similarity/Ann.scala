@@ -304,6 +304,135 @@ object Ann {
     SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
     FROM r WHERE rank <= $K ORDER BY qid, rank"""
 
+  /** MMR rerank: final list size and cosine candidate pool per query. */
+  val MmrK = 8
+  val MmrCandidates = 32
+
+  /** Maximal Marginal Relevance diversified rerank (Carbonell &
+    * Goldstein, SIGIR 1998): greedily pick [[MmrK]] of the top
+    * [[MmrCandidates]] cosine candidates, each pick maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈S} sim(d,s) at λ = 1/2 (first pick =
+    * pure relevance; later picks trade relevance against similarity
+    * to what's already selected) — the dedup-at-retrieval staple for
+    * RAG context assembly. Determinism: rel and pairwise sims are the
+    * 6-dp-rounded cosines, the MMR score re-rounds to 6 dp, ties break
+    * to the lower vec_id.
+    *
+    * Scale shape: candidate generation is the bounded-heap brute-force
+    * scan (on a 100 TB corpus, any of the IVF/LSH candidate paths);
+    * the greedy stage only ever touches queries × [[MmrCandidates]]
+    * rows — candidate ids broadcast into the vector fetch, and the
+    * O(k²·dim) greedy loop runs per-query inside `flatMapGroups`, so
+    * the rerank never sees the corpus.
+    */
+  def mmrRerank(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cands = bruteForceTopK(emb, MmrCandidates).select("qid", "vec_id", "score")
+    val withVec = withNorm(emb)
+      .join(broadcast(cands), "vec_id")
+      .select(col("qid"), col("vec_id"), col("score"), col("v"), col("nrm"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+    withVec.groupByKey(_._1)
+      .flatMapGroups { (qid: Long, it: Iterator[(Long, Long, Double, Array[Double], Double)]) =>
+        val cs = it.toArray.sortBy(_._2)
+        val n = cs.length
+        def sim(i: Int, j: Int): Double = {
+          val vi = cs(i)._4; val vj = cs(j)._4
+          var s = 0.0; var k = 0
+          while (k < vi.length) { s += vi(k) * vj(k); k += 1 }
+          round6(s / (cs(i)._5 * cs(j)._5))
+        }
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+        while (selected.length < math.min(MmrK, n)) {
+          var bestIdx = -1; var bestM = Double.NegativeInfinity
+          var i = 0
+          while (i < n) {
+            if (!selected.contains(i)) {
+              // true max over the selected set (can be negative); the
+              // empty-set penalty is 0 so pick 1 is pure relevance
+              val ms =
+                if (selected.isEmpty) 0.0
+                else selected.iterator.map(sim(i, _)).max
+              val m = round6(0.5 * cs(i)._3 - 0.5 * ms)
+              if (m > bestM) { bestM = m; bestIdx = i } // ties keep the lower vec_id
+            }
+            i += 1
+          }
+          selected += bestIdx
+          out += ((qid, selected.length.toLong, cs(bestIdx)._2, cs(bestIdx)._3, bestM))
+        }
+        out.iterator
+      }
+      .toDF("qid", "pos", "vec_id", "rel", "mmr")
+      .orderBy("qid", "pos")
+  }
+
+  def annMmr(spark: SparkSession, dir: String): DataFrame =
+    mmrRerank(Tables.embeddings(spark, dir))
+
+  /** MMR oracle: candidate + pairwise-sim CTEs, then the greedy
+    * selection unrolled one CTE pair per pick (sel_r = sel_{r-1} ∪
+    * the argmax of the re-rounded MMR score among unselected
+    * candidates).
+    */
+  // lazy: interpolates [[OracleDim]], declared further down the object —
+  // a strict val here would bake in the pre-init 0 and empty the oracle
+  lazy val annMmrSql: String = {
+    // MATERIALIZED throughout: each round references the previous
+    // selection three times (penalty join, already-selected filter,
+    // union), so inlined CTEs would re-evaluate the whole chain
+    // 3^(k-1) times
+    def mmrRound(r: Int): String =
+      s"""m$r AS MATERIALIZED (SELECT qid, vec_id, rel, mmr, $r AS pos FROM (
+         |    SELECT qid, vec_id, rel, mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY mmr DESC, vec_id) AS rk
+         |    FROM (
+         |      SELECT c.qid, c.vec_id, c.rel,
+         |        ROUND(0.5 * c.rel - 0.5 * MAX(p.sim), 6) + 0.0 AS mmr
+         |      FROM cand c
+         |      JOIN sel${r - 1} s ON s.qid = c.qid
+         |      JOIN p ON p.qid = c.qid AND p.i = c.vec_id AND p.j = s.vec_id
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} x
+         |                        WHERE x.qid = c.qid AND x.vec_id = c.vec_id)
+         |      GROUP BY c.qid, c.vec_id, c.rel))
+         |  WHERE rk = 1),
+         |sel$r AS MATERIALIZED (
+         |          SELECT qid, vec_id, rel, mmr, pos FROM sel${r - 1} UNION ALL
+         |          SELECT qid, vec_id, rel, mmr, pos FROM m$r)""".stripMargin
+    s"""
+    WITH $oracleVCte,
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    rel0 AS (SELECT q.qid, n.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> qv[i] * n.v[i])) / (qn * n.nrm), 6) + 0.0 AS rel
+          FROM q JOIN n ON n.vec_id != q.qid),
+    cand AS MATERIALIZED (SELECT qid, vec_id, rel FROM (
+               SELECT qid, vec_id, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id) AS rk
+               FROM rel0) WHERE rk <= $MmrCandidates),
+    p AS MATERIALIZED (SELECT a.qid, a.vec_id AS i, b.vec_id AS j,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              k -> na.v[k] * nb.v[k])) / (na.nrm * nb.nrm), 6) + 0.0 AS sim
+          FROM cand a JOIN cand b ON b.qid = a.qid AND b.vec_id != a.vec_id
+          JOIN n na ON na.vec_id = a.vec_id
+          JOIN n nb ON nb.vec_id = b.vec_id),
+    m1 AS MATERIALIZED (
+        SELECT qid, vec_id, rel, ROUND(0.5 * rel, 6) + 0.0 AS mmr, 1 AS pos FROM (
+        SELECT qid, vec_id, rel,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY ROUND(0.5 * rel, 6) DESC, vec_id) AS rk
+        FROM cand) WHERE rk = 1),
+    sel1 AS MATERIALIZED (SELECT qid, vec_id, rel, mmr, pos FROM m1),
+    ${(2 to MmrK).map(mmrRound).mkString(",\n    ")}
+    SELECT qid, CAST(pos AS BIGINT) AS pos, vec_id, rel, mmr
+    FROM sel$MmrK ORDER BY qid, pos"""
+  }
+
   /** Trained coarse quantizer, as unit directions for cosine routing:
     * [[Cluster.lloydCentroids]] (init = lowest-vec_id vectors,
     * [[Cluster.Iters]] assign+update rounds, 6-dp-snapped means — the
@@ -1056,5 +1185,6 @@ object Ann {
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),
     Op("ann_mips", annMips, Some(annMipsSql)),
     Op("ann_hybrid", annHybrid, Some(annHybridSql)),
+    Op("ann_mmr", annMmr, Some(annMmrSql)),
   )
 }

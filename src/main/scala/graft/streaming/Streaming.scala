@@ -697,7 +697,108 @@ object Streaming {
       FROM w)
     WHERE rk <= $TopKPerWindow ORDER BY window_start, rk"""
 
+  case class AnomEv(user_id: Long, event_id: Long, value: Double,
+      cents: Long, ts_sec: Long)
+  case class AnomState(n: Long, s1: Long, s2: Long)
+  case class AnomOut(event_id: Long, user_id: Long, value: Double,
+      n_prior: Long, prior_mean: Double, z: Double)
+
+  /** Minimum PRIOR observations before [[streamAnomaly]] scores. */
+  val AnomMinPrior = 10L
+
+  /** Streaming per-user anomaly detection: each event is z-scored
+    * against the moments of that user's STRICTLY PRIOR events (the
+    * online form of [[graft.operators.Events.qEventsAnomaly]] — no
+    * lookahead, so a flag can be acted on the moment the event
+    * arrives). State per user is three longs (count + exact cent sums,
+    * value² exact at 4 dp), so state size is keys-bounded — the 100 TB
+    * shape; mean/variance/z are a fixed double expression over those
+    * exact integers, identical in the oracle's expanding-window SQL.
+    * Events sort by (ts_sec, event_id) within a batch; across batches
+    * the file stream's arrival order IS event order for the staged
+    * corpus (and the production caveat: out-of-order arrival scores
+    * against the state as-of arrival — the online contract).
+    */
+  def streamAnomaly(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-anom")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
+      .select(col("user_id").cast(LongType).as("user_id"), col("event_id"),
+        col("value"), col("cents"), col("ts_sec"))
+      .as[AnomEv]
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val flags = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomState, AnomOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AnomEv], state: GroupState[AnomState]) =>
+          var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+          rows.toArray.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            if (st.n >= AnomMinPrior) {
+              val n = st.n.toDouble
+              val s1 = st.s1.toDouble
+              val s2 = st.s2.toDouble
+              val mean = s1 / n
+              val variance = (s2 - s1 * s1 / n) / (n - 1)
+              if (variance > 0.0) {
+                val z = (e.cents - mean) / math.sqrt(variance)
+                // prior_mean at 4 dp via exact integer half-up division:
+                // the mean is a small-denominator rational, so a double
+                // ROUND hits .00005 boundaries where the engines'
+                // shortest-repr vs binary roundings disagree
+                val mean4 = (200L * st.s1 + st.n) / (2L * st.n)
+                if (math.abs(z) > 2.0)
+                  out += AnomOut(e.event_id, uid, e.value, st.n,
+                    mean4.toDouble / 10000.0, round4(z))
+              }
+            }
+            st = AnomState(st.n + 1, st.s1 + e.cents, st.s2 + e.cents * e.cents)
+          }
+          state.update(st)
+          out.iterator
+      }
+    val name = "graft_stream_anomaly"
+    val q = flags.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try drain(q) finally q.stop()
+    spark.table(name).orderBy("event_id")
+  }
+
+  val streamAnomalySql: String = s"""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+        epoch_ns(ts)//1000000000 AS ts_sec,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, value, cents,
+        COUNT(*) OVER pw AS n,
+        CAST(SUM(cents) OVER pw AS BIGINT) AS s1i,
+        CAST(SUM(cents) OVER pw AS DOUBLE) AS s1,
+        CAST(SUM(cents * cents) OVER pw AS DOUBLE) AS s2
+      FROM e
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    f AS (
+      SELECT event_id, user_id, value, cents, n, s1i, s1 / n AS mean,
+        (s2 - s1 * s1 / n) / (n - 1) AS variance
+      FROM w WHERE n >= $AnomMinPrior),
+    g AS (
+      SELECT event_id, user_id, value, n, s1i,
+        (cents - mean) / SQRT(variance) AS z
+      FROM f WHERE variance > 0.0)
+    SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n_prior,
+      CAST((200 * s1i + n) // (2 * n) AS DOUBLE) / 10000.0 AS prior_mean,
+      ROUND(z, 4) AS z
+    FROM g WHERE ABS(z) > 2.0 ORDER BY event_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     Op("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),
     Op("stream_funnel", streamFunnel, Some(Events.qEventsFunnelSql)),

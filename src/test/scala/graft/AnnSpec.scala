@@ -139,6 +139,44 @@ class AnnSpec extends SparkSpec {
       s"label filter not pushed:\n$plan")
   }
 
+  test("mmrRerank: pick 1 is pure relevance, pick 2 trades relevance for diversity") {
+    val s = spark
+    import s.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    // qid 0 along e0. vec 20 is the top cosine; vec 21 is a slightly
+    // less relevant NEAR-DUPLICATE of 20 (high penalty once 20 is in);
+    // vec 22 is less relevant but diverse — MMR must pick 20, then 22,
+    // and only then the near-duplicate 21. A pure-relevance rerank
+    // would order 20, 21, 22.
+    val data = Seq(
+      (0L, v(1, 0, 0, 0)),
+      (20L, v(1, 0.01, 0, 0)),
+      (21L, v(0.999, 0.04, 0, 0)),
+      (22L, v(0.7, 0, 0.7, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mmrRerank(data).where($"qid" === 0L)
+      .orderBy("pos").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, 20L), (2L, 22L), (3L, 21L)))
+  }
+
+  test("mmrRerank corpus invariants: first pick = brute-force top-1, picks distinct, from the pool") {
+    val out = Ann.mmrRerank(emb).localCheckpoint()
+    val byQ = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    assert(byQ.nonEmpty)
+    val bf1 = Ann.bruteForceTopK(emb, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pool = neighborSets(Ann.bruteForceTopK(emb, k = Ann.MmrCandidates))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === Ann.MmrK)
+      assert(rows.sortBy(_._2).map(_._2).toSeq === (1L to Ann.MmrK))
+      val picks = rows.map(_._3)
+      assert(picks.distinct.length === picks.length, s"qid $q repeated a pick")
+      assert(rows.minBy(_._2)._3 === bf1(q), s"qid $q pick 1 is not the top cosine")
+      assert(picks.toSet.subsetOf(pool(q)), s"qid $q picked outside the candidate pool")
+    }
+  }
+
   test("knnJoin LSH scale path: high recall vs exact, scores exact (rerank)") {
     val exact = Ann.knnJoin(emb)
     // maxBroadcastRows = 0 forces the distributed LSH candidate path —

@@ -85,6 +85,35 @@ class EventsStreamingSpec extends SparkSpec {
     assert(rowsOf(stream) === rowsOf(batch))
   }
 
+  test("stream_anomaly flags agree with a batch expanding-window recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Streaming.streamAnomaly(spark, sfDir).localCheckpoint()
+    val w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val batch = Events.eventsSec(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w).cast("double"))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w).cast("double"))
+      .where(col("n") >= Streaming.AnomMinPrior)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+      .where(col("variance") > 0.0)
+      .withColumn("z", (col("cents") - col("mean")) / sqrt(col("variance")))
+      .where(abs(col("z")) > 2.0)
+    val streamIds = out.select("event_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamIds.nonEmpty)
+    assert(streamIds === batchIds)
+    // flags are prior-only: every flagged event has ≥ MinPrior earlier
+    // events for its user, and a reported |z| at/above the threshold
+    // (≥, not >: the reported z is 4-dp rounded, so a true 2.00004
+    // legitimately prints as 2.0)
+    assert(out.where(col("n_prior") < Streaming.AnomMinPrior).count() === 0)
+    assert(out.where(abs(col("z")) < 2.0).count() === 0)
+  }
+
   test("stream_funnel equals the batch funnel") {
     val batch = Events.qEventsFunnel(spark, sfDir)
     val stream = Streaming.streamFunnel(spark, sfDir)

@@ -73,6 +73,33 @@ class RelationalSpec extends SparkSpec {
     assert(o.where(col("o_orderdate") >= pivot).limit(1).count() === 1)
   }
 
+  test("q_rfm: quartile scores bucket each metric, recency inverted, one row per purchaser") {
+    val rows = Events.qRfm(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rs, fs, ms, rfm) = (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+      assert(rfm === rs * 100 + fs * 10 + ms)
+    }
+    // scores are monotone in their metric: frequency ↑ ⇒ f_score ↑,
+    // monetary ↑ ⇒ m_score ↑, recency_days ↑ ⇒ r_score ↓ (inverted)
+    def monotone(metric: org.apache.spark.sql.Row => Long,
+        score: org.apache.spark.sql.Row => Long, up: Boolean): Unit =
+      rows.sortBy(metric).map(score).sliding(2).foreach {
+        case Array(a, b) => assert(if (up) a <= b else a >= b)
+        case _ =>
+      }
+    monotone(_.getLong(2), _.getLong(5), up = true)
+    monotone(r => math.round(r.getDouble(3) * 100), _.getLong(6), up = true)
+    monotone(_.getLong(1), _.getLong(4), up = false)
+    // exactly one row per user that ever purchased
+    val purchasers = Events.eventsSec(spark, sfDir)
+      .where(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(rows.length.toLong === purchasers)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
+
   test("q_events_anomaly: flags agree with directly recomputed per-user moments") {
     val ev = Tables.events(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("value"))

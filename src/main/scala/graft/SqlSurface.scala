@@ -94,7 +94,7 @@ object SqlSurface {
     val fixpoint = Seq("graph_bfs", "graph_bfs_deep", "graph_cc", "graph_cc_large",
       "graph_scc", "graph_sssp_weighted", "graph_msf", "graph_shortest_paths",
       "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_closeness",
-      "graph_eccentricity", "graph_betweenness", "dedup_cluster")
+      "graph_eccentricity", "graph_harmonic", "graph_betweenness", "dedup_cluster")
       .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
     val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
       "stream_dedup", "stream_dedup_watermark", "stream_join_recent", "stream_topk",
@@ -698,6 +698,25 @@ object SqlSurface {
           FROM documents)
         SELECT doc_id, source, lang, rn, n_chars
         FROM ranked WHERE rn <= ${operators.Sampling.SourceCap} ORDER BY doc_id""",
+
+      "q_sample_temperature" -> s"""
+        WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        wts AS (SELECT source, n,
+                  CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS wt
+                FROM counts),
+        tot AS (SELECT SUM(wt) AS sw FROM wts),
+        quotas AS (SELECT source,
+                     GREATEST(1L, CAST(FLOOR(${operators.Sampling.TempK}D * CAST(wt AS DOUBLE)
+                       / CAST(sw AS DOUBLE)) AS BIGINT)) AS quota
+                   FROM wts CROSS JOIN tot),
+        ranked AS (
+          SELECT doc_id, source, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY ${saltMd5("temp")}, doc_id) AS BIGINT) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.source, r.rn, r.n_chars
+        FROM ranked r JOIN quotas q ON q.source = r.source
+        WHERE r.rn <= q.quota ORDER BY doc_id""",
 
       "q_shuffle_shard" -> s"""
         WITH sharded AS (

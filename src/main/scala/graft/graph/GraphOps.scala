@@ -1090,9 +1090,11 @@ object GraphOps {
     * merge) + one outer join back. Deterministic: splitmix64 hashing,
     * no sampling.
     *
-    * Returns (vertex, n_reached_est, sum_dist_est, ecc):
+    * Returns (vertex, n_reached_est, sum_dist_est, hsum_est, ecc):
     * `sum_dist_est` accumulates t · (|B_t| − |B_{t−1}|) (the
-    * closeness denominator), `ecc` is the last round v's ball grew.
+    * closeness denominator), `hsum_est` accumulates
+    * (|B_t| − |B_{t−1}|) / t (the harmonic-centrality estimate),
+    * `ecc` is the last round v's ball grew.
     */
   def hyperBall(edges: DataFrame, p: Int = 10, maxIter: Int = 256): DataFrame = {
     require(p >= 4 && p <= 16, s"hyperBall register exponent p=$p out of [4,16]")
@@ -1108,8 +1110,8 @@ object GraphOps {
       // rank of the remaining bits, sentinel-bounded to ≤ 64−p+1
       val w = (h >>> p) | (1L << (64 - p))
       regs(idx) = (java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
-      (v, regs, hllEstimate(regs), 0.0, 0L)
-    }.toDF("v", "regs", "est", "sum", "ecc").localCheckpoint()
+      (v, regs, hllEstimate(regs), 0.0, 0.0, 0L)
+    }.toDF("v", "regs", "est", "sum", "hsum", "ecc").localCheckpoint()
     var t = 0
     var active = 1L
     while (active > 0 && t < maxIter) {
@@ -1130,10 +1132,11 @@ object GraphOps {
         .map { case (v, regs) => (v, regs) }
         .toDF("mv", "mregs")
       val next = st.join(msgs, col("v") === col("mv"), "left")
-        .select(col("v"), col("regs"), col("est"), col("sum"), col("ecc"), col("mregs"))
-        .as[(Long, Array[Byte], Double, Double, Long, Array[Byte])]
-        .map { case (v, regs, est, sum, ecc, mregs) =>
-          if (mregs == null) (v, regs, est, sum, ecc, false)
+        .select(col("v"), col("regs"), col("est"), col("sum"), col("hsum"),
+          col("ecc"), col("mregs"))
+        .as[(Long, Array[Byte], Double, Double, Double, Long, Array[Byte])]
+        .map { case (v, regs, est, sum, hsum, ecc, mregs) =>
+          if (mregs == null) (v, regs, est, sum, hsum, ecc, false)
           else {
             var changed = false
             val merged = regs.clone()
@@ -1142,23 +1145,24 @@ object GraphOps {
               if (mregs(i) > merged(i)) { merged(i) = mregs(i); changed = true }
               i += 1
             }
-            if (!changed) (v, regs, est, sum, ecc, false)
+            if (!changed) (v, regs, est, sum, hsum, ecc, false)
             else {
               // clamp: the LC→raw estimator handoff is not perfectly
               // monotone even though registers are
               val ne = math.max(hllEstimate(merged), est)
-              (v, merged, ne, sum + tt * (ne - est), tt.toLong, true)
+              (v, merged, ne, sum + tt * (ne - est), hsum + (ne - est) / tt,
+                tt.toLong, true)
             }
           }
         }
-        .toDF("v", "regs", "est", "sum", "ecc", "changed")
+        .toDF("v", "regs", "est", "sum", "hsum", "ecc", "changed")
         .localCheckpoint()
       active = next.where(col("changed")).count()
       st = next.drop("changed")
     }
     e.unpersist()
     st.select(col("v").as("vertex"), col("est").as("n_reached_est"),
-      col("sum").as("sum_dist_est"), col("ecc"))
+      col("sum").as("sum_dist_est"), col("hsum").as("hsum_est"), col("ecc"))
   }
 
   /** All-sources exact BFS stats — every vertex a tag of one
@@ -1215,6 +1219,41 @@ object GraphOps {
       hyperBall(e)
         .select(col("vertex"),
           round(col("n_reached_est")).cast("long").as("n_reached"), col("ecc"))
+  }
+
+  /** Harmonic centrality, adaptive like [[closeness]]:
+    * h(v) = Σ_{u reachable, u≠v} 1/d(v,u) — the centrality that stays
+    * well-defined on disconnected graphs (unreachable pairs contribute
+    * 0, not ∞). Exact path: the same all-sources tagged BFS, counts
+    * grouped per (vertex, level); each level's term cnt/d is one IEEE
+    * division of exact integers ROUNDed to 9 dp and summed as an exact
+    * DECIMAL — decimal addition commutes, so the sum is independent of
+    * aggregation order and engine-identical (a raw double Σ 1/d would
+    * depend on shuffle arrival order). Above the vertex threshold:
+    * [[hyperBall]]'s hsum_est, which accumulates (|B_t|−|B_{t−1}|)/t.
+    */
+  def harmonic(edges: DataFrame, maxExactVerts: Long = ExactAllSourcesVerts): DataFrame = {
+    val e = canonEdges(edges).localCheckpoint()
+    val nv = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+      .distinct().count()
+    if (nv <= maxExactVerts) {
+      val sources = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
+        .distinct().select(col("v").as("vertex"), col("v").as("tag"))
+      val lv = bfs(e, sources)
+        .groupBy(col("tag"), col("level")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val nr = lv.groupBy(col("tag").as("vertex")).agg(sum("cnt").as("n_reached"))
+      val h = lv.where(col("level") > 0)
+        .withColumn("term",
+          round(col("cnt") / col("level"), 9).cast("decimal(28,9)"))
+        .groupBy(col("tag").as("vertex")).agg(sum(col("term")).as("hs"))
+      nr.join(h, Seq("vertex"), "left")
+        .select(col("vertex"), col("n_reached"),
+          round(coalesce(col("hs"), lit(0)).cast("double"), 6).as("harmonic"))
+    } else
+      hyperBall(e).select(col("vertex"),
+        round(col("n_reached_est")).cast("long").as("n_reached"),
+        round(col("hsum_est"), 6).as("harmonic"))
   }
 
   /** Synchronous label propagation (community detection), fully

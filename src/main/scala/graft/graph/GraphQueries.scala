@@ -494,6 +494,33 @@ object GraphQueries {
        |  CAST(MAX(d) AS BIGINT) AS ecc
        |FROM sp GROUP BY s ORDER BY vertex""".stripMargin
 
+  /** Harmonic centrality on the directed nation graph — Σ 1/d(v,u)
+    * over reachable u ≠ v, the closeness variant that stays meaningful
+    * on disconnected graphs. Adaptive exact/HyperBall like closeness
+    * ([[GraphOps.harmonic]]); per-level terms round to 9 dp and sum as
+    * exact decimals so the float sum is aggregation-order-free.
+    */
+  def graphHarmonic(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.harmonic(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  val graphHarmonicSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.nationEdgesSql},
+       |verts AS (SELECT src AS v FROM ne UNION SELECT dst FROM ne),
+       |r AS (
+       |  SELECT v AS s, v AS t, 0 AS d FROM verts
+       |  UNION
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |),
+       |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2),
+       |lv AS (SELECT s, d, COUNT(*) AS cnt FROM sp WHERE d > 0 GROUP BY 1, 2),
+       |h AS (SELECT s, SUM(CAST(ROUND(cnt / d, 9) AS DECIMAL(28,9))) AS hs
+       |      FROM lv GROUP BY s),
+       |agg AS (SELECT s, COUNT(*) AS nr FROM sp GROUP BY s)
+       |SELECT agg.s AS vertex, CAST(agg.nr AS BIGINT) AS n_reached,
+       |  ROUND(CAST(COALESCE(h.hs, 0) AS DOUBLE), 6) AS harmonic
+       |FROM agg LEFT JOIN h ON h.s = agg.s ORDER BY vertex""".stripMargin
+
   /** Betweenness centrality on the directed nation graph — adaptive on
     * both axes ([[GraphOps.betweenness]]): all-sources exact under
     * [[GraphOps.ExactAllSourcesVerts]] vertices (the gate/oracle
@@ -821,6 +848,7 @@ object GraphQueries {
     Op("graph_link_predict", graphLinkPredict, Some(graphLinkPredictSql)),
     Op("graph_triangles", graphTriangles, Some(graphTrianglesSql)),
     Op("graph_clustering", graphClustering, Some(graphClusteringSql)),
+    Op("graph_harmonic", graphHarmonic, Some(graphHarmonicSql)),
     Op("graph_assortativity", graphAssortativity, Some(graphAssortativitySql)),
     Op("graph_modularity", graphModularity, Some(graphModularitySql)),
     Op("graph_shortest_paths", graphShortestPaths, Some(graphShortestPathsSql)),

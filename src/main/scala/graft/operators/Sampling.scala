@@ -223,7 +223,70 @@ object Sampling {
       n_chars
     FROM sharded ORDER BY shard, pos"""
 
+  /** Target total for the temperature-mixed sample. */
+  val TempK = 200L
+
+  /** Temperature-scaled source mixing (the multilingual-corpus
+    * rebalancing move, e.g. XLM-R's exponentiated sampling): each
+    * source's quota is proportional to n_s^(1/T) at T = 2 (√n), so
+    * heavy sources are down-weighted sub-linearly — between balanced
+    * (equal quotas) and proportional (raw sizes) — and every source
+    * keeps ≥ 1 document. Which documents fill a quota is the salted
+    * md5 hash order (deterministic uniform draw, like the other
+    * sampling ops).
+    *
+    * Cross-engine determinism of the quota arithmetic: √n is IEEE
+    * correctly-rounded (identical in both engines, unlike a generic
+    * pow), each weight rounds to 9 dp and sums as an EXACT decimal —
+    * commutative, so Σw is aggregation-order-free — and the final
+    * `floor(K·w/Σw)` runs on identical doubles.
+    *
+    * Scale shape: one count aggregation, a broadcast quota dim, one
+    * shuffle on source for the rank window (or a precomputed hex
+    * threshold per source at extreme scale, dropping the window —
+    * same note as the balanced sample).
+    */
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("wt", round(sqrt(col("n").cast(DoubleType)), 9).cast("decimal(28,9)"))
+    val tot = wts.agg(sum(col("wt")).as("sw"))
+    val quotas = wts.crossJoin(broadcast(tot))
+      .withColumn("quota", greatest(lit(1L),
+        floor(lit(TempK.toDouble) * col("wt").cast(DoubleType)
+          / col("sw").cast(DoubleType))))
+      .select(col("source"), col("quota"))
+    val h = md5(concat(lit("temp:"), col("doc_id").cast(StringType)).cast(BinaryType))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", h)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(quotas), "source")
+      .where(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("rn"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qSampleTemperatureSql: String = s"""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    wts AS (SELECT source, n,
+              CAST(ROUND(sqrt(n), 9) AS DECIMAL(28,9)) AS wt
+            FROM counts),
+    tot AS (SELECT SUM(wt) AS sw FROM wts),
+    quotas AS (SELECT source,
+                 GREATEST(1, CAST(FLOOR($TempK * CAST(wt AS DOUBLE)
+                   / CAST(sw AS DOUBLE)) AS BIGINT)) AS quota
+               FROM wts, tot),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn, r.n_chars
+    FROM ranked r JOIN quotas q ON q.source = r.source
+    WHERE r.rn <= q.quota ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),
     Op("q_train_split", qTrainSplit, Some(qTrainSplitSql)),
     Op("q_sample_stratified", qSampleStratified, Some(qSampleStratifiedSql)),
     Op("q_sample_weighted", qSampleWeighted, Some(qSampleWeightedSql)),

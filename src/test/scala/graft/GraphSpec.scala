@@ -320,6 +320,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("harmonic: planted chain values exact; sketch path tracks the exact path") {
+    // 1→2→3 plus isolated pair 8→9: h(1) = 1/1 + 1/2 = 1.5, h(2) = 1,
+    // sinks score 0; unreachable vertices contribute nothing (the
+    // disconnected-graph robustness closeness lacks)
+    val e = edgeDf(1L -> 2L, 2L -> 3L, 8L -> 9L)
+    val h = GraphOps.harmonic(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(h === Map(
+      1L -> ((3L, 1.5)), 2L -> ((2L, 1.0)), 3L -> ((1L, 0.0)),
+      8L -> ((2L, 1.0)), 9L -> ((1L, 0.0))))
+    // HyperBall estimate tracks the exact path on the nation graph
+    val ne = DerivedGraphs.nationEdges(spark, sfDir)
+    val exact = GraphOps.harmonic(ne).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val sk = GraphOps.harmonic(ne, maxExactVerts = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(sk.keySet === exact.keySet)
+    exact.foreach { case (v, x) =>
+      assert(math.abs(sk(v) - x) <= math.max(0.5, 0.15 * x),
+        s"vertex $v harmonic sketch ${sk(v)} vs exact $x")
+    }
+  }
+
   test("GraphStore upserts: sequenced writers union, readers see whole snapshots") {
     // Reference contract (primary_server.c:62-107): writers are
     // sequenced (writers-preference); re-expressed as snapshot-replace

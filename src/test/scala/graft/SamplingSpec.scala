@@ -93,4 +93,28 @@ class SamplingSpec extends SparkSpec {
     // deterministic: same permutation on re-run
     assert(Sampling.qShuffleShard(spark, sfDir).collect().toSeq === out.toSeq)
   }
+
+  test("q_sample_temperature: quotas are √n-proportional — between balanced and raw") {
+    val out = Sampling.qSampleTemperature(spark, sfDir).localCheckpoint()
+    val taken = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = Tables.documents(spark, sfDir).groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every source survives (the ≥1 floor), no quota exceeds the stratum
+    assert(taken.keySet === sizes.keySet)
+    taken.foreach { case (s, k) => assert(k >= 1L && k <= sizes(s)) }
+    // sub-linear damping: for any two sources, the take ratio sits
+    // between 1 (balanced) and the raw size ratio (proportional) —
+    // within ±1 doc of the floor/ceil rounding
+    for {
+      (a, na) <- sizes; (b, nb) <- sizes
+      if na > nb && taken(a) > 1L && taken(b) >= 1L && taken(a) < sizes(a)
+    } {
+      assert(taken(a) + 1 >= taken(b), s"$a vs $b: heavier source took fewer")
+      assert((taken(a) - 1).toDouble / (taken(b) + 1) <= na.toDouble / nb,
+        s"$a vs $b: damping exceeded the raw size ratio")
+    }
+    // a pure function of the keys: identical on re-run
+    assert(rowsOf(Sampling.qSampleTemperature(spark, sfDir)) === rowsOf(out))
+  }
 }

@@ -640,12 +640,12 @@ object Events {
     * both engines so the comparison literal is the same double), with
     * recency inverted (most recent = 4); rfm = r·100 + f·10 + m.
     *
-    * Scale shape: one aggregation over the purchase stream, then a
-    * 9-scalar quartile aggregate over the per-user frame (model-sized,
-    * folded back as literals — at 100 TB the cutpoints would come from
-    * the same rank-based machinery as q_percentiles or an approx
-    * sketch), then a scan-side projection. No windows, no global sort
-    * before the gate's canonical ORDER BY.
+    * Scale shape: one aggregation over the purchase stream; the 9
+    * cutpoints come from [[Relational.distributedQuantiles]] — the
+    * same histogram-selection machinery as q_percentiles (bounded
+    * driver collects, never a single-reducer percentile aggregate) —
+    * and fold back as literals into a scan-side projection. No
+    * windows, no global sort before the gate's canonical ORDER BY.
     */
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val p = eventsSec(spark, dir).where(col("event_type") === "purchase")
@@ -657,17 +657,24 @@ object Events {
       .select(col("user_id"),
         expr(s"($maxTs - last_ts) div 86400").as("recency_days"),
         col("frequency"), col("monetary"))
-    val cutRow = per.agg(
-      expr("percentile(recency_days, array(0.25D, 0.5D, 0.75D))").as("rq"),
-      expr("percentile(frequency, array(0.25D, 0.5D, 0.75D))").as("fq"),
-      expr("percentile(monetary, array(0.25D, 0.5D, 0.75D))").as("mq")).head()
-    def snap4(x: Double): Double =
-      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-    def cuts(i: Int): Seq[Double] = cutRow.getSeq[Double](i).map(snap4)
+      .localCheckpoint()
+    // cutpoints via the engine's distributed exact-quantile primitive
+    // (histogram selection + bounded collects — never a single-reducer
+    // percentile aggregate), already 4-dp-snapped to match the oracle's
+    // ROUND(quantile_cont(...), 4)
+    val vc = per.select(lit("rec").as("flag"),
+        col("recency_days").cast(DoubleType).as("v"))
+      .unionAll(per.select(lit("freq"), col("frequency").cast(DoubleType)))
+      .unionAll(per.select(lit("mon"), col("monetary")))
+      .groupBy("flag", "v").agg(count(lit(1)).as("c"))
+    val q = Relational.distributedQuantiles(vc,
+      Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+    def cuts(flag: String): Seq[Double] =
+      Seq(q((flag, "q1")), q((flag, "q2")), q((flag, "q3")))
     def bucket(c: Column, q: Seq[Double]): Column =
       lit(1L) + (c > q(0)).cast(LongType) + (c > q(1)).cast(LongType) +
         (c > q(2)).cast(LongType)
-    val (rq, fq, mq) = (cuts(0), cuts(1), cuts(2))
+    val (rq, fq, mq) = (cuts("rec"), cuts("freq"), cuts("mon"))
     per
       .withColumn("r_score", lit(5L) - bucket(col("recency_days"), rq))
       .withColumn("f_score", bucket(col("frequency"), fq))

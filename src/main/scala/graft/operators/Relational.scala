@@ -336,11 +336,31 @@ object Relational {
     import spark.implicits._
     val ps: Seq[(String, Double)] =
       Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
-    val NB = 1024
-    val vc = audited(Tables.lineitem(spark, dir)
+    val vc = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast(DoubleType).as("v"))
-      .agg(count(lit(1)).as("c"))).localCheckpoint()
+      .agg(count(lit(1)).as("c"))
+    val q = distributedQuantiles(vc, ps)
+    val out = q.keys.map(_._1).toSeq.distinct.sorted.map { f =>
+      (f, q((f, "p25")), q((f, "p50")), q((f, "p90")), q((f, "p99")))
+    }
+    out.toDF("l_returnflag", "p25", "p50", "p90", "p99")
+      .orderBy("l_returnflag")
+  }
+
+  /** The engine's exact-quantile primitive, reusable by any op needing
+    * distributed cutpoints (q_percentiles, q_rfm): linear-interpolation
+    * quantiles (quantile_cont definition) per `flag` over a compressed
+    * `(flag, v: double, c: long)` value-count frame, returning
+    * `(flag, name) → value` snapped to 4 dp. See the algorithm note
+    * above qPercentiles — histogram bucket location + bounded slice
+    * collects + hot-bucket refinement; never a single-reducer
+    * `percentile` aggregate, never an unbounded driver collect.
+    */
+  private[graft] def distributedQuantiles(vc0: DataFrame,
+      ps: Seq[(String, Double)]): Map[(String, String), Double] = {
+    val NB = 1024
+    val vc = audited(vc0).localCheckpoint()
     val stats = audited(vc.groupBy("flag")
       .agg(min("v").as("lo"), max("v").as("hi"), sum("c").as("n")))
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
@@ -474,21 +494,18 @@ object Relational {
         .map(_.getDouble(2))
         .getOrElse(sys.error(s"qPercentiles: rank $rank not found for '$f'"))
     }
-    val out = stats.keys.toSeq.sorted.map { f =>
-      val vals = ps.map { case (name, p) =>
+    stats.keys.toSeq.sorted.flatMap { f =>
+      ps.map { case (name, p) =>
         val n = stats(f)._3
         val idx = p * (n - 1)
         val lo = math.floor(idx).toLong + 1
         val frac = idx - math.floor(idx)
         val vLo = valueAt(f, lo)
         val vHi = if (lo < n) valueAt(f, lo + 1) else vLo
-        BigDecimal(vLo + frac * (vHi - vLo))
+        (f, name) -> BigDecimal(vLo + frac * (vHi - vLo))
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
       }
-      (f, vals(0), vals(1), vals(2), vals(3))
-    }
-    out.toDF("l_returnflag", "p25", "p50", "p90", "p99")
-      .orderBy("l_returnflag")
+    }.toMap
   }
 
   val qPercentilesSql: String = """

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and 60 of the gate operators — the whole relational and
+  * views, and 76 of the gate operators — the whole relational and
   * event families, every sampling op, the text/dedup representatives
   * (tokens, quality, fingerprint, ngrams, vocab, repetition, PII
   * scrub, chunking; exact, ngram-Jaccard, containment), the ANN
@@ -1165,6 +1165,131 @@ object SqlSurface {
               * (CAST(cs.degree_sum AS DOUBLE) / (2.0D * mm.m)), 6) AS q_term
         FROM cs LEFT JOIN ie ON ie.community = cs.community CROSS JOIN mm
         ORDER BY community""",
+
+      "q_basket" -> s"""
+        WITH ob AS (
+          SELECT DISTINCT l_orderkey AS o, p_brand AS b
+          FROM lineitem JOIN part ON p_partkey = l_partkey),
+        nb AS (SELECT b, COUNT(*) AS nb FROM ob GROUP BY b),
+        no AS (SELECT COUNT(DISTINCT o) AS n FROM ob),
+        pr AS (
+          SELECT a.b AS b1, c.b AS b2, COUNT(*) AS n_both
+          FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+          GROUP BY 1, 2),
+        st AS (
+          SELECT b1, b2, n_both, n1.nb AS n1, n2.nb AS n2, no.n AS n
+          FROM pr JOIN nb n1 ON n1.b = pr.b1 JOIN nb n2 ON n2.b = pr.b2, no
+          WHERE n_both >= ${operators.Relational.BasketMinSupport})
+        SELECT b1, b2, n_both,
+          ROUND(n_both / CAST(n AS DOUBLE), 6) AS support,
+          ROUND(n_both / CAST(n1 AS DOUBLE), 6) AS confidence,
+          ROUND(n_both * CAST(n AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS lift
+        FROM st ORDER BY b1, b2""",
+
+      "q_gini" -> """
+        WITH sp AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nk, c.c_custkey AS ck,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+          FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        rk AS (
+          SELECT nk, ck, spend,
+            ROW_NUMBER() OVER (PARTITION BY nk ORDER BY spend, ck) AS r,
+            COUNT(*) OVER (PARTITION BY nk) AS n
+          FROM sp),
+        ag AS (
+          SELECT nk, MAX(n) AS n,
+            CAST(SUM(spend) AS DOUBLE) AS total,
+            CAST(SUM(r * spend) AS DOUBLE) AS rs,
+            CAST(SUM(CASE WHEN r > n - CAST(FLOOR(n / 5) AS BIGINT) THEN spend END) AS DOUBLE) AS top_spend,
+            CAST(FLOOR(n / 5) AS BIGINT) AS top_k
+          FROM rk GROUP BY nk, CAST(FLOOR(n / 5) AS BIGINT))
+        SELECT nk AS nationkey, n AS n_customers,
+          ROUND(total, 2) AS total_spend,
+          ROUND(2 * rs / (n * total) - (n + 1.0D) / n, 6) AS gini,
+          top_k, ROUND(COALESCE(top_spend, 0.0D) / total, 6) AS top20_share
+        FROM ag ORDER BY nationkey""",
+
+      "q_abtest" -> """
+        WITH m AS (
+          SELECT event_type,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1a,
+            CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2a,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1b,
+            CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2b
+          FROM events GROUP BY event_type),
+        w AS (
+          SELECT event_type, n_a, n_b,
+            s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+            (s2a - s1a * s1a / n_a) / (n_a - 1) AS var_a,
+            (s2b - s1b * s1b / n_b) / (n_b - 1) AS var_b
+          FROM m),
+        se AS (
+          SELECT event_type, n_a, n_b, mean_a, mean_b,
+            var_a / n_a AS se_a, var_b / n_b AS se_b,
+            var_a / n_a + var_b / n_b AS se2
+          FROM w)
+        SELECT event_type, n_a, n_b,
+          ROUND(mean_a, 4) AS mean_a,
+          ROUND(mean_b, 4) AS mean_b,
+          ROUND(mean_b - mean_a, 4) AS lift_abs,
+          ROUND((mean_b - mean_a) / mean_a, 4) AS lift_rel,
+          ROUND((mean_b - mean_a) / SQRT(se2), 4) AS t_welch,
+          ROUND(se2 * se2 / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 4) AS df_welch
+        FROM se ORDER BY event_type""",
+
+      "q_entropy" -> """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS c
+          FROM events GROUP BY user_id, event_type),
+        u AS (
+          SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+            CAST(SUM(CAST(ROUND(c * LN(c), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+          FROM c GROUP BY user_id)
+        SELECT user_id, n_events, n_types,
+          ROUND(LN(n_events) - s / n_events, 6) AS entropy
+        FROM u WHERE n_events >= 20 ORDER BY user_id""",
+
+      "graph_reciprocity" -> """
+        WITH rd AS (
+          SELECT a.src AS v, COUNT(*) AS recip_deg
+          FROM graph_nation a JOIN graph_nation b
+            ON b.src = a.dst AND b.dst = a.src
+          GROUP BY a.src),
+        od AS (SELECT src AS v, COUNT(*) AS out_deg FROM graph_nation GROUP BY src),
+        id AS (SELECT dst AS v, COUNT(*) AS in_deg FROM graph_nation GROUP BY dst),
+        verts AS (SELECT v FROM od UNION SELECT v FROM id)
+        SELECT verts.v AS vertex,
+          COALESCE(od.out_deg, 0L) AS out_deg,
+          COALESCE(id.in_deg, 0L) AS in_deg,
+          COALESCE(rd.recip_deg, 0L) AS recip_deg,
+          CASE WHEN COALESCE(od.out_deg, 0L) > 0
+               THEN ROUND(COALESCE(rd.recip_deg, 0L) / od.out_deg, 6)
+               ELSE 0.0D END AS reciprocity
+        FROM verts LEFT JOIN od ON od.v = verts.v
+        LEFT JOIN id ON id.v = verts.v
+        LEFT JOIN rd ON rd.v = verts.v
+        ORDER BY vertex""",
+
+      "text_readability" -> """
+        WITH f AS (
+          SELECT doc_id,
+            GREATEST(CAST(size(split(text, ' ')) AS BIGINT), 1L) AS n_words,
+            CAST(regexp_count(text, '[aeiouy]+') AS BIGINT) AS n_syll,
+            GREATEST(CAST(regexp_count(text, '[.!?]+') AS BIGINT), 1L) AS n_sent
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_words, n_syll, n_sent,
+            206.835D - 1.015D * (n_words / n_sent) - 84.6D * (n_syll / n_words) AS flesch
+          FROM f)
+        SELECT doc_id, n_words, n_syll, n_sent,
+          ROUND(flesch, 4) AS flesch,
+          CASE WHEN flesch >= 70.0D THEN 'easy'
+               WHEN flesch >= 50.0D THEN 'medium'
+               ELSE 'hard' END AS band
+        FROM s ORDER BY doc_id""",
 
       "q_events_anomaly" -> """
         WITH st AS (

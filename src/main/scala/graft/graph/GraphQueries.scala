@@ -822,7 +822,63 @@ object GraphQueries {
     s"""WITH ${DerivedGraphs.nationEdgesSql}
        |SELECT src, dst FROM ne ORDER BY src, dst""".stripMargin
 
+  /** Per-vertex reciprocity profile of the directed nation trade graph
+    * (who trades back): out-degree, in-degree, reciprocated out-degree
+    * (out-neighbors that link back), and the reciprocity ratio —
+    * Garlaschelli–Loffredo's vertex-local form, the standard directed-
+    * graph health metric (mutual-follow rate, bidirectional-trade
+    * share).
+    *
+    * Scale shape: the reciprocated set is ONE equi-join of the edge
+    * list with its transpose on the composite (src, dst) key — hash
+    * join, never all-pairs — and the three counts are map-side-combine
+    * aggregations unioned on the vertex key. At 100 TB this is two
+    * shuffles of the edge list (one per join side) and degree-sized
+    * aggregates; hub skew lands on the same hubSplit geometry the
+    * iterative family uses if the edge frame is pre-split.
+    */
+  def graphReciprocity(spark: SparkSession, dir: String): DataFrame = {
+    val e = DerivedGraphs.nationEdges(spark, dir)
+    val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
+    val recip = e.join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"))
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("recip_deg"))
+    val outDeg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("in_deg"))
+    outDeg.join(inDeg, Seq("v"), "full_outer")
+      .join(recip, Seq("v"), "left_outer")
+      .select(col("v").as("vertex"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("recip_deg"), lit(0L)).as("recip_deg"))
+      .withColumn("reciprocity",
+        when(col("out_deg") > 0, round(col("recip_deg") / col("out_deg"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy("vertex")
+  }
+
+  val graphReciprocitySql: String =
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |rd AS (
+       |  SELECT a.src AS v, COUNT(*) AS recip_deg
+       |  FROM ne a JOIN ne b ON b.src = a.dst AND b.dst = a.src
+       |  GROUP BY a.src),
+       |od AS (SELECT src AS v, COUNT(*) AS out_deg FROM ne GROUP BY src),
+       |id AS (SELECT dst AS v, COUNT(*) AS in_deg FROM ne GROUP BY dst),
+       |verts AS (SELECT v FROM od UNION SELECT v FROM id)
+       |SELECT verts.v AS vertex,
+       |  COALESCE(od.out_deg, 0) AS out_deg,
+       |  COALESCE(id.in_deg, 0) AS in_deg,
+       |  COALESCE(rd.recip_deg, 0) AS recip_deg,
+       |  CASE WHEN COALESCE(od.out_deg, 0) > 0
+       |       THEN ROUND(COALESCE(rd.recip_deg, 0) / od.out_deg, 6)
+       |       ELSE 0.0 END AS reciprocity
+       |FROM verts LEFT JOIN od ON od.v = verts.v
+       |LEFT JOIN id ON id.v = verts.v
+       |LEFT JOIN rd ON rd.v = verts.v
+       |ORDER BY vertex""".stripMargin
+
   def ops: Seq[Op] = Seq(
+    Op("graph_reciprocity", graphReciprocity, Some(graphReciprocitySql)),
     Op("graph_from_tpch", graphFromTpch, Some(graphFromTpchSql)),
     Op("graph_load", graphLoad, Some(graphLoadSql)),
     Op("graph_load_text", graphLoadText, Some(graphLoadTextSql)),

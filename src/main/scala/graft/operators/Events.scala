@@ -723,7 +723,130 @@ object Events {
       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm
     FROM sc ORDER BY user_id"""
 
+  /** Welch two-sample A/B test per event type. Users split into
+    * deterministic cohorts by user-id parity (what every production
+    * hash-assignment reduces to); each type's `value` is compared
+    * across cohorts: absolute and relative mean lift, Welch t
+    * statistic, and Welch–Satterthwaite degrees of freedom. Moments
+    * are exact decimal sums cast to double ONCE, so every downstream
+    * double op (the identical expression tree on both engines) is
+    * bit-reproducible and ROUND(4) compares literals.
+    *
+    * Scale shape: ONE conditional aggregation over the event stream —
+    * per-type partial state is six numbers, map-side combine does all
+    * the work, the shuffle carries #event_types rows. The 100 TB A/B
+    * readout is exactly this plan; no per-cohort repartition, no
+    * self-join.
+    */
+  def qAbtest(spark: SparkSession, dir: String): DataFrame = {
+    val a = col("user_id") % 2 === 0
+    val agg = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), dec2(col("value")).as("v2"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+        sum(when(a, col("v2"))).cast(DoubleType).as("s1a"),
+        sum(when(a, col("v2") * col("v2"))).cast(DoubleType).as("s2a"),
+        sum(when(!a, col("v2"))).cast(DoubleType).as("s1b"),
+        sum(when(!a, col("v2") * col("v2"))).cast(DoubleType).as("s2b"))
+    val withMoments = agg
+      .withColumn("mean_a", col("s1a") / col("n_a"))
+      .withColumn("mean_b", col("s1b") / col("n_b"))
+      .withColumn("var_a",
+        (col("s2a") - col("s1a") * col("s1a") / col("n_a")) / (col("n_a") - 1))
+      .withColumn("var_b",
+        (col("s2b") - col("s1b") * col("s1b") / col("n_b")) / (col("n_b") - 1))
+      .withColumn("se_a", col("var_a") / col("n_a"))
+      .withColumn("se_b", col("var_b") / col("n_b"))
+      .withColumn("se2", col("se_a") + col("se_b"))
+    withMoments
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("mean_a"), 4).as("mean_a"),
+        round(col("mean_b"), 4).as("mean_b"),
+        round(col("mean_b") - col("mean_a"), 4).as("lift_abs"),
+        round((col("mean_b") - col("mean_a")) / col("mean_a"), 4).as("lift_rel"),
+        round((col("mean_b") - col("mean_a")) / sqrt(col("se2")), 4).as("t_welch"),
+        round(col("se2") * col("se2") /
+          (col("se_a") * col("se_a") / (col("n_a") - 1) +
+            col("se_b") * col("se_b") / (col("n_b") - 1)), 4).as("df_welch"))
+      .orderBy("event_type")
+  }
+
+  val qAbtestSql: String = """
+    WITH m AS (
+      SELECT event_type,
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1a,
+        CAST(SUM(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2a,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s1b,
+        CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s2b
+      FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, n_a, n_b,
+        s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+        (s2a - s1a * s1a / n_a) / (n_a - 1) AS var_a,
+        (s2b - s1b * s1b / n_b) / (n_b - 1) AS var_b
+      FROM m),
+    se AS (
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+        var_a / n_a AS se_a, var_b / n_b AS se_b,
+        var_a / n_a + var_b / n_b AS se2
+      FROM w)
+    SELECT event_type, n_a, n_b,
+      ROUND(mean_a, 4) AS mean_a,
+      ROUND(mean_b, 4) AS mean_b,
+      ROUND(mean_b - mean_a, 4) AS lift_abs,
+      ROUND((mean_b - mean_a) / mean_a, 4) AS lift_rel,
+      ROUND((mean_b - mean_a) / SQRT(se2), 4) AS t_welch,
+      ROUND(se2 * se2 / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 4) AS df_welch
+    FROM se ORDER BY event_type"""
+
+  /** Per-user behavioral entropy over the event-type mix (the
+    * diversity score behind engagement segmentation and bot
+    * filtering). Shannon entropy in nats via the integer-count
+    * identity H = ln(n) − (Σ c·ln c)/n, which keeps every log
+    * argument an INTEGER — the same double input on both engines —
+    * and the per-type terms c·ln(c) round to 9 dp and sum as EXACT
+    * decimals, so the sum is aggregation-order-free (the
+    * graph_harmonic pattern).
+    *
+    * Scale shape: two aggregations — (user, type) counts, then a
+    * per-user fold over ≤ |type-alphabet| rows. Both map-side
+    * combine; no windows, no self-joins. At 100 TB the first groupBy
+    * is the only real shuffle and it carries one row per live
+    * (user, type) pair.
+    */
+  def qEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    cnt.groupBy("user_id")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(round(col("c") * log(col("c")), 9).cast(DecimalType(28, 9)))
+          .cast(DoubleType).as("s"))
+      .where(col("n_events") >= 20)
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events")) - col("s") / col("n_events"), 6).as("entropy"))
+      .orderBy("user_id")
+  }
+
+  val qEntropySql: String = """
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type),
+    u AS (
+      SELECT user_id, SUM(c) AS n_events, COUNT(*) AS n_types,
+        CAST(SUM(CAST(ROUND(c * LN(c), 9) AS DECIMAL(28,9))) AS DOUBLE) AS s
+      FROM c GROUP BY user_id)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events, n_types,
+      ROUND(LN(n_events) - s / n_events, 6) AS entropy
+    FROM u WHERE n_events >= 20 ORDER BY user_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_abtest", qAbtest, Some(qAbtestSql)),
+    Op("q_entropy", qEntropy, Some(qEntropySql)),
     Op("q_rfm", qRfm, Some(qRfmSql)),
     Op("q_events_anomaly", qEventsAnomaly, Some(qEventsAnomalySql)),
     Op("q_events_sessionize", qEventsSessionize, Some(qEventsSessionizeSql)),

@@ -808,7 +808,139 @@ object Relational {
     FROM iv JOIN periods p ON iv.lo <= p.phi AND iv.hi >= p.plo
     GROUP BY p.plo ORDER BY period_start"""
 
+  /** Per-nation inequality readout of customer spend: exact Gini
+    * coefficient via the rank identity G = 2·Σ rᵢxᵢ/(n·Σx) − (n+1)/n
+    * (x ascending, ties broken by custkey so the rank — and therefore
+    * the statistic — is deterministic), plus the top-20% concentration
+    * share (the 80/20 readout). Spend, rank·spend and the top-quintile
+    * sum stay EXACT decimals until one final cast, so the double
+    * arithmetic is the same literal tree on both engines at
+    * ROUND(6).
+    *
+    * Scale shape: the spend rollup shuffles on (nation, customer) —
+    * full parallelism — and only the rank window shuffles on the
+    * 25-key nation partitioning. Within-nation ranking is a per-group
+    * sort that spills fine at millions of customers per nation; if a
+    * group ever outgrows that, the swap is the
+    * [[distributedQuantiles]] histogram machinery (the q_rfm path) for
+    * an approximate-cutpoint Gini — same contract q_percentiles
+    * documents. No global sort, no cross join.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast(LongType).as("nk"), col("c_custkey").as("ck"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
+        col("o_custkey") === col("ck"))
+      .groupBy("nk", "ck").agg(sum(dec2(col("o_totalprice"))).as("spend"))
+    val byNation = Window.partitionBy("nk")
+    val rk = sp
+      .withColumn("r", row_number().over(byNation.orderBy("spend", "ck")))
+      .withColumn("n", count(lit(1)).over(byNation))
+      .withColumn("top_k", floor(col("n") / 5))
+    val ag = rk.groupBy("nk", "top_k")
+      .agg(max(col("n")).as("n"),
+        sum(col("spend")).cast(DoubleType).as("total"),
+        sum(col("r") * col("spend")).cast(DoubleType).as("rs"),
+        sum(when(col("r") > col("n") - col("top_k"), col("spend")))
+          .cast(DoubleType).as("top_spend"))
+    ag.select(col("nk").as("nationkey"), col("n").as("n_customers"),
+        round(col("total"), 2).as("total_spend"),
+        round(lit(2) * col("rs") / (col("n") * col("total"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        col("top_k"),
+        round(coalesce(col("top_spend"), lit(0.0)) / col("total"), 6).as("top20_share"))
+      .orderBy("nationkey")
+  }
+
+  val qGiniSql: String = """
+    WITH sp AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nk, c.c_custkey AS ck,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT nk, ck, spend,
+        ROW_NUMBER() OVER (PARTITION BY nk ORDER BY spend, ck) AS r,
+        COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM sp),
+    ag AS (
+      SELECT nk, MAX(n) AS n,
+        CAST(SUM(spend) AS DOUBLE) AS total,
+        CAST(SUM(r * spend) AS DOUBLE) AS rs,
+        CAST(SUM(CASE WHEN r > n - CAST(FLOOR(n / 5) AS BIGINT) THEN spend END) AS DOUBLE) AS top_spend,
+        CAST(FLOOR(n / 5) AS BIGINT) AS top_k
+      FROM rk GROUP BY nk, CAST(FLOOR(n / 5) AS BIGINT))
+    SELECT nk AS nationkey, n AS n_customers,
+      ROUND(total, 2) AS total_spend,
+      ROUND(2 * rs / (n * total) - (n + 1.0) / n, 6) AS gini,
+      top_k, ROUND(COALESCE(top_spend, 0) / total, 6) AS top20_share
+    FROM ag ORDER BY nationkey"""
+
+  /** Market-basket association mining over order baskets: for every
+    * brand pair co-purchased in ≥ MinSupport orders, the support /
+    * confidence / lift triple (the Agrawal–Srikant readout, the
+    * warehouse staple behind "frequently bought together"). All three
+    * ratios come from integer counts with explicit one-step double
+    * casts, so the doubles are bit-identical on both engines at
+    * ROUND(6).
+    *
+    * Scale shape: the pair generator is a SELF-EQUI-JOIN on the order
+    * key — per-order work is C(basket-brands, 2), bounded by basket
+    * size, never corpus-quadratic (the same bounded-blocks argument as
+    * the dedup candidate generators). The distinct collapses duplicate
+    * (order, brand) rows map-side first; brand marginals and the
+    * 1-row order count ride a broadcast. At 100 TB this is two
+    * shuffles of the basket stream (distinct, pair-count) and nothing
+    * else.
+    */
+  val BasketMinSupport = 5L
+
+  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
+    val nb = ob.groupBy("b").agg(count(lit(1)).as("nb"))
+    val no = ob.agg(count_distinct(col("o")).as("n"))
+    val pr = ob.as("a").join(ob.as("c"),
+        col("a.o") === col("c.o") && col("a.b") < col("c.b"))
+      .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+      .agg(count(lit(1)).as("n_both"))
+      .where(col("n_both") >= BasketMinSupport)
+    pr.join(nb.select(col("b").as("b1"), col("nb").as("n1")), "b1")
+      .join(nb.select(col("b").as("b2"), col("nb").as("n2")), "b2")
+      .crossJoin(broadcast(no))
+      .select(col("b1"), col("b2"), col("n_both"),
+        round(col("n_both") / col("n").cast(DoubleType), 6).as("support"),
+        round(col("n_both") / col("n1").cast(DoubleType), 6).as("confidence"),
+        round(col("n_both") * col("n").cast(DoubleType)
+          / (col("n1").cast(DoubleType) * col("n2")), 6).as("lift"))
+      .orderBy("b1", "b2")
+  }
+
+  val qBasketSql: String = s"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS o, p_brand AS b
+      FROM lineitem JOIN part ON p_partkey = l_partkey),
+    nb AS (SELECT b, COUNT(*) AS nb FROM ob GROUP BY b),
+    no AS (SELECT COUNT(DISTINCT o) AS n FROM ob),
+    pr AS (
+      SELECT a.b AS b1, c.b AS b2, COUNT(*) AS n_both
+      FROM ob a JOIN ob c ON a.o = c.o AND a.b < c.b
+      GROUP BY 1, 2),
+    st AS (
+      SELECT b1, b2, n_both, n1.nb AS n1, n2.nb AS n2, no.n AS n
+      FROM pr JOIN nb n1 ON n1.b = pr.b1 JOIN nb n2 ON n2.b = pr.b2, no
+      WHERE n_both >= $BasketMinSupport)
+    SELECT b1, b2, n_both,
+      ROUND(n_both / CAST(n AS DOUBLE), 6) AS support,
+      ROUND(n_both / CAST(n1 AS DOUBLE), 6) AS confidence,
+      ROUND(n_both * CAST(n AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS lift
+    FROM st ORDER BY b1, b2"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_basket", qBasket, Some(qBasketSql)),
+    Op("q_gini", qGini, Some(qGiniSql)),
     Op("q17_small_qty", q17SmallQty, Some(q17SmallQtySql)),
     Op("q_interval_join", qIntervalJoin, Some(qIntervalJoinSql)),
     Op("q_incremental", qIncremental, Some(qIncrementalSql)),

@@ -1156,7 +1156,61 @@ object TextAnalysis {
        |FROM enc JOIN documents d ON d.doc_id = enc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Flesch reading-ease readability per document — the standard
+    * text-quality gate feature next to [[textQuality]]'s ratio score.
+    * Syllables are vowel-group runs (`[aeiouy]+`, the classic
+    * dictionary-free heuristic), sentences are terminal-punctuation
+    * runs clamped to ≥ 1 (synthetic corpora may carry none), words are
+    * whitespace tokens. flesch = 206.835 − 1.015·(words/sentence) −
+    * 84.6·(syllables/word), banded easy/medium/hard at the textbook
+    * 70/50 cuts. Every input to the double math is an integer count,
+    * and the expression tree is written identically on both engines,
+    * so the 4-dp round compares literals — and the band compare runs
+    * on the unrounded double, which is bit-identical for the same
+    * reason.
+    *
+    * Scale shape: pure per-row projection over a pruned (doc_id, text)
+    * scan — three regex counters inside whole-stage codegen, no
+    * shuffle but the gate's canonical ORDER BY. The 100 TB readability
+    * pass is a map-only job.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val words = greatest(size(split(col("text"), " ")).cast(LongType), lit(1L))
+    val syll = regexp_count(col("text"), lit("[aeiouy]+")).cast(LongType)
+    val sent = greatest(regexp_count(col("text"), lit("[.!?]+")).cast(LongType), lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("n_words"), syll.as("n_syll"), sent.as("n_sent"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * (col("n_words") / col("n_sent"))
+          - lit(84.6) * (col("n_syll") / col("n_words")))
+      .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
+        round(col("flesch"), 4).as("flesch"),
+        when(col("flesch") >= 70.0, "easy")
+          .when(col("flesch") >= 50.0, "medium")
+          .otherwise("hard").as("band"))
+      .orderBy("doc_id")
+  }
+
+  val textReadabilitySql: String = """
+    WITH f AS (
+      SELECT doc_id,
+        GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_words,
+        CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syll,
+        GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sent
+      FROM documents),
+    s AS (
+      SELECT doc_id, n_words, n_syll, n_sent,
+        206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / n_words) AS flesch
+      FROM f)
+    SELECT doc_id, n_words, n_syll, n_sent,
+      ROUND(flesch, 4) AS flesch,
+      CASE WHEN flesch >= 70.0 THEN 'easy'
+           WHEN flesch >= 50.0 THEN 'medium'
+           ELSE 'hard' END AS band
+    FROM s ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("text_readability", textReadability, Some(textReadabilitySql)),
     Op("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
     Op("text_bpe_encode", textBpeEncode, Some(textBpeEncodeSql)),
     Op("text_tokens", textTokens, Some(textTokensSql)),

@@ -540,4 +540,32 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(3)).toMap
     assert(again === out)
   }
+
+  test("graph_reciprocity: profile matches a locally recomputed mutual-edge count") {
+    val edges = DerivedGraphs.nationEdges(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = graph.GraphQueries.graphReciprocity(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // one row per vertex that appears on either edge side
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    assert(out.map(_.getLong(0)).toSet === verts)
+    out.foreach { r =>
+      val v = r.getLong(0)
+      val outN = edges.filter(_._1 == v).map(_._2)
+      val inN = edges.filter(_._2 == v).map(_._1)
+      assert(r.getLong(1) === outN.size.toLong)
+      assert(r.getLong(2) === inN.size.toLong)
+      val recip = outN.count(w => edges.contains((w, v)))
+      assert(r.getLong(3) === recip.toLong)
+      // ratio: reported at 6 dp, in [0, 1], recip_deg ≤ out_deg
+      assert(r.getLong(3) <= r.getLong(1))
+      val want =
+        if (outN.isEmpty) 0.0
+        else BigDecimal(recip.toDouble / outN.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) === want)
+    }
+    // the nation trade graph genuinely has mutual pairs to measure
+    assert(out.map(_.getLong(3)).sum > 0L)
+  }
 }

@@ -263,4 +263,109 @@ class RelationalSpec extends SparkSpec {
       finally s.close()
     }
   }
+
+  test("q_abtest: Welch statistics agree with Spark's built-in moment aggregates") {
+    val out = Events.qAbtest(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), (col("user_id") % 2 === 0).as("a"), col("value"))
+    val ref = ev.groupBy("event_type").agg(
+      count(when(col("a"), 1)).as("na"), count(when(!col("a"), 1)).as("nb"),
+      avg(when(col("a"), col("value"))).as("ma"),
+      avg(when(!col("a"), col("value"))).as("mb"),
+      var_samp(when(col("a"), col("value"))).as("va"),
+      var_samp(when(!col("a"), col("value"))).as("vb"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    out.foreach { r =>
+      val x = ref(r.getString(0))
+      val (na, nb) = (x.getLong(1).toDouble, x.getLong(2).toDouble)
+      val (ma, mb, va, vb) =
+        (x.getDouble(3), x.getDouble(4), x.getDouble(5), x.getDouble(6))
+      // cohort sizes partition the type's events
+      assert(r.getLong(1) + r.getLong(2) ===
+        Tables.events(spark, sfDir).where(col("event_type") === r.getString(0)).count())
+      assert(math.abs(r.getDouble(3) - ma) < 1e-3 && math.abs(r.getDouble(4) - mb) < 1e-3)
+      val se2 = va / na + vb / nb
+      val t = (mb - ma) / math.sqrt(se2)
+      val df = se2 * se2 /
+        (math.pow(va / na, 2) / (na - 1) + math.pow(vb / nb, 2) / (nb - 1))
+      assert(math.abs(r.getDouble(7) - t) < 1e-3, s"t ${r.getDouble(7)} vs $t")
+      assert(math.abs(r.getDouble(8) - df) < 1e-2, s"df ${r.getDouble(8)} vs $df")
+      // Welch df is bounded by min(na,nb)-1 below and na+nb-2 above
+      assert(r.getDouble(8) >= math.min(na, nb) - 1 - 1e-6)
+      assert(r.getDouble(8) <= na + nb - 2 + 1e-6)
+    }
+  }
+
+  test("q_basket: support/confidence/lift agree with locally recomputed basket counts") {
+    val out = operators.Relational.qBasket(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val baskets = Tables.lineitem(spark, sfDir)
+      .join(Tables.part(spark, sfDir), col("p_partkey") === col("l_partkey"))
+      .select("l_orderkey", "p_brand").distinct().collect()
+      .groupBy(_.getLong(0)).map { case (o, rs) => o -> rs.map(_.getString(1)).toSet }
+    val n = baskets.size.toDouble
+    val brandN = baskets.values.flatten.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    out.foreach { r =>
+      val (b1, b2, both) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(b1 < b2, "canonical pair ordering")
+      val expect = baskets.values.count(s => s.contains(b1) && s.contains(b2)).toLong
+      assert(both === expect)
+      assert(both >= operators.Relational.BasketMinSupport)
+      assert(math.abs(r.getDouble(3) - both / n) < 1e-5)
+      assert(math.abs(r.getDouble(4) - both.toDouble / brandN(b1)) < 1e-5)
+      assert(math.abs(r.getDouble(5) -
+        both * n / (brandN(b1).toDouble * brandN(b2))) < 1e-4)
+      // lift sanity: confidence / P(b2) identity
+      assert(math.abs(r.getDouble(5) - r.getDouble(4) / (brandN(b2) / n)) < 1e-3)
+    }
+  }
+
+  test("q_gini: matches a locally recomputed rank-formula Gini and quintile share") {
+    val out = operators.Relational.qGini(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val spend = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"))
+      .join(Tables.orders(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nk"), col("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("s")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (nk, rs) =>
+        nk -> rs.map(r => r.getLong(1) -> r.getDecimal(2).doubleValue).toSeq
+      }
+    out.foreach { row =>
+      val xs = spend(row.getLong(0)).sortBy(p => (p._2, p._1)).map(_._2)
+      val n = xs.length
+      assert(row.getLong(1) === n.toLong)
+      val total = xs.sum
+      val rsum = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val gini = 2 * rsum / (n * total) - (n + 1.0) / n
+      assert(math.abs(row.getDouble(3) - gini) < 1e-4, s"gini ${row.getDouble(3)} vs $gini")
+      // gini in [0, 1); top-20% share ≥ exact quintile population share
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) < 1.0)
+      val topK = n / 5
+      assert(row.getLong(4) === topK.toLong)
+      val share = xs.takeRight(topK).sum / total
+      assert(math.abs(row.getDouble(5) - share) < 1e-4)
+      assert(share >= topK.toDouble / n - 1e-9, "top quintile holds at least its population share")
+    }
+  }
+
+  test("q_entropy: matches a locally recomputed Shannon entropy, bounded by ln(n_types)") {
+    val out = Events.qEntropy(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type").count().collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(2)) }
+    out.foreach { r =>
+      val cs = counts(r.getLong(0))
+      val n = cs.sum.toDouble
+      assert(r.getLong(1) === cs.sum)
+      assert(r.getLong(2) === cs.length.toLong)
+      val h = -cs.map { c => val p = c / n; p * math.log(p) }.sum
+      assert(math.abs(r.getDouble(3) - h) < 1e-5, s"H ${r.getDouble(3)} vs $h")
+      // 0 ≤ H ≤ ln(n_types), with equality iff degenerate/uniform
+      assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= math.log(cs.length) + 1e-9)
+    }
+  }
 }

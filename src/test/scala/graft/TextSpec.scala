@@ -368,4 +368,30 @@ class TextSpec extends SparkSpec {
       assert((0L to lastSeq).forall(covered), s"$lang has uncovered sequences")
     }
   }
+
+  test("text_readability: counts match a local regex recompute; band follows the score") {
+    val out = TextAnalysis.textReadability(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === texts.size)
+    val vg = "[aeiouy]+".r
+    val sp = "[.!?]+".r
+    out.foreach { r =>
+      val t = texts(r.getLong(0))
+      val words = math.max(t.split(" ", -1).length, 1)
+      val syll = vg.findAllIn(t).size
+      val sent = math.max(sp.findAllIn(t).size, 1)
+      assert(r.getLong(1) === words.toLong)
+      assert(r.getLong(2) === syll.toLong)
+      assert(r.getLong(3) === sent.toLong)
+      val flesch = 206.835 - 1.015 * (words.toDouble / sent) - 84.6 * (syll.toDouble / words)
+      assert(math.abs(r.getDouble(4) - flesch) < 5e-4)
+      val band =
+        if (flesch >= 70.0) "easy" else if (flesch >= 50.0) "medium" else "hard"
+      assert(r.getString(5) === band, s"doc ${r.getLong(0)}: $flesch -> ${r.getString(5)}")
+    }
+    // the corpus spreads across at least two bands (the score varies)
+    assert(out.map(_.getString(5)).distinct.length >= 2 ||
+      out.map(_.getDouble(4)).distinct.length > 10)
+  }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and 76 of the gate operators — the whole relational and
+  * views, and 79 of the gate operators — the whole relational and
   * event families, every sampling op, the text/dedup representatives
   * (tokens, quality, fingerprint, ngrams, vocab, repetition, PII
   * scrub, chunking; exact, ngram-Jaccard, containment), the ANN
@@ -93,7 +93,7 @@ object SqlSurface {
   val excluded: Map[String, String] = {
     val fixpoint = Seq("graph_bfs", "graph_bfs_deep", "graph_cc", "graph_cc_large",
       "graph_scc", "graph_sssp_weighted", "graph_msf", "graph_shortest_paths",
-      "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_closeness",
+      "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_k_truss", "graph_closeness",
       "graph_eccentricity", "graph_harmonic", "graph_betweenness", "dedup_cluster")
       .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
     val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
@@ -1251,6 +1251,59 @@ object SqlSurface {
         SELECT user_id, n_events, n_types,
           ROUND(LN(n_events) - s / n_events, 6) AS entropy
         FROM u WHERE n_events >= 20 ORDER BY user_id""",
+
+      "q_markov" -> """
+        WITH tr AS (
+          SELECT event_type AS src_type,
+            LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS dst_type
+          FROM events_sec),
+        cnt AS (
+          SELECT src_type, dst_type, COUNT(*) AS n FROM tr
+          WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+        tot AS (SELECT src_type, SUM(n) AS n_src FROM cnt GROUP BY src_type)
+        SELECT c.src_type, c.dst_type, c.n,
+          ROUND(c.n / CAST(t.n_src AS DOUBLE), 6) AS p
+        FROM cnt c JOIN tot t ON t.src_type = c.src_type
+        ORDER BY src_type, dst_type""",
+
+      "q_ewma" -> """
+        WITH daily AS (
+          SELECT event_type, ts_sec DIV 86400 AS day,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+          FROM events_sec GROUP BY event_type, ts_sec DIV 86400),
+        series AS (
+          SELECT event_type, sort_array(collect_list(struct(day, x))) AS xs
+          FROM daily GROUP BY event_type),
+        ew AS (
+          SELECT event_type, xs,
+            aggregate(xs, CAST(array() AS ARRAY<DOUBLE>),
+              (acc, e) -> concat(acc, array(CASE WHEN size(acc) = 0 THEN e.x
+                ELSE 0.3D * e.x + 0.7D * element_at(acc, -1) END))) AS ewarr
+          FROM series)
+        SELECT event_type, z.xs.day AS day, ROUND(z.xs.x, 2) AS daily_value,
+          ROUND(z.ewarr, 6) AS ewma
+        FROM ew LATERAL VIEW explode(arrays_zip(xs, ewarr)) t AS z
+        ORDER BY event_type, day""",
+
+      "text_collocations" -> s"""
+        WITH tk AS (SELECT split(text, ' ') AS w FROM documents),
+        uni AS (
+          SELECT tok, COUNT(*) AS c
+          FROM (SELECT explode(w) AS tok FROM tk) GROUP BY tok),
+        ntok AS (SELECT SUM(c) AS n_tok FROM uni),
+        nbi AS (SELECT SUM(size(w) - 1) AS n_bi FROM tk WHERE size(w) >= 2),
+        bi AS (
+          SELECT b.w1, b.w2, COUNT(*) AS n_pair
+          FROM (SELECT explode(zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+                  (a, b) -> named_struct('w1', a, 'w2', b))) AS b
+                FROM tk WHERE size(w) >= 2)
+          GROUP BY b.w1, b.w2 HAVING COUNT(*) >= ${text.TextAnalysis.CollocMinCount})
+        SELECT bi.w1, bi.w2, bi.n_pair, u1.c AS c1, u2.c AS c2,
+          ROUND(LN((bi.n_pair * CAST(ntok.n_tok AS DOUBLE) * ntok.n_tok)
+            / (CAST(nbi.n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2,
+          ntok, nbi
+        ORDER BY w1, w2""",
 
       "graph_reciprocity" -> """
         WITH rd AS (

@@ -775,6 +775,76 @@ object GraphOps {
     deg.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "core_deg")
   }
 
+  /** k-truss decomposition of the undirected simple graph: the maximal
+    * subgraph in which every edge closes ≥ k−2 triangles *within the
+    * subgraph* — the standard cohesion refinement one notch above
+    * k-core (Cohen's definition). Returns the surviving edges with
+    * their final in-truss support.
+    *
+    * Distributed shape: the same monotone prune-to-fixpoint loop as
+    * [[kCore]], but each round's metric is per-EDGE triangle support —
+    * the low→high oriented wedge join of [[triangleCounts]] (each
+    * triangle a<b<c enumerated once, crediting its three edges),
+    * never an all-pairs product. The edge set only shrinks, so rounds
+    * ≤ |E| with one checkpointed wedge join + semi-join per round;
+    * driver twin below the edge threshold (spec pins both paths
+    * identical). Requires k ≥ 3 (at k ≥ 3 every surviving edge closes
+    * a triangle, so the final support join is inner).
+    */
+  def kTruss(edges: DataFrame, k: Int, maxRounds: Int = 64,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    var e = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var n = e.count()
+    if (n <= maxLocalEdges) return localKTruss(edges.sparkSession, e, k)
+    def support(ed: DataFrame): DataFrame = {
+      val tri = ed.as("x")
+        .join(ed.as("y"), col("y.u") === col("x.v"))
+        .join(ed.as("z"), col("z.u") === col("x.u") && col("z.v") === col("y.v"))
+        .select(col("x.u").as("a"), col("x.v").as("b"), col("y.v").as("c"))
+      tri.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(tri.select(col("a").as("u"), col("c").as("v")))
+        .unionAll(tri.select(col("b").as("u"), col("c").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    }
+    var prev = -1L
+    var rounds = 0
+    while (n != prev && n > 0 && rounds < maxRounds) {
+      rounds += 1
+      prev = n
+      val keep = support(e).where(col("support") >= k - 2).select("u", "v")
+      e = e.join(keep, Seq("u", "v"), "left_semi").localCheckpoint()
+      n = e.count()
+    }
+    require(n == prev || n == 0,
+      s"kTruss did not converge in $maxRounds rounds ($n edges live)")
+    e.join(support(e), Seq("u", "v")).select(col("u"), col("v"), col("support"))
+  }
+
+  /** Driver-side k-truss twin for sub-threshold graphs: identical
+    * monotone prune fixpoint via neighbor-set intersections.
+    */
+  private def localKTruss(spark: SparkSession, undirected: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    def supportOf(es: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (x, ps) => x -> ps.map(_._2).toSet }
+      es.map { case (u, v) => (u, v) -> (adj(u) & adj(v)).size.toLong }.toMap
+    }
+    var es: Seq[(Long, Long)] = collectPairs(undirected).toSeq
+    var changed = true
+    while (changed && es.nonEmpty) {
+      val sup = supportOf(es)
+      val next = es.filter(p => sup(p) >= k - 2)
+      changed = next.length != es.length
+      es = next
+    }
+    val sup = supportOf(es)
+    es.map { case (u, v) => (u, v, sup((u, v))) }.toDF("u", "v", "support")
+  }
+
   /** Per-vertex triangle participation counts over the undirected
     * simple graph. Edges are oriented low→high so each triangle is
     * enumerated exactly once (a<b<c) — the standard shuffle-minimal

@@ -342,6 +342,47 @@ object GraphQueries {
     GraphOps.kCore(DerivedGraphs.nationEdges(spark, dir), KCoreK)
       .orderBy("vertex")
 
+  /** Truss order for the gate query: every surviving edge must close
+    * ≥ 2 triangles within the surviving subgraph. */
+  val TrussK = 4
+
+  /** k-truss of the nation trade graph — the cohesion notch above
+    * [[graphKCore]]: surviving edges with their in-truss triangle
+    * support. Oracle = unrolled MATERIALIZED prune rounds (support →
+    * filter), more rounds than the gate graphs need (pruning is
+    * idempotent at fixpoint, so spare rounds are no-ops), then one
+    * final support pass over the fixpoint edge set.
+    */
+  def graphKTruss(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.kTruss(DerivedGraphs.nationEdges(spark, dir), TrussK)
+      .orderBy("u", "v")
+
+  val graphKTrussSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""tri$cur AS MATERIALIZED (SELECT x.u AS a, x.v AS b, y.v AS c
+         |  FROM e$prev x JOIN e$prev y ON y.u = x.v
+         |  JOIN e$prev z ON z.u = x.u AND z.v = y.v),
+         |s$cur AS MATERIALIZED (SELECT u, v, COUNT(*) AS c FROM (
+         |  SELECT a AS u, b AS v FROM tri$cur
+         |  UNION ALL SELECT a, c FROM tri$cur
+         |  UNION ALL SELECT b, c FROM tri$cur) t GROUP BY 1, 2),
+         |e$cur AS MATERIALIZED (SELECT s.u, s.v FROM s$cur s WHERE s.c >= ${TrussK - 2})""".stripMargin
+    val rounds = (1 to 4).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM ne WHERE src != dst),
+       |$rounds,
+       |trif AS (SELECT x.u AS a, x.v AS b, y.v AS c
+       |  FROM e4 x JOIN e4 y ON y.u = x.v
+       |  JOIN e4 z ON z.u = x.u AND z.v = y.v),
+       |sf AS (SELECT u, v, COUNT(*) AS c FROM (
+       |  SELECT a AS u, b AS v FROM trif
+       |  UNION ALL SELECT a, c FROM trif
+       |  UNION ALL SELECT b, c FROM trif) t GROUP BY 1, 2)
+       |SELECT sf.u AS u, sf.v AS v, sf.c AS support
+       |FROM sf ORDER BY u, v""".stripMargin
+  }
+
   val graphKCoreSql: String = {
     // MATERIALIZED: each round reads the previous edge set 3×; inlined
     // CTEs would expand the base join 3^rounds times.
@@ -895,6 +936,7 @@ object GraphQueries {
     Op("graph_ppr", graphPpr, Some(graphPprSql)),
     Op("graph_random_walk", graphRandomWalk, Some(graphRandomWalkSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
+    Op("graph_k_truss", graphKTruss, Some(graphKTrussSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),
     Op("graph_closeness", graphCloseness, Some(graphClosenessSql)),

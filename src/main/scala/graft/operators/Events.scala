@@ -844,7 +844,115 @@ object Events {
       ROUND(LN(n_events) - s / n_events, 6) AS entropy
     FROM u WHERE n_events >= 20 ORDER BY user_id"""
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences (the behavioral model behind next-action prediction and
+    * funnel-drop analysis): count each observed (type → next type)
+    * transition in (ts, event_id) order, then row-normalize into
+    * transition probabilities. Counts are exact integers; the single
+    * division is the identical expression on both engines at ROUND(6).
+    *
+    * Scale shape: ONE user-partitioned window (same exchange the
+    * sessionize family rides) produces successor pairs, then two
+    * |type-alphabet|²-sized aggregations — map-side combine does the
+    * heavy lifting, and the normalizing join runs on the tiny count
+    * frame. At 100 TB this is one shuffle of the event stream on
+    * user_id and nothing else data-sized.
+    */
+  def qMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"), col("event_id"))
+    val tr = eventsSec(spark, dir)
+      .select(col("user_id"), col("ts_sec"), col("event_id"), col("event_type"))
+      .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+      .where(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy("src_type").agg(sum(col("n")).as("n_src"))
+    tr.join(tot, "src_type")
+      .select(col("src_type"), col("dst_type"), col("n"),
+        round(col("n") / col("n_src").cast(DoubleType), 6).as("p"))
+      .orderBy("src_type", "dst_type")
+  }
+
+  val qMarkovSql: String = """
+    WITH es AS (
+      SELECT user_id, event_id, event_type, epoch_ns(ts)//1000000000 AS ts_sec
+      FROM events),
+    tr AS (
+      SELECT event_type AS src_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS dst_type
+      FROM es),
+    cnt AS (
+      SELECT src_type, dst_type, COUNT(*) AS n FROM tr
+      WHERE dst_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT src_type, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt GROUP BY 1)
+    SELECT c.src_type, c.dst_type, c.n,
+      ROUND(c.n / CAST(t.n_src AS DOUBLE), 6) AS p
+    FROM cnt c JOIN tot t ON t.src_type = c.src_type
+    ORDER BY c.src_type, c.dst_type"""
+
+  /** EWMA smoothing weight: e₁ = x₁, eₖ = α·xₖ + (1−α)·eₖ₋₁. Both
+    * coefficients are spelled as literals (0.3 / 0.7) on both engines
+    * so the fp constants are identical bits, not derived. */
+  val EwmaAlpha = 0.3
+  val EwmaBeta = 0.7
+
+  /** Exponentially weighted moving average of daily revenue per event
+    * type — the trend/anomaly baseline every metrics pipeline keeps.
+    * Days are integer epoch days (timezone-free), daily totals exact
+    * decimal sums cast to double ONCE; the recurrence is then the same
+    * double chain on both engines (Spark: an `aggregate` fold over the
+    * day-sorted array; oracle: the equivalent recursive CTE), so
+    * ROUND(6) compares identical bits.
+    *
+    * Scale shape: the daily rollup is the only data-sized shuffle
+    * (map-side combine to one row per (type, day)); the fold then runs
+    * on |types| × |days| rows — series state is O(#days) per type,
+    * independent of corpus size, and series are the parallel
+    * dimension. A 100 TB corpus changes the rollup's input, not the
+    * fold.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsSec(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(dec2(col("value"))).cast(DoubleType).as("x"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+    val ewArr = aggregate(
+      col("xs"),
+      array().cast("array<double>"),
+      (acc, e) => concat(acc, array(
+        when(size(acc) === 0, e("x"))
+          .otherwise(lit(EwmaAlpha) * e("x") + lit(EwmaBeta) * element_at(acc, -1)))))
+    series
+      .select(col("event_type"), explode(arrays_zip(col("xs"), ewArr.as("ew"))).as("z"))
+      .select(col("event_type"), col("z.xs.day").as("day"),
+        round(col("z.xs.x"), 2).as("daily_value"),
+        round(col("z.ew"), 6).as("ewma"))
+      .orderBy("event_type", "day")
+  }
+
+  val qEwmaSql: String = """
+    WITH RECURSIVE es AS (
+      SELECT event_type, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+    daily AS (
+      SELECT event_type, ts_sec // 86400 AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM es GROUP BY 1, 2),
+    idx AS (
+      SELECT event_type, day, x,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k
+      FROM daily),
+    rec AS (
+      SELECT event_type, day, x, k, x AS ew FROM idx WHERE k = 1
+      UNION ALL
+      SELECT i.event_type, i.day, i.x, i.k, 0.3 * i.x + 0.7 * r.ew AS ew
+      FROM idx i JOIN rec r ON r.event_type = i.event_type AND i.k = r.k + 1)
+    SELECT event_type, day, ROUND(x, 2) AS daily_value, ROUND(ew, 6) AS ewma
+    FROM rec ORDER BY event_type, day"""
+
   def ops: Seq[Op] = Seq(
+    Op("q_markov", qMarkov, Some(qMarkovSql)),
+    Op("q_ewma", qEwma, Some(qEwmaSql)),
     Op("q_abtest", qAbtest, Some(qAbtestSql)),
     Op("q_entropy", qEntropy, Some(qEntropySql)),
     Op("q_rfm", qRfm, Some(qRfmSql)),

@@ -1209,7 +1209,76 @@ object TextAnalysis {
            ELSE 'hard' END AS band
     FROM s ORDER BY doc_id"""
 
+  /** Collocation pairs below this corpus count are noise, not phrases. */
+  val CollocMinCount = 5L
+
+  /** Corpus collocation mining: pointwise mutual information of every
+    * adjacent word pair seen ≥ [[CollocMinCount]] times —
+    * PMI = ln(P(a,b) / (P(a)·P(b))) with P(a,b) over bigram positions
+    * and P(w) over token positions, i.e.
+    * ln(c_ab · n_tok² / (n_bi · c_a · c_b)). The standard
+    * phrase-detection signal (Church–Hanks) feeding tokenizer vocab
+    * curation and boilerplate discovery. Every log argument is a ratio
+    * of exact integer counts combined in the identical expression tree
+    * on both engines, so ROUND(6) compares literals.
+    *
+    * Scale shape: bigrams come from zipping each document's token
+    * array with its own tail — a Generate over the pruned text scan,
+    * no self-join, no window. Two count aggregations (unigram, bigram)
+    * shuffle vocabulary-sized streams with map-side combine; the PMI
+    * join runs on surviving pairs only, with the two 1-row totals
+    * broadcast. The 100 TB plan is scan → explode → two combines.
+    */
+  def textCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val nBi = toks.where(size(col("w")) >= 2)
+      .agg(sum(size(col("w")).cast(LongType) - 1L).as("n_bi"))
+    val bi = toks.where(size(col("w")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("w"), lit(1), size(col("w")) - 1).as("w1"),
+        slice(col("w"), lit(2), size(col("w")) - 1).as("w2"))).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= CollocMinCount)
+    bi.join(uni.select(col("tok").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBi))
+      .select(col("w1"), col("w2"), col("n_pair"), col("c1"), col("c2"),
+        round(log(
+          (col("n_pair") * col("n_tok").cast(DoubleType) * col("n_tok"))
+            / (col("n_bi").cast(DoubleType) * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  val textCollocationsSql: String = s"""
+    WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT UNNEST(w) AS tok FROM tk) GROUP BY tok),
+    ntok AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    nbi AS (
+      SELECT CAST(SUM(len(w) - 1) AS BIGINT) AS n_bi
+      FROM tk WHERE len(w) >= 2),
+    bi AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS n_pair
+      FROM tk, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= $CollocMinCount)
+    SELECT bi.w1, bi.w2, bi.n_pair, u1.c AS c1, u2.c AS c2,
+      ROUND(LN((bi.n_pair * CAST(ntok.n_tok AS DOUBLE) * ntok.n_tok)
+        / (CAST(nbi.n_bi AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+    FROM bi JOIN uni u1 ON u1.tok = bi.w1 JOIN uni u2 ON u2.tok = bi.w2,
+      ntok, nbi
+    ORDER BY w1, w2"""
+
   def ops: Seq[Op] = Seq(
+    Op("text_collocations", textCollocations, Some(textCollocationsSql)),
     Op("text_readability", textReadability, Some(textReadabilitySql)),
     Op("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
     Op("text_bpe_encode", textBpeEncode, Some(textBpeEncodeSql)),

@@ -94,6 +94,24 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.kCore(e, k = 5).count() === 0L)
   }
 
+  test("kTruss keeps the clique, cascades away the triangle chain; paths agree") {
+    // K5 on {1..5} (every edge closes 3 triangles) plus a triangle
+    // chain 10-14 where pruning the outer triangles strips the inner
+    // ones' support — the cascade a one-shot support filter misses.
+    val k5 = for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)
+    val chain = Seq((10L, 11L), (10L, 12L), (11L, 12L), (11L, 13L),
+      (12L, 13L), (12L, 14L), (13L, 14L))
+    val e = edgeDf((k5 ++ chain): _*)
+    val local = GraphOps.kTruss(e, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(local === k5.map { case (a, b) => (a, b, 3L) }.toSet)
+    val dist = GraphOps.kTruss(e, k = 4, maxLocalEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist === local)
+    // k above the densest motif empties the graph
+    assert(GraphOps.kTruss(e, k = 6).count() === 0L)
+  }
+
   test("bfs local fast path and distributed loop agree (both directions)") {
     val e = DerivedGraphs.hashEdges(spark, sfDir, 512).localCheckpoint()
     val s = spark

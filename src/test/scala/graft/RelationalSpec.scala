@@ -368,4 +368,44 @@ class RelationalSpec extends SparkSpec {
       assert(r.getDouble(3) >= -1e-9 && r.getDouble(3) <= math.log(cs.length) + 1e-9)
     }
   }
+
+  test("q_markov: transitions match a local successor walk; rows normalize to 1") {
+    val out = Events.qMarkov(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ev = Events.eventsSec(spark, sfDir)
+      .select("user_id", "ts_sec", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val local = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+      seq.zip(seq.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === local)
+    out.groupBy(_.getString(0)).foreach { case (s, rows) =>
+      val p = rows.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-3, s"src $s probabilities sum to $p")
+    }
+  }
+
+  test("q_ewma: matches a local fold over the daily series; day one is its own baseline") {
+    val out = Events.qEwma(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val daily = Events.eventsSec(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val got = rows.sortBy(_.getLong(1))
+      val xs = daily(t).sortBy(_._2)
+      assert(got.length === xs.length)
+      var ew = xs.head._3
+      got.zip(xs).zipWithIndex.foreach { case ((r, (_, day, x)), i) =>
+        if (i > 0) ew = Events.EwmaAlpha * x + Events.EwmaBeta * ew
+        assert(r.getLong(1) === day)
+        assert(math.abs(r.getDouble(2) - x) < 5e-3)
+        assert(math.abs(r.getDouble(3) - ew) < 1e-5,
+          s"$t day $day: ewma ${r.getDouble(3)} vs $ew")
+      }
+    }
+  }
 }

@@ -394,4 +394,25 @@ class TextSpec extends SparkSpec {
     assert(out.map(_.getString(5)).distinct.length >= 2 ||
       out.map(_.getDouble(4)).distinct.length > 10)
   }
+
+  test("text_collocations: counts match a local bigram recount; PMI identity holds") {
+    val out = TextAnalysis.textCollocations(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sfDir).select("text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = toks.flatten.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nTok = toks.map(_.size).sum.toLong
+    val nBi = toks.filter(_.size >= 2).map(_.size - 1L).sum
+    val bi = toks.filter(_.size >= 2).flatMap(w => w.zip(w.tail))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= TextAnalysis.CollocMinCount)
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap === bi)
+    out.foreach { r =>
+      val (w1, w2) = (r.getString(0), r.getString(1))
+      val (n, c1, c2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c1 === uni(w1) && c2 === uni(w2))
+      val pmi = math.log(n.toDouble * nTok * nTok / (nBi.toDouble * c1 * c2))
+      assert(math.abs(r.getDouble(5) - pmi) < 1e-5, s"($w1,$w2): ${r.getDouble(5)} vs $pmi")
+    }
+  }
 }

@@ -117,6 +117,7 @@ object SqlSurface {
     val kernel = Seq(
       "ann_lsh" -> "kernel: seeded Gaussian hyperplane signatures in a mapPartitions scan",
       "ann_pq" -> "kernel: PQ encode + ADC tables in a mapPartitions scan",
+      "ann_sq" -> "kernel: SQ byte-encode + dequantized dot in a mapPartitions scan",
       "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
       "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",
       "ann_mmr" -> "kernel: per-query greedy MMR selection loop in flatMapGroups over the bounded candidate pool",
@@ -127,6 +128,7 @@ object SqlSurface {
       "dedup_pipeline" -> "kernel: composes the seeded minhash kernel (transitively non-SQL)",
       "graph_random_walk" -> "kernel: seeded per-step hash draws in an unrolled walk kernel",
       "mm_decode_meta" -> "kernel: binary codec (stub) over binary columns",
+      "mm_aspect_bucket" -> "kernel: buckets the stub decode's dimensions (binary batch iterator upstream)",
       "mm_dedup" -> "kernel: binary content hashing over binary columns",
       "mm_features" -> "kernel: binary feature extraction over binary columns",
       "mm_frame_sample" -> "kernel: binary frame sampling over binary columns",

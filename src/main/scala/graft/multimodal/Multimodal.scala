@@ -388,7 +388,70 @@ object Multimodal {
       n_bytes
     FROM c ORDER BY source, doc_id"""
 
+  /** Aspect bucketing: shard fan-out and per-batch sample count. */
+  val AspectShards = 8
+  val AspectBatch = 16
+
+  /** Aspect-ratio bucketing + deterministic batch packing over the
+    * decoded (stub) dimensions — the multimodal-training staple
+    * (SDXL/NaViT-style): samples only batch with shape-compatible
+    * peers, so the collate step never pads across aspect classes.
+    * Buckets come from integer aspect percent (100·w div h) against
+    * fixed thresholds — pure integer compares, engine-exact; batch ids
+    * number each (bucket, shard) stream in doc order and cut every
+    * [[AspectBatch]] rows.
+    *
+    * Scale shape: one pass over the decoded metadata, then a window
+    * partitioned by (bucket, shard) — the shard key (doc_id mod
+    * [[AspectShards]]) is the parallel dimension, sized to the cluster
+    * in production (WebDataset shard semantics: batches are local to a
+    * shard, no global sequence). No data-sized driver state, no global
+    * sort before the cosmetic ORDER BY.
+    */
+  def mmAspectBucket(spark: SparkSession, dir: String): DataFrame = {
+    val meta = decodeMeta(Tables.documents(spark, dir))
+      .select("doc_id", "width", "height")
+      .withColumn("ap", expr("(100 * width) div height"))
+      .withColumn("bucket",
+        when(col("ap") < 50, "tall")
+          .when(col("ap") < 90, "portrait")
+          .when(col("ap") <= 111, "square")
+          .when(col("ap") <= 200, "landscape")
+          .otherwise("wide"))
+      .withColumn("shard", expr(s"doc_id % $AspectShards"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket", "shard").orderBy("doc_id")
+    meta
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("batch_id", expr(s"(rn - 1) div $AspectBatch"))
+      .select("doc_id", "width", "height", "bucket", "shard", "batch_id")
+      .orderBy("doc_id")
+  }
+
+  val mmAspectBucketSql: String = s"""
+    WITH m AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+      FROM documents),
+    b AS (
+      SELECT doc_id, width, height,
+        (100 * width) // height AS ap,
+        doc_id % $AspectShards AS shard
+      FROM m),
+    c AS (
+      SELECT doc_id, width, height,
+        CASE WHEN ap < 50 THEN 'tall' WHEN ap < 90 THEN 'portrait'
+             WHEN ap <= 111 THEN 'square' WHEN ap <= 200 THEN 'landscape'
+             ELSE 'wide' END AS bucket, shard
+      FROM b)
+    SELECT doc_id, width, height, bucket, shard,
+      (ROW_NUMBER() OVER (PARTITION BY bucket, shard ORDER BY doc_id) - 1)
+        // $AspectBatch AS batch_id
+    FROM c ORDER BY doc_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("mm_aspect_bucket", mmAspectBucket, Some(mmAspectBucketSql)),
     Op("mm_decode_meta", mmDecodeMeta, Some(mmDecodeMetaSql)),
     Op("mm_dedup", mmDedup, Some(mmDedupSql)),
     Op("mm_frame_sample", mmFrameSample, Some(mmFrameSampleSql)),

@@ -1175,7 +1175,132 @@ object Ann {
     FROM r WHERE rank <= $K ORDER BY qid, rank"""
   }
 
+  /** SQ: 8-bit codes per dimension; exact rerank budget per query. */
+  val SqLevels = 255
+  val SqRerank = 64
+
+  /** Scalar quantization top-k (the FAISS SQ8 shape): every corpus
+    * vector compresses to one byte per dimension against GLOBAL
+    * per-dim [lo, hi] ranges — a 4× memory cut over float32 with
+    * near-exact ranking (255 levels ≫ the corpora's per-dim spread),
+    * the usual first rung below full precision and above PQ. Queries
+    * stay full-precision; approximate scores dot the query against the
+    * DEQUANTIZED corpus vector, the top [[SqRerank]] candidates rerank
+    * exactly. The [lo, hi] ranges are a dims-sized model aggregate
+    * (posexplode + min/max — map-side combined, collected like the
+    * other trained state); encode + score run in the same bounded-heap
+    * partition scan as PQ. FP discipline: the dequantized dot accumulates
+    * in ascending dimension order on both engines, and both sides round
+    * the approximate score to 6 dp before the (approx DESC, vec_id) cut.
+    */
+  def sqTopK(emb: DataFrame, k: Int = K, rerank: Int = SqRerank): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val queries = collectQueries(emb)
+    require(queries.nonEmpty, "query set is empty")
+    val dim = queries.head._2.length
+    val ranges = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i").agg(
+        min(col("x").cast(DoubleType)).as("lo"),
+        max(col("x").cast(DoubleType)).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    require(ranges.size == dim, s"per-dim ranges ${ranges.size} != dim $dim")
+    val los = Array.tabulate(dim)(i => ranges(i)._1)
+    val his = Array.tabulate(dim)(i => ranges(i)._2)
+    val bq = spark.sparkContext.broadcast(queries)
+    val blo = spark.sparkContext.broadcast(los)
+    val bhi = spark.sparkContext.broadcast(his)
+    val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bq.value; val lo = blo.value; val hi = bhi.value
+        val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+        val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
+        it.foreach { case (id, v) =>
+          var nrm = 0.0
+          var i = 0
+          while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
+          nrm = math.sqrt(nrm)
+          // SQ encode + dequantize (degenerate dims carry code 0 = lo)
+          val deq = new Array[Double](v.length)
+          i = 0
+          while (i < v.length) {
+            val code =
+              if (hi(i) > lo(i))
+                math.round((v(i).toDouble - lo(i)) * SqLevels.toDouble / (hi(i) - lo(i))).toDouble
+              else 0.0
+            deq(i) = lo(i) + code * (hi(i) - lo(i)) / SqLevels.toDouble
+            i += 1
+          }
+          qs.foreach { case (qid, qv, qn) =>
+            if (id != qid) {
+              var s = 0.0
+              var j = 0
+              while (j < deq.length) { s += qv(j).toDouble * deq(j); j += 1 }
+              val approx = round6(s / (qn * nrm))
+              val h = heaps(qid)
+              h.enqueue((approx, id))
+              if (h.size > rerank) h.dequeue()
+            }
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator.map { case (s, id) => (qid, id, s) }
+        }
+      }.toDF("qid", "vec_id", "approx")
+    val wApprox = Window.partitionBy(col("qid")).orderBy(col("approx").desc, col("vec_id"))
+    val cand = partials.withColumn("arn", row_number().over(wApprox))
+      .where(col("arn") <= rerank).select("qid", "vec_id")
+    val vecs = withNorm(emb)
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn")), "qid")
+      .join(vecs, "vec_id")
+      .withColumn("score",
+        round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
+      .select("qid", "vec_id", "score")
+    globalTopK(scored, k)
+  }
+
+  def annSq(spark: SparkSession, dir: String): DataFrame =
+    sqTopK(Tables.embeddings(spark, dir))
+
+  val annSqSql: String = s"""
+    WITH $oracleVCte,
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    d AS (SELECT t.i AS i, n.v[t.i] AS x
+          FROM n, UNNEST(generate_series(1, $OracleDim)) AS t(i)),
+    mm0 AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY i),
+    mm AS (SELECT list(lo ORDER BY i) AS los, list(hi ORDER BY i) AS his FROM mm0),
+    enc AS (SELECT n.vec_id, n.nrm,
+              list_transform(generate_series(1, $OracleDim),
+                i -> CASE WHEN mm.his[i] > mm.los[i]
+                     THEN ROUND((n.v[i] - mm.los[i]) * ${SqLevels}.0 / (mm.his[i] - mm.los[i]))
+                     ELSE 0.0 END) AS code
+            FROM n, mm),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    approx AS (SELECT q.qid, e.vec_id,
+                 ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+                   i -> q.qv[i] * (mm.los[i] + e.code[i] * (mm.his[i] - mm.los[i]) / ${SqLevels}.0)))
+                   / (q.qn * e.nrm), 6) + 0.0 AS approx
+               FROM q JOIN enc e ON e.vec_id != q.qid, mm),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+               FROM approx) WHERE arn <= $SqRerank),
+    s AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+
   def ops: Seq[Op] = Seq(
+    Op("ann_sq", annSq, Some(annSqSql)),
     Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),

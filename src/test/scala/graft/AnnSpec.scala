@@ -52,6 +52,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("sqTopK recall vs brute force ≥ 0.9 and exact reranked scores") {
+    // 255 levels per dim ≫ the corpus per-dim spread: SQ ranking is
+    // near-exact, so the rerank cut should rarely lose a true neighbor
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val sqDf = Ann.sqTopK(emb)
+    val sq = neighborSets(sqDf)
+    val recalls = bf.map { case (q, s) =>
+      sq.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean SQ recall ${recalls.sum / recalls.size}")
+    val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    sqDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+  }
+
   test("pqTopK recall vs brute force and exact reranked scores") {
     val bf = neighborSets(Ann.bruteForceTopK(emb))
     val pqDf = Ann.pqTopK(emb)

@@ -118,4 +118,26 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs((0L, 2L)) === 1L && pairs((1L, 2L)) === 1L)
     assert(pairs.size === 3) // doc 3 pairs with nothing (Hamming 32)
   }
+
+  test("aspectBucket: thresholds honored, batches are contiguous doc-order slices of ≤ 16") {
+    val out = Multimodal.mmAspectBucket(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, w, h, bucket, shard, _) =>
+      val ap = 100 * w / h
+      val want =
+        if (ap < 50) "tall" else if (ap < 90) "portrait"
+        else if (ap <= 111) "square" else if (ap <= 200) "landscape" else "wide"
+      assert(bucket === want, s"doc $id ap $ap")
+      assert(shard === id % Multimodal.AspectShards)
+    }
+    out.groupBy(r => (r._4, r._5)).foreach { case (_, rows) =>
+      val byDoc = rows.sortBy(_._1)
+      // batch ids cut the doc-ordered stream every AspectBatch rows
+      byDoc.zipWithIndex.foreach { case (r, i) =>
+        assert(r._6 === i.toLong / Multimodal.AspectBatch)
+      }
+    }
+  }
 }

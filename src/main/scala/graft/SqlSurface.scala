@@ -7,7 +7,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and 79 of the gate operators — the whole relational and
+  * views, and 81 of the gate operators — the whole relational and
   * event families, every sampling op, the text/dedup representatives
   * (tokens, quality, fingerprint, ngrams, vocab, repetition, PII
   * scrub, chunking; exact, ngram-Jaccard, containment), the ANN
@@ -98,7 +98,7 @@ object SqlSurface {
       .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
     val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
       "stream_dedup", "stream_dedup_watermark", "stream_join_recent", "stream_topk",
-      "stream_latest_state", "stream_funnel", "stream_anomaly")
+      "stream_latest_state", "stream_funnel", "stream_anomaly", "stream_ewma")
       .map(_ -> "streaming: Structured Streaming query (watermarks / stateful ops), not a batch view")
     val layout = Seq(
       "graph_load" -> "layout: graph ingestion (adjacency-matrix parse to edge store)",
@@ -1286,6 +1286,53 @@ object SqlSurface {
           ROUND(z.ewarr, 6) AS ewma
         FROM ew LATERAL VIEW explode(arrays_zip(xs, ewarr)) t AS z
         ORDER BY event_type, day""",
+
+      "q_seasonality" -> """
+        WITH daily AS (
+          SELECT event_type, ts_sec DIV 86400 AS day,
+            SUM(CAST(value AS DECIMAL(18,2))) AS x
+          FROM events_sec GROUP BY event_type, ts_sec DIV 86400),
+        d AS (SELECT event_type, (day + 4) % 7 AS dow, x FROM daily),
+        byd AS (
+          SELECT event_type, dow, COUNT(*) AS n_days, SUM(x) AS total
+          FROM d GROUP BY event_type, dow),
+        oa AS (
+          SELECT event_type, COUNT(*) AS n_all, SUM(x) AS tot_all
+          FROM d GROUP BY event_type)
+        SELECT b.event_type, b.dow, b.n_days,
+          ROUND(CAST(b.total AS DOUBLE) / b.n_days, 4) AS dow_avg,
+          ROUND((CAST(b.total AS DOUBLE) / b.n_days)
+            / (CAST(o.tot_all AS DOUBLE) / o.n_all), 6) AS seasonality
+        FROM byd b JOIN oa o ON o.event_type = b.event_type
+        ORDER BY b.event_type, b.dow""",
+
+      "text_zipf" -> s"""
+        WITH uni AS (
+          SELECT lang, tok, COUNT(*) AS c
+          FROM (SELECT lang, explode(split(text, ' ')) AS tok FROM documents)
+          GROUP BY lang, tok),
+        top AS (
+          SELECT lang, c, r FROM (
+            SELECT lang, c,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+            FROM uni) WHERE r <= ${text.TextAnalysis.ZipfTopN}),
+        terms AS (
+          SELECT lang,
+            CAST(ROUND(LN(r), 9) AS DECIMAL(28,9)) AS x,
+            CAST(ROUND(LN(c), 9) AS DECIMAL(28,9)) AS y,
+            CAST(ROUND(LN(r) * LN(c), 9) AS DECIMAL(28,9)) AS xy,
+            CAST(ROUND(LN(r) * LN(r), 9) AS DECIMAL(28,9)) AS xx
+          FROM top),
+        ag AS (
+          SELECT lang, COUNT(*) AS n_tokens,
+            CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+            CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+          FROM terms GROUP BY lang)
+        SELECT lang, n_tokens,
+          ROUND((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 6) AS zipf_slope,
+          ROUND((sy - (n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx) * sx)
+            / n_tokens, 6) AS intercept
+        FROM ag ORDER BY lang""",
 
       "text_collocations" -> s"""
         WITH tk AS (SELECT split(text, ' ') AS w FROM documents),

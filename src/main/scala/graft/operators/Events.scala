@@ -950,9 +950,61 @@ object Events {
     SELECT event_type, day, ROUND(x, 2) AS daily_value, ROUND(ew, 6) AS ewma
     FROM rec ORDER BY event_type, day"""
 
+  /** Day-of-week revenue seasonality per event type — the calendar
+    * profile behind staffing/campaign planning: for each (type, dow),
+    * the number of active days, the average daily revenue, and the
+    * seasonality index (that dow's average daily revenue over the
+    * type's overall average). Day-of-week is pure integer epoch math —
+    * `(epoch_day + 4) % 7`, 0 = Sunday (epoch day 0 is a Thursday) —
+    * so the grouping key is timezone/calendar-free and engine-exact;
+    * daily totals are exact decimals, divided as doubles in the
+    * identical tree at ROUND(4)/ROUND(6).
+    *
+    * Scale shape: one data-sized shuffle (the (type, day) rollup,
+    * map-side combined); everything after runs on ≤ 7·|types| rows.
+    */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsSec(spark, dir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(dec2(col("value"))).as("x"))
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_all"), sum(col("x")).as("tot_all"))
+    byDow.join(overall, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round(col("total").cast(DoubleType) / col("n_days"), 4).as("dow_avg"),
+        round((col("total").cast(DoubleType) / col("n_days"))
+          / (col("tot_all").cast(DoubleType) / col("n_all")), 6).as("seasonality"))
+      .orderBy("event_type", "dow")
+  }
+
+  val qSeasonalitySql: String = """
+    WITH es AS (
+      SELECT event_type, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
+    daily AS (
+      SELECT event_type, ts_sec // 86400 AS day,
+        SUM(CAST(value AS DECIMAL(18,2))) AS x
+      FROM es GROUP BY 1, 2),
+    d AS (SELECT event_type, (day + 4) % 7 AS dow, x FROM daily),
+    byd AS (
+      SELECT event_type, dow, COUNT(*) AS n_days, SUM(x) AS total
+      FROM d GROUP BY 1, 2),
+    oa AS (
+      SELECT event_type, COUNT(*) AS n_all, SUM(x) AS tot_all
+      FROM d GROUP BY 1)
+    SELECT b.event_type, b.dow, b.n_days,
+      ROUND(CAST(b.total AS DOUBLE) / b.n_days, 4) AS dow_avg,
+      ROUND((CAST(b.total AS DOUBLE) / b.n_days)
+        / (CAST(o.tot_all AS DOUBLE) / o.n_all), 6) AS seasonality
+    FROM byd b JOIN oa o ON o.event_type = b.event_type
+    ORDER BY b.event_type, b.dow"""
+
   def ops: Seq[Op] = Seq(
     Op("q_markov", qMarkov, Some(qMarkovSql)),
     Op("q_ewma", qEwma, Some(qEwmaSql)),
+    Op("q_seasonality", qSeasonality, Some(qSeasonalitySql)),
     Op("q_abtest", qAbtest, Some(qAbtestSql)),
     Op("q_entropy", qEntropy, Some(qEntropySql)),
     Op("q_rfm", qRfm, Some(qRfmSql)),

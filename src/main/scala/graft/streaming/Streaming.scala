@@ -702,6 +702,9 @@ object Streaming {
   case class AnomState(n: Long, s1: Long, s2: Long)
   case class AnomOut(event_id: Long, user_id: Long, value: Double,
       n_prior: Long, prior_mean: Double, z: Double)
+  case class EwmaState(n: Long, ew: Double)
+  case class EwmaOut(event_id: Long, user_id: Long, value: Double,
+      n: Long, ewma: Double)
 
   /** Minimum PRIOR observations before [[streamAnomaly]] scores. */
   val AnomMinPrior = 10L
@@ -797,7 +800,79 @@ object Streaming {
       ROUND(z, 4) AS z
     FROM g WHERE ABS(z) > 2.0 ORDER BY event_id"""
 
+  /** Online per-user EWMA of event value — the streaming twin of the
+    * batch [[graft.operators.Events.qEwma]] recurrence, keyed per
+    * user: state is TWO numbers (event count, current EWMA over
+    * integer cents), each event emits its post-update smoothed value
+    * in Append mode. Values snap to integer cents first (the
+    * stream_anomaly trick), so the double chain's inputs are
+    * engine-exact; the chain uses the same α/β literals as the batch
+    * op and the oracle replays it as a per-user recursive CTE in
+    * (ts_sec, event_id) order. At scale: state is O(users) × 16
+    * bytes, no window, no rescan — the canonical online-smoothing
+    * shape.
+    */
+  def streamEwma(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
+    import spark.implicits._
+    val schema = Tables.events(spark, dir).schema
+    val inDir = stageEvents(dir, "graft-stream-ewma")
+    val src = spark.readStream.schema(schema).parquet(inDir)
+      .withColumn("ts_sec", tsSecExpr(schema))
+      .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
+      .select(col("user_id").cast(LongType).as("user_id"), col("event_id"),
+        col("value"), col("cents"), col("ts_sec"))
+      .as[AnomEv]
+    def round4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    val out = src.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[AnomEv], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0L, 0.0))
+          val buf = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+          rows.toArray.sortBy(e => (e.ts_sec, e.event_id)).foreach { e =>
+            val x = e.cents.toDouble
+            val ew =
+              if (st.n == 0L) x
+              else graft.operators.Events.EwmaAlpha * x +
+                graft.operators.Events.EwmaBeta * st.ew
+            st = EwmaState(st.n + 1, ew)
+            buf += EwmaOut(e.event_id, uid, e.value, st.n, round4(ew / 100.0))
+          }
+          state.update(st)
+          buf.iterator
+      }
+    val name = "graft_stream_ewma"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try drain(q) finally q.stop()
+    spark.table(name).orderBy("event_id")
+  }
+
+  val streamEwmaSql: String = """
+    WITH RECURSIVE e AS (
+      SELECT event_id, user_id, value,
+        epoch_ns(ts)//1000000000 AS ts_sec,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    idx AS (
+      SELECT event_id, user_id, value, cents,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id) AS k
+      FROM e),
+    rec AS (
+      SELECT event_id, user_id, value, k, CAST(cents AS DOUBLE) AS ew
+      FROM idx WHERE k = 1
+      UNION ALL
+      SELECT i.event_id, i.user_id, i.value, i.k,
+        0.3 * CAST(i.cents AS DOUBLE) + 0.7 * r.ew AS ew
+      FROM idx i JOIN rec r ON r.user_id = i.user_id AND i.k = r.k + 1)
+    SELECT event_id, user_id, value, CAST(k AS BIGINT) AS n,
+      ROUND(ew / 100.0, 4) AS ewma
+    FROM rec ORDER BY event_id"""
+
   def ops: Seq[Op] = Seq(
+    Op("stream_ewma", streamEwma, Some(streamEwmaSql)),
     Op("stream_anomaly", streamAnomaly, Some(streamAnomalySql)),
     Op("stream_window_agg", streamWindowAgg, Some(streamWindowAggSql)),
     Op("stream_latest_state", streamLatestState, Some(streamLatestStateSql)),

@@ -1277,8 +1277,82 @@ object TextAnalysis {
       ntok, nbi
     ORDER BY w1, w2"""
 
+  /** Zipf fit: tokens per language entering the regression. */
+  val ZipfTopN = 200
+
+  /** Zipf's-law fit per language: least-squares slope of ln(count) on
+    * ln(rank) over each language's top-[[ZipfTopN]] tokens — the
+    * corpus-health diagnostic (natural text slopes ≈ −1; generated or
+    * templated text drifts). Every log argument is an INTEGER (rank,
+    * count — same double input on both engines); the four regression
+    * terms round to 9 dp and sum as exact decimals (the q_entropy
+    * pattern), so the closed-form slope/intercept divisions run on
+    * identical doubles at ROUND(6).
+    *
+    * Scale shape: one vocabulary-sized count shuffle (map-side
+    * combine); the per-language rank window is a group-limit the
+    * optimizer cuts to [[ZipfTopN]] rows per map task
+    * (InferWindowGroupLimit — the q_kmv_sketch shape), and the
+    * regression folds ≤ 5 × 200 decimal rows.
+    */
+  def textZipf(spark: SparkSession, dir: String): DataFrame = {
+    val uni = Tables.documents(spark, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("lang").orderBy(col("c").desc, col("tok"))
+    val top = uni.withColumn("r", row_number().over(w)).where(col("r") <= ZipfTopN)
+    val dec9 = (c: Column) => round(c, 9).cast(DecimalType(28, 9))
+    val terms = top.select(col("lang"),
+      dec9(log(col("r"))).as("x"),
+      dec9(log(col("c"))).as("y"),
+      dec9(log(col("r")) * log(col("c"))).as("xy"),
+      dec9(log(col("r")) * log(col("r"))).as("xx"))
+    terms.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("x")).cast(DoubleType).as("sx"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("xy")).cast(DoubleType).as("sxy"),
+        sum(col("xx")).cast(DoubleType).as("sxx"))
+      .select(col("lang"), col("n_tokens"),
+        round((col("n_tokens") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - (col("n_tokens") * col("sxy") - col("sx") * col("sy"))
+          / (col("n_tokens") * col("sxx") - col("sx") * col("sx")) * col("sx"))
+          / col("n_tokens"), 6).as("intercept"))
+      .orderBy("lang")
+  }
+
+  val textZipfSql: String = s"""
+    WITH uni AS (
+      SELECT lang, tok, COUNT(*) AS c
+      FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY lang, tok),
+    top AS (
+      SELECT lang, c, r FROM (
+        SELECT lang, c,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS r
+        FROM uni) WHERE r <= $ZipfTopN),
+    terms AS (
+      SELECT lang,
+        CAST(ROUND(LN(r), 9) AS DECIMAL(28,9)) AS x,
+        CAST(ROUND(LN(c), 9) AS DECIMAL(28,9)) AS y,
+        CAST(ROUND(LN(r) * LN(c), 9) AS DECIMAL(28,9)) AS xy,
+        CAST(ROUND(LN(r) * LN(r), 9) AS DECIMAL(28,9)) AS xx
+      FROM top),
+    ag AS (
+      SELECT lang, COUNT(*) AS n_tokens,
+        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(xy) AS DOUBLE) AS sxy, CAST(SUM(xx) AS DOUBLE) AS sxx
+      FROM terms GROUP BY lang)
+    SELECT lang, n_tokens,
+      ROUND((n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx), 6) AS zipf_slope,
+      ROUND((sy - (n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx) * sx)
+        / n_tokens, 6) AS intercept
+    FROM ag ORDER BY lang"""
+
   def ops: Seq[Op] = Seq(
     Op("text_collocations", textCollocations, Some(textCollocationsSql)),
+    Op("text_zipf", textZipf, Some(textZipfSql)),
     Op("text_readability", textReadability, Some(textReadabilitySql)),
     Op("text_bpe_train", textBpeTrain, Some(textBpeTrainSql)),
     Op("text_bpe_encode", textBpeEncode, Some(textBpeEncodeSql)),

@@ -114,6 +114,29 @@ class EventsStreamingSpec extends SparkSpec {
     assert(out.where(abs(col("z")) < 2.0).count() === 0)
   }
 
+  test("stream_ewma equals a batch per-user expanding fold") {
+    val out = Streaming.streamEwma(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(out.nonEmpty)
+    val ev = Events.eventsSec(spark, sfDir)
+      .withColumn("cents", round(col("value") * 100.0, 0).cast("long"))
+      .select("user_id", "ts_sec", "event_id", "cents").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.size === ev.length)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var n = 0L
+      var ew = 0.0
+      rows.sortBy(r => (r._2, r._3)).foreach { case (_, _, eid, cents) =>
+        val x = cents.toDouble
+        ew = if (n == 0L) x else Events.EwmaAlpha * x + Events.EwmaBeta * ew
+        n += 1
+        val (gn, ge) = out(eid)
+        assert(gn === n)
+        assert(math.abs(ge - ew / 100.0) < 5e-5, s"event $eid: $ge vs ${ew / 100.0}")
+      }
+    }
+  }
+
   test("stream_funnel equals the batch funnel") {
     val batch = Events.qEventsFunnel(spark, sfDir)
     val stream = Streaming.streamFunnel(spark, sfDir)

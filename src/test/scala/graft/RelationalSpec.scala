@@ -386,6 +386,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_seasonality: indexes match a local recompute and average to 1 day-weighted") {
+    val out = Events.qSeasonality(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val daily = Events.eventsSec(spark, sfDir)
+      .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byType = daily.groupBy(_._1)
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val ds = byType(t)
+      val overall = ds.map(_._3).sum / ds.length
+      rows.foreach { r =>
+        val dow = r.getLong(1)
+        val mine = ds.filter(d => (d._2 + 4) % 7 == dow)
+        assert(r.getLong(2) === mine.length.toLong)
+        val avg = mine.map(_._3).sum / mine.length
+        assert(math.abs(r.getDouble(3) - avg) < 5e-3)
+        assert(math.abs(r.getDouble(4) - avg / overall) < 1e-4)
+      }
+      // day-weighted mean index is exactly 1 (the index is a decomposition)
+      val wmean = rows.map(r => r.getDouble(4) * r.getLong(2)).sum /
+        rows.map(_.getLong(2)).sum
+      assert(math.abs(wmean - 1.0) < 1e-4, s"$t weighted mean $wmean")
+    }
+  }
+
   test("q_ewma: matches a local fold over the daily series; day one is its own baseline") {
     val out = Events.qEwma(spark, sfDir).collect()
     assert(out.nonEmpty)

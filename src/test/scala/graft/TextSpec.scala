@@ -395,6 +395,33 @@ class TextSpec extends SparkSpec {
       out.map(_.getDouble(4)).distinct.length > 10)
   }
 
+  test("text_zipf: slope matches a local least-squares fit and is negative") {
+    val out = TextAnalysis.textZipf(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sfDir).select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val byLang = toks.groupBy(_._1)
+    out.foreach { r =>
+      val lang = r.getString(0)
+      val counts = byLang(lang).groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+      val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(TextAnalysis.ZipfTopN).map(_._2)
+      assert(r.getLong(1) === top.length.toLong)
+      val xs = top.indices.map(i => math.log(i + 1.0))
+      val ys = top.map(c => math.log(c.toDouble))
+      val n = top.length.toDouble
+      val (sx, sy) = (xs.sum, ys.sum)
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      val sxx = xs.map(a => a * a).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getDouble(2) - slope) < 1e-4,
+        s"$lang slope ${r.getDouble(2)} vs $slope")
+      assert(r.getDouble(2) < 0.0, s"$lang slope should be negative")
+      val intercept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(3) - intercept) < 1e-3)
+    }
+  }
+
   test("text_collocations: counts match a local bigram recount; PMI identity holds") {
     val out = TextAnalysis.textCollocations(spark, sfDir).collect()
     assert(out.nonEmpty)

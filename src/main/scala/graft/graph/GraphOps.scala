@@ -911,7 +911,11 @@ object GraphOps {
     * return NULL rather than NaN.
     */
   def assortativity(undirected: DataFrame): DataFrame = {
-    val e = canonEdges(undirected).localCheckpoint()
+    // No checkpoint: both consumers (the degree aggregate and the xy
+    // join) re-scan the input, which the gate feeds from the already-
+    // checkpointed derived-graph catalog — re-materializing 2·|E| rows
+    // here doubled the op's cost at sf10 (the graph_dfs_leaves lesson).
+    val e = canonEdges(undirected)
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
     val xy = e
       .join(deg.select(col("v").as("src"), col("d").as("x")), "src")

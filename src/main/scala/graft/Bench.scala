@@ -117,10 +117,13 @@ object Bench {
     //  - cold_catalog: memory catalog evicted, DISK CACHE INTACT — a
     //    new session's actual first touch (parquet read-back). This is
     //    the number a second session pays.
-    //  - cold_derive: memory AND disk evicted — the true derivation
-    //    cost (the r13-and-earlier cold semantics), kept because it is
-    //    the number that gates whether the derivation itself is
-    //    scale-sane (read-back speed can't hide a quadratic build).
+    //  - cold_derive: memory evicted, DISK LAYER DISABLED — the true
+    //    derivation cost (the r13-and-earlier cold semantics), kept
+    //    because it is the number that gates whether the derivation
+    //    itself is scale-sane (read-back speed can't hide a quadratic
+    //    build). Disabled, not evicted: with the layer merely evicted
+    //    every op re-derived AND re-spilled its entries to parquet, so
+    //    the timing carried cache-write I/O that is not derivation.
     val catalogOps = queries.filter { case (n, _) =>
       n.startsWith("graph_") || n.startsWith("dedup_") || n.startsWith("text_bpe") }
     val coldFailed = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -131,11 +134,12 @@ object Bench {
     System.err.println(s"BENCH cold-catalog (disk-warm) pass: total ${f2(coldTotal)} s" +
       (if (coldFailed.isEmpty) "" else s", FAILED: ${coldFailed.mkString(",")}"))
     val deriveFailed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val coldDerive = runOps(catalogOps,
-      beforeEach = () => {
-        Materialized.evict(spark); Materialized.evictDisk(); System.gc()
-      },
-      sink = deriveFailed)
+    Materialized.setDiskLayer(false)
+    val coldDerive =
+      try runOps(catalogOps,
+        beforeEach = () => { Materialized.evict(spark); System.gc() },
+        sink = deriveFailed)
+      finally Materialized.setDiskLayer(true)
     val coldDeriveTotal = coldDerive.map(_._2).sum
     System.err.println(s"BENCH cold-derive pass: total ${f2(coldDeriveTotal)} s" +
       (if (deriveFailed.isEmpty) "" else s", FAILED: ${deriveFailed.mkString(",")}"))

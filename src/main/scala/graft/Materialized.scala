@@ -111,20 +111,87 @@ object Materialized {
   // stale derivation produced by old code. Best-effort by design: any
   // I/O failure falls back to building in memory; entries from
   // superseded versions are bounded (a few per regeneration/build) and
-  // live under the OS temp dir.
+  // live under a per-user, owner-only cache dir (see cacheRoot).
   // ---------------------------------------------------------------------
 
-  /** Cache root: $GRAFT_CACHE_DIR, or <java.io.tmpdir>/graft_materialized;
-    * the literal value "off" disables the disk layer entirely (the
-    * in-memory session catalog still serves).
+  /** Cache root: $GRAFT_CACHE_DIR, or a PER-USER default —
+    * $XDG_CACHE_HOME/graft_materialized, else ~/.cache/graft_materialized,
+    * else <tmpdir>/graft_materialized-<user> as a last resort. The
+    * literal value "off" disables the disk layer entirely (the
+    * in-memory session catalog still serves). A world-shared default
+    * under /tmp let any local user pre-plant entries (cache poisoning,
+    * and — for the blob layer — attacker-chosen deserialization
+    * input); the per-user root plus the ownership checks in
+    * [[verifiedRoot]]/[[ownedByUs]] close that.
     */
   private lazy val cacheRoot: Option[java.nio.file.Path] =
     sys.env.get("GRAFT_CACHE_DIR") match {
       case Some("off")           => None
       case Some(p) if p.nonEmpty => Some(java.nio.file.Paths.get(p))
-      case _ => Some(java.nio.file.Paths.get(
-        sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_materialized"))
+      case _ =>
+        sys.env.get("XDG_CACHE_HOME").filter(_.nonEmpty)
+          .map(java.nio.file.Paths.get(_))
+          .orElse(sys.props.get("user.home").filter(_.nonEmpty)
+            .map(h => java.nio.file.Paths.get(h, ".cache")))
+          .map(_.resolve("graft_materialized"))
+          .orElse(Some(java.nio.file.Paths.get(
+            sys.props.getOrElse("java.io.tmpdir", "/tmp"),
+            "graft_materialized-" + sys.props.getOrElse("user.name", "unknown"))))
     }
+
+  /** Runtime toggle for the disk layer (Bench's cold_derive pass turns
+    * it off so the measurement is pure derivation cost — neither
+    * read-back nor the spill-to-parquet write I/O).
+    */
+  @volatile private var diskLayerEnabled = true
+  def setDiskLayer(on: Boolean): Unit = diskLayerEnabled = on
+
+  private def ownedByUs(p: java.nio.file.Path): Boolean =
+    try java.nio.file.Files.getOwner(p).getName ==
+      sys.props.getOrElse("user.name", "")
+    catch { case _: Exception => false }
+
+  /** The cache root, created owner-only (0700) on first use and
+    * REFUSED (disk layer off) if it exists but is owned by another
+    * user — a pre-planted root must never be read or written.
+    */
+  private lazy val verifiedRoot: Option[java.nio.file.Path] = cacheRoot.flatMap { root =>
+    try {
+      if (!java.nio.file.Files.isDirectory(root)) {
+        try java.nio.file.Files.createDirectories(root,
+          java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+            java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+        catch {
+          case _: UnsupportedOperationException => // non-POSIX FS
+            java.nio.file.Files.createDirectories(root)
+        }
+      }
+      if (ownedByUs(root)) Some(root) else None
+    } catch { case _: Exception => None }
+  }
+
+  /** Deserialization filter for [[ofBlob]] (defense in depth behind
+    * the ownership checks): only primitives, arrays, and graft /
+    * scala / java.lang / java.util classes may appear in a cached
+    * blob stream — a crafted gadget-chain entry is rejected before
+    * any class resolves.
+    */
+  private val blobFilter = new java.io.ObjectInputFilter {
+    override def checkInput(info: java.io.ObjectInputFilter.FilterInfo)
+        : java.io.ObjectInputFilter.Status = {
+      if (info.depth() > 32 || info.references() > 1000000)
+        return java.io.ObjectInputFilter.Status.REJECTED
+      val c = info.serialClass()
+      if (c == null) return java.io.ObjectInputFilter.Status.UNDECIDED
+      var k: Class[_] = c
+      while (k.isArray) k = k.getComponentType
+      val n = k.getName
+      if (k.isPrimitive || n.startsWith("graft.") || n.startsWith("scala.") ||
+          n.startsWith("java.lang.") || n.startsWith("java.util."))
+        java.io.ObjectInputFilter.Status.ALLOWED
+      else java.io.ObjectInputFilter.Status.REJECTED
+    }
+  }
 
   /** Fingerprint of the running build, from this class's code source.
     * A recompile changes it, so disk entries written by other code are
@@ -172,11 +239,20 @@ object Materialized {
     } catch { case _: Exception => 0L }
   }
 
+  /** Full SHA-256 digest of the corpus path (32 hex chars): the old
+    * 32-bit `dir.hashCode` fold could collide two corpus dirs onto one
+    * entry; a cryptographic digest cannot.
+    */
+  private def dirDigest(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(dir.getBytes("UTF-8")).take(16).map(b => f"$b%02x").mkString
+  }
+
   private def diskPath(dir: String, version: Long, name: String,
       ext: String): Option[java.nio.file.Path] =
-    cacheRoot.map { root =>
+    (if (diskLayerEnabled) verifiedRoot else None).map { root =>
       val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
-      root.resolve(f"$safe-$version%016x-$codeVersion%016x-${dir.hashCode}%08x$ext")
+      root.resolve(f"$safe-$version%016x-$codeVersion%016x-${dirDigest(dir)}$ext")
     }
 
   private def deleteTree(p: java.nio.file.Path): Unit =
@@ -209,7 +285,9 @@ object Materialized {
       diskPath(dir, version, name, ".parquet") match {
         case None => build
         case Some(p) =>
-          if (java.nio.file.Files.exists(p.resolve("_SUCCESS")))
+          // entries not owned by the current user are never read (a
+          // plantable entry is as bad as a plantable root)
+          if (java.nio.file.Files.exists(p.resolve("_SUCCESS")) && ownedByUs(p))
             try spark.read.parquet(p.toString).localCheckpoint()
             catch { case _: Exception => deleteTree(p); build }
           else {
@@ -238,10 +316,11 @@ object Materialized {
         case None => build
         case Some(p) =>
           val read: Option[A] =
-            if (!java.nio.file.Files.isRegularFile(p)) None
+            if (!java.nio.file.Files.isRegularFile(p) || !ownedByUs(p)) None
             else try {
               val in = new java.io.ObjectInputStream(
                 new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p)))
+              in.setObjectInputFilter(blobFilter)
               try Some(in.readObject().asInstanceOf[A]) finally in.close()
             } catch { case _: Exception => deleteTree(p); None }
           read.getOrElse {
@@ -261,8 +340,16 @@ object Materialized {
     }
   }
 
-  /** Test hook: wipe the disk layer (every version, every corpus). */
-  def evictDisk(): Unit = cacheRoot.foreach(deleteTree)
+  /** Test hook: wipe the disk layer (every version, every corpus).
+    * Deletes only the root's CHILDREN — the root dir itself (and its
+    * 0700 mode) stays, and an unowned root is never touched.
+    */
+  def evictDisk(): Unit = verifiedRoot.foreach { root =>
+    try {
+      val s = java.nio.file.Files.list(root)
+      try s.forEach(deleteTree) finally s.close()
+    } catch { case _: Exception => }
+  }
 
   /** Test/bench hook: drop every materialized entry for `spark`,
     * forcing the next lookup to re-derive (the cold-catalog bench

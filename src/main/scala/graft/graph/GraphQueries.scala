@@ -332,9 +332,10 @@ object GraphQueries {
   }
 
   /** k-core membership (k=3) on the nation graph. The engine iterates
-    * to fixpoint; the oracle unrolls 6 prune rounds — measured
+    * to fixpoint; the oracle unrolls 7 prune rounds — measured
     * convergence is 2 rounds at every shipped SF, so both reach the
-    * same fixpoint (monotone pruning: extra rounds are no-ops).
+    * same fixpoint (monotone pruning: extra rounds are no-ops), and a
+    * sentinel row fires if rounds 6 and 7 ever still differ.
     */
   val KCoreK = 3
 
@@ -357,7 +358,15 @@ object GraphQueries {
     GraphOps.kTruss(DerivedGraphs.nationEdges(spark, dir), TrussK)
       .orderBy("u", "v")
 
-  val graphKTrussSql: String = {
+  /** Parameterized k-truss oracle (the gate uses [[TrussK]]; the fuzz
+    * family draws k). `nRounds` prune rounds are unrolled; the final
+    * support pass reads the LAST round, and a sentinel row (-1,-1,-1)
+    * is emitted whenever the last two rounds' edge counts differ — an
+    * unconverged unroll fails the gate loudly instead of silently
+    * blessing a pre-fixpoint edge set (pruning is monotone, so equal
+    * counts ⇔ fixpoint reached ⇔ spare rounds were no-ops).
+    */
+  def graphKTrussSqlAt(k: Int, nRounds: Int = 5): String = {
     def round(prev: String, cur: String): String =
       s"""tri$cur AS MATERIALIZED (SELECT x.u AS a, x.v AS b, y.v AS c
          |  FROM e$prev x JOIN e$prev y ON y.u = x.v
@@ -366,22 +375,29 @@ object GraphQueries {
          |  SELECT a AS u, b AS v FROM tri$cur
          |  UNION ALL SELECT a, c FROM tri$cur
          |  UNION ALL SELECT b, c FROM tri$cur) t GROUP BY 1, 2),
-         |e$cur AS MATERIALIZED (SELECT s.u, s.v FROM s$cur s WHERE s.c >= ${TrussK - 2})""".stripMargin
-    val rounds = (1 to 4).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+         |e$cur AS MATERIALIZED (SELECT s.u, s.v FROM s$cur s WHERE s.c >= ${k - 2})""".stripMargin
+    val rounds = (1 to nRounds).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    val (last, prev) = (s"e$nRounds", s"e${nRounds - 1}")
     s"""WITH ${DerivedGraphs.nationEdgesSql},
        |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |       FROM ne WHERE src != dst),
        |$rounds,
        |trif AS (SELECT x.u AS a, x.v AS b, y.v AS c
-       |  FROM e4 x JOIN e4 y ON y.u = x.v
-       |  JOIN e4 z ON z.u = x.u AND z.v = y.v),
+       |  FROM $last x JOIN $last y ON y.u = x.v
+       |  JOIN $last z ON z.u = x.u AND z.v = y.v),
        |sf AS (SELECT u, v, COUNT(*) AS c FROM (
        |  SELECT a AS u, b AS v FROM trif
        |  UNION ALL SELECT a, c FROM trif
        |  UNION ALL SELECT b, c FROM trif) t GROUP BY 1, 2)
-       |SELECT sf.u AS u, sf.v AS v, sf.c AS support
-       |FROM sf ORDER BY u, v""".stripMargin
+       |SELECT u, v, support FROM (
+       |  SELECT sf.u AS u, sf.v AS v, sf.c AS support FROM sf
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |  WHERE (SELECT COUNT(*) FROM $last) != (SELECT COUNT(*) FROM $prev))
+       |ORDER BY u, v""".stripMargin
   }
+
+  val graphKTrussSql: String = graphKTrussSqlAt(TrussK)
 
   val graphKCoreSql: String = {
     // MATERIALIZED: each round reads the previous edge set 3×; inlined
@@ -392,14 +408,23 @@ object GraphQueries {
          |e$cur AS MATERIALIZED (SELECT e.u, e.v FROM e$prev e
          |  JOIN d$cur a ON a.x = e.u JOIN d$cur b ON b.x = e.v
          |  WHERE a.c >= $KCoreK AND b.c >= $KCoreK)""".stripMargin
-    val rounds = (1 to 6).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    val rounds = (1 to 7).map(i => round((i - 1).toString, i.toString)).mkString(",\n")
+    // Same convergence sentinel as [[graphKTrussSqlAt]]: the final
+    // readout comes from the LAST unrolled round, and a (-1,-1) row
+    // appears whenever the last two rounds still differ — a corpus
+    // needing an 8th prune fails the gate loudly.
     s"""WITH ${DerivedGraphs.nationEdgesSql},
        |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
        |       FROM ne WHERE src != dst),
        |$rounds
-       |SELECT x AS vertex, CAST(COUNT(*) AS BIGINT) AS core_deg
-       |FROM (SELECT u AS x FROM e6 UNION ALL SELECT v FROM e6)
-       |GROUP BY x ORDER BY vertex""".stripMargin
+       |SELECT vertex, core_deg FROM (
+       |  SELECT x AS vertex, CAST(COUNT(*) AS BIGINT) AS core_deg
+       |  FROM (SELECT u AS x FROM e7 UNION ALL SELECT v FROM e7)
+       |  GROUP BY x
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |  WHERE (SELECT COUNT(*) FROM e7) != (SELECT COUNT(*) FROM e6))
+       |ORDER BY vertex""".stripMargin
   }
 
   /** Synchronous label propagation (4 rounds, min-tie) on the nation
@@ -505,7 +530,8 @@ object GraphQueries {
        |r AS (
        |  SELECT v AS s, v AS t, 0 AS d FROM verts
        |  UNION
-       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t
+       |    WHERE r.d < (SELECT COUNT(*) FROM verts)
        |),
        |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2)
        |SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached,
@@ -528,7 +554,8 @@ object GraphQueries {
        |r AS (
        |  SELECT v AS s, v AS t, 0 AS d FROM verts
        |  UNION
-       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t
+       |    WHERE r.d < (SELECT COUNT(*) FROM verts)
        |),
        |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2)
        |SELECT s AS vertex, CAST(COUNT(*) AS BIGINT) AS n_reached,
@@ -551,7 +578,8 @@ object GraphQueries {
        |r AS (
        |  SELECT v AS s, v AS t, 0 AS d FROM verts
        |  UNION
-       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t
+       |    WHERE r.d < (SELECT COUNT(*) FROM verts)
        |),
        |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2),
        |lv AS (SELECT s, d, COUNT(*) AS cnt FROM sp WHERE d > 0 GROUP BY 1, 2),
@@ -591,7 +619,8 @@ object GraphQueries {
        |r AS (
        |  SELECT v AS s, v AS t, 0 AS d FROM verts
        |  UNION
-       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t WHERE r.d < 64
+       |  SELECT r.s, ne.dst, r.d + 1 FROM r JOIN ne ON ne.src = r.t
+       |    WHERE r.d < (SELECT COUNT(*) FROM verts)
        |),
        |sp AS (SELECT s, t, MIN(d) AS d FROM r GROUP BY 1, 2),
        |dag AS (SELECT a.s, ne.src AS u, ne.dst AS v

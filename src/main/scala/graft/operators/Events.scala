@@ -650,7 +650,12 @@ object Events {
   def qRfm(spark: SparkSession, dir: String): DataFrame = {
     val p = eventsSec(spark, dir).where(col("event_type") === "purchase")
       .select(col("user_id"), col("ts_sec"), dec2(col("value")).as("v2"))
-    val maxTs = p.agg(max("ts_sec")).head.getLong(0)
+    // zero-purchase corpus: max(ts_sec) is NULL — keep a dummy anchor
+    // and skip the quantile machinery (no cutpoints exist on an empty
+    // per-user frame); the contract frame is served empty either way
+    val maxRow = p.agg(max("ts_sec")).head
+    val noPurchases = maxRow.isNullAt(0)
+    val maxTs = if (noPurchases) 0L else maxRow.getLong(0)
     val per = p.groupBy("user_id")
       .agg(max(col("ts_sec")).as("last_ts"), count(lit(1)).as("frequency"),
         sum(col("v2")).cast(DoubleType).as("monetary"))
@@ -667,10 +672,13 @@ object Events {
       .unionAll(per.select(lit("freq"), col("frequency").cast(DoubleType)))
       .unionAll(per.select(lit("mon"), col("monetary")))
       .groupBy("flag", "v").agg(count(lit(1)).as("c"))
-    val q = Relational.distributedQuantiles(vc,
-      Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
+    val q =
+      if (noPurchases) Map.empty[(String, String), Double]
+      else Relational.distributedQuantiles(vc,
+        Seq("q1" -> 0.25, "q2" -> 0.5, "q3" -> 0.75))
     def cuts(flag: String): Seq[Double] =
-      Seq(q((flag, "q1")), q((flag, "q2")), q((flag, "q3")))
+      if (noPurchases) Seq(0.0, 0.0, 0.0)
+      else Seq(q((flag, "q1")), q((flag, "q2")), q((flag, "q3")))
     def bucket(c: Column, q: Seq[Double]): Column =
       lit(1L) + (c > q(0)).cast(LongType) + (c > q(1)).cast(LongType) +
         (c > q(2)).cast(LongType)

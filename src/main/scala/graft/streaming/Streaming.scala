@@ -753,8 +753,11 @@ object Streaming {
                 // prior_mean at 4 dp via exact integer half-up division:
                 // the mean is a small-denominator rational, so a double
                 // ROUND hits .00005 boundaries where the engines'
-                // shortest-repr vs binary roundings disagree
-                val mean4 = (200L * st.s1 + st.n) / (2L * st.n)
+                // shortest-repr vs binary roundings disagree. floorDiv,
+                // not `/`: JVM `/` truncates toward zero while the
+                // oracle's `//` floors, and the two diverge the moment
+                // a cent sum goes negative (refund-style corpora)
+                val mean4 = Math.floorDiv(200L * st.s1 + st.n, 2L * st.n)
                 if (math.abs(z) > 2.0)
                   out += AnomOut(e.event_id, uid, e.value, st.n,
                     mean4.toDouble / 10000.0, round4(z))

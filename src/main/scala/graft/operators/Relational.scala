@@ -818,26 +818,99 @@ object Relational {
     * ROUND(6).
     *
     * Scale shape: the spend rollup shuffles on (nation, customer) —
-    * full parallelism — and only the rank window shuffles on the
-    * 25-key nation partitioning. Within-nation ranking is a per-group
-    * sort that spills fine at millions of customers per nation; if a
-    * group ever outgrows that, the swap is the
-    * [[distributedQuantiles]] histogram machinery (the q_rfm path) for
-    * an approximate-cutpoint Gini — same contract q_percentiles
-    * documents. No global sort, no cross join.
+    * full parallelism — and the rank is ADAPTIVE on the per-nation
+    * group size. Under [[GiniExactWindowRows]] rows per nation the
+    * rank is one window over the 25-key nation partitioning (a
+    * per-group sort that spills fine at millions of customers per
+    * nation — and the cheapest plan at gate scale). Above it, the
+    * single-task-per-nation sort would be the one "spill and hope"
+    * plan in the gate, so the rank switches to the BUCKETED-RANK path:
+    * histogram spend into ≤1024 per-nation value-range buckets (the
+    * [[distributedQuantiles]] bucketing), collect the ≤ 25×1024 bucket
+    * counts, turn their per-nation prefix sums into broadcast rank
+    * offsets, and rank within (nation, bucket) — EXACT global ranks
+    * (bucketing is monotone in spend, and spend ties always land in
+    * one bucket, where the (spend, ck) window order still applies) at
+    * nations×buckets-way parallelism. Both paths produce bit-identical
+    * output (GiniPathSpec pins it, including on a planted heavy-nation
+    * skew corpus); the oracle contract never changes. No global sort,
+    * no cross join.
     */
-  def qGini(spark: SparkSession, dir: String): DataFrame = {
+  def qGini(spark: SparkSession, dir: String): DataFrame =
+    qGiniImpl(spark, dir, forceBucketed = false)
+
+  /** Per-nation row count above which [[qGini]] abandons the exact
+    * per-nation window for the bucketed-rank path. 2M rows ≈ a
+    * 100-200 MB per-task sort of (nk, ck, spend) rows — comfortably
+    * inside one executor task without spilling; past that the bucketed
+    * path's two extra small jobs (histogram + offsets) buy
+    * nations×1024-way sort parallelism.
+    */
+  val GiniExactWindowRows: Long = 2L << 20
+
+  private[graft] def qGiniImpl(spark: SparkSession, dir: String,
+      forceBucketed: Boolean): DataFrame = {
     val sp = Tables.customer(spark, dir)
       .select(col("c_nationkey").cast(LongType).as("nk"), col("c_custkey").as("ck"))
       .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
         col("o_custkey") === col("ck"))
       .groupBy("nk", "ck").agg(sum(dec2(col("o_totalprice"))).as("spend"))
-    val byNation = Window.partitionBy("nk")
-    val rk = sp
-      .withColumn("r", row_number().over(byNation.orderBy("spend", "ck")))
-      .withColumn("n", count(lit(1)).over(byNation))
-      .withColumn("top_k", floor(col("n") / 5))
-    val ag = rk.groupBy("nk", "top_k")
+      // checkpointed: the path decision needs per-nation counts, and
+      // on the bucketed path the histogram + ranking passes must not
+      // re-run the customer⋈orders rollup
+      .localCheckpoint()
+    // ≤ 25 rows: nation count, spend extent (as double — only used to
+    // cut monotone bucket boundaries, never for the statistic itself)
+    val stats = sp.groupBy("nk")
+      .agg(count(lit(1)).as("n"),
+        min(col("spend").cast(DoubleType)).as("lo"),
+        max(col("spend").cast(DoubleType)).as("hi"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val maxGroup = if (stats.isEmpty) 0L else stats.valuesIterator.map(_._1).max
+    val rk =
+      if (!forceBucketed && maxGroup <= GiniExactWindowRows) {
+        val byNation = Window.partitionBy("nk")
+        sp.withColumn("r",
+            row_number().over(byNation.orderBy("spend", "ck")).cast(LongType))
+          .withColumn("n", count(lit(1)).over(byNation))
+      } else {
+        val NB = 1024
+        // monotone per-nation bucket of spend: equal spends share a
+        // bucket, so the within-bucket (spend, ck) order is globally
+        // consistent and offset + row_number is the EXACT global rank
+        val bCol = stats.foldLeft(lit(0)) { case (acc, (nk, (_, lo, hi))) =>
+          val width = math.max((hi - lo) / NB, java.lang.Double.MIN_NORMAL)
+          when(col("nk") === nk,
+            least(floor((col("spend").cast(DoubleType) - lit(lo)) / lit(width)),
+              lit(NB - 1)).cast("int"))
+            .otherwise(acc)
+        }
+        val hist = sp.withColumn("b", bCol)
+          .groupBy("nk", "b").agg(count(lit(1)).as("c")).collect()
+          .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+        // per-(nation, bucket) rank offsets via driver prefix sums over
+        // ≤ 25×1024 counts, plus the nation total the readout needs
+        val offRows = stats.toSeq.flatMap { case (nk, (n, _, _)) =>
+          var cum = 0L
+          (0 until NB).flatMap { b =>
+            hist.get((nk, b)).map { c =>
+              val off = cum; cum += c; (nk, b, off, n)
+            }
+          }
+        }
+        import spark.implicits._
+        val offDf = offRows.toDF("nk", "b", "off", "n")
+        val wb = Window.partitionBy("nk", "b")
+        sp.withColumn("b", bCol)
+          .join(broadcast(offDf), Seq("nk", "b"))
+          .withColumn("r",
+            row_number().over(wb.orderBy("spend", "ck")).cast(LongType) + col("off"))
+          .drop("b", "off")
+      }
+    val ag = rk.withColumn("top_k", floor(col("n") / 5))
+      .groupBy("nk", "top_k")
       .agg(max(col("n")).as("n"),
         sum(col("spend")).cast(DoubleType).as("total"),
         sum(col("r") * col("spend")).cast(DoubleType).as("rs"),

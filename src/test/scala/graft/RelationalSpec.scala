@@ -434,4 +434,31 @@ class RelationalSpec extends SparkSpec {
       }
     }
   }
+
+  test("q_gini: bucketed-rank path is bit-identical to the exact window path") {
+    val a = operators.Relational.qGiniImpl(spark, sfDir, forceBucketed = false).collect()
+    val b = operators.Relational.qGiniImpl(spark, sfDir, forceBucketed = true).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+
+    // planted heavy-nation skew corpus: one 500-customer nation dense
+    // with exact spend ties (tie runs must rank consistently inside
+    // their shared bucket) next to a 3-customer nation, so the
+    // bucketed path sees both a populated histogram and a degenerate
+    // one in the same run
+    val dir = java.nio.file.Files.createTempDirectory("gini_skew").toString
+    import spark.implicits._
+    ((1 to 500).map(i => (i.toLong, 0L)) ++ Seq((501L, 1L), (502L, 1L), (503L, 1L)))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1 to 503).flatMap { i =>
+      val m = 1 + i % 3
+      (0 until m).map(j => (i.toLong, BigDecimal((i % 7) * 100 + j * 10 + 5).setScale(2)))
+    }.toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val ea = operators.Relational.qGiniImpl(spark, dir, forceBucketed = false).collect()
+    val eb = operators.Relational.qGiniImpl(spark, dir, forceBucketed = true).collect()
+    assert(ea.length === 2)
+    assert(ea.map(_.toSeq).toSeq === eb.map(_.toSeq).toSeq)
+  }
 }

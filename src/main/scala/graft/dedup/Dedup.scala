@@ -822,7 +822,8 @@ object Dedup {
     FROM documents d LEFT JOIN lab USING (doc_id)
     ORDER BY d.doc_id"""
 
-  val dedupContainmentSql: String = s"""
+  /** Parameterized containment oracle (the fuzz family draws τ). */
+  def dedupContainmentSqlAt(tau: Double): String = s"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
            FROM (SELECT doc_id, w,
@@ -834,8 +835,10 @@ object Dedup {
               GROUP BY 1, 2)
     SELECT doc_a, doc_b, ROUND(ninter / ca.n_sh, 6) AS containment
     FROM inter JOIN cnt ca ON ca.doc_id = doc_a
-    WHERE ROUND(ninter / ca.n_sh, 6) >= $ContainTau
+    WHERE ROUND(ninter / ca.n_sh, 6) >= $tau
     ORDER BY doc_a, doc_b"""
+
+  val dedupContainmentSql: String = dedupContainmentSqlAt(ContainTau)
 
   val dedupPipelineSql: String = {
     val stopList = graft.text.TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")

@@ -919,7 +919,17 @@ object Events {
     * dimension. A 100 TB corpus changes the rollup's input, not the
     * fold.
     */
-  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    qEwmaAt(spark, dir, EwmaAlpha)
+
+  /** Parameterized twin (the fuzz family draws α): β = 1 − α is
+    * computed ONCE in driver double arithmetic and rendered into both
+    * engines via Double.toString (shortest round-trip repr), so the
+    * recurrence constants are identical bits on both sides.
+    */
+  private[graft] def qEwmaAt(spark: SparkSession, dir: String,
+      alpha: Double): DataFrame = {
+    val beta = 1.0 - alpha
     val daily = eventsSec(spark, dir)
       .groupBy(col("event_type"), expr("ts_sec div 86400").as("day"))
       .agg(sum(dec2(col("value"))).cast(DoubleType).as("x"))
@@ -930,7 +940,7 @@ object Events {
       array().cast("array<double>"),
       (acc, e) => concat(acc, array(
         when(size(acc) === 0, e("x"))
-          .otherwise(lit(EwmaAlpha) * e("x") + lit(EwmaBeta) * element_at(acc, -1)))))
+          .otherwise(lit(alpha) * e("x") + lit(beta) * element_at(acc, -1)))))
     series
       .select(col("event_type"), explode(arrays_zip(col("xs"), ewArr.as("ew"))).as("z"))
       .select(col("event_type"), col("z.xs.day").as("day"),
@@ -939,7 +949,9 @@ object Events {
       .orderBy("event_type", "day")
   }
 
-  val qEwmaSql: String = """
+  def qEwmaSqlAt(alpha: Double): String = {
+    val beta = 1.0 - alpha
+    s"""
     WITH RECURSIVE es AS (
       SELECT event_type, epoch_ns(ts)//1000000000 AS ts_sec, value FROM events),
     daily AS (
@@ -953,10 +965,13 @@ object Events {
     rec AS (
       SELECT event_type, day, x, k, x AS ew FROM idx WHERE k = 1
       UNION ALL
-      SELECT i.event_type, i.day, i.x, i.k, 0.3 * i.x + 0.7 * r.ew AS ew
+      SELECT i.event_type, i.day, i.x, i.k, $alpha * i.x + $beta * r.ew AS ew
       FROM idx i JOIN rec r ON r.event_type = i.event_type AND i.k = r.k + 1)
     SELECT event_type, day, ROUND(x, 2) AS daily_value, ROUND(ew, 6) AS ewma
     FROM rec ORDER BY event_type, day"""
+  }
+
+  val qEwmaSql: String = qEwmaSqlAt(EwmaAlpha)
 
   /** Day-of-week revenue seasonality per event type — the calendar
     * profile behind staffing/campaign planning: for each (type, dow),

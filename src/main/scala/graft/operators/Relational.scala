@@ -968,7 +968,12 @@ object Relational {
     */
   val BasketMinSupport = 5L
 
-  def qBasket(spark: SparkSession, dir: String): DataFrame = {
+  def qBasket(spark: SparkSession, dir: String): DataFrame =
+    basketRules(spark, dir, BasketMinSupport)
+
+  /** Parameterized twin (the fuzz family draws the support floor). */
+  private[graft] def basketRules(spark: SparkSession, dir: String,
+      minSupport: Long): DataFrame = {
     val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("p_partkey") === col("l_partkey"))
@@ -979,7 +984,7 @@ object Relational {
         col("a.o") === col("c.o") && col("a.b") < col("c.b"))
       .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
       .agg(count(lit(1)).as("n_both"))
-      .where(col("n_both") >= BasketMinSupport)
+      .where(col("n_both") >= minSupport)
     pr.join(nb.select(col("b").as("b1"), col("nb").as("n1")), "b1")
       .join(nb.select(col("b").as("b2"), col("nb").as("n2")), "b2")
       .crossJoin(broadcast(no))
@@ -991,7 +996,7 @@ object Relational {
       .orderBy("b1", "b2")
   }
 
-  val qBasketSql: String = s"""
+  def qBasketSqlAt(minSupport: Long): String = s"""
     WITH ob AS (
       SELECT DISTINCT l_orderkey AS o, p_brand AS b
       FROM lineitem JOIN part ON p_partkey = l_partkey),
@@ -1004,12 +1009,14 @@ object Relational {
     st AS (
       SELECT b1, b2, n_both, n1.nb AS n1, n2.nb AS n2, no.n AS n
       FROM pr JOIN nb n1 ON n1.b = pr.b1 JOIN nb n2 ON n2.b = pr.b2, no
-      WHERE n_both >= $BasketMinSupport)
+      WHERE n_both >= $minSupport)
     SELECT b1, b2, n_both,
       ROUND(n_both / CAST(n AS DOUBLE), 6) AS support,
       ROUND(n_both / CAST(n1 AS DOUBLE), 6) AS confidence,
       ROUND(n_both * CAST(n AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS lift
     FROM st ORDER BY b1, b2"""
+
+  val qBasketSql: String = qBasketSqlAt(BasketMinSupport)
 
   def ops: Seq[Op] = Seq(
     Op("q_basket", qBasket, Some(qBasketSql)),

@@ -246,14 +246,26 @@ object Sampling {
     * threshold per source at extreme scale, dropping the window —
     * same note as the balanced sample).
     */
-  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+  def qSampleTemperature(spark: SparkSession, dir: String): DataFrame =
+    qSampleTemperatureAt(spark, dir, sqrtDepth = 1, k = TempK)
+
+  /** Parameterized twin (the fuzz family draws the temperature and the
+    * quota scale). Temperature is expressed as a SQRT CHAIN —
+    * n^(1/2^depth), depth 0/1/2 = T 1.0/0.5/0.25 — because IEEE sqrt
+    * is correctly rounded on both engines while pow() is not: the
+    * weight doubles are identical bits at any depth without trusting
+    * libm.
+    */
+  private[graft] def qSampleTemperatureAt(spark: SparkSession, dir: String,
+      sqrtDepth: Int, k: Long): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    val wRaw = (1 to sqrtDepth).foldLeft(col("n").cast(DoubleType))((c, _) => sqrt(c))
     val wts = docs.groupBy("source").agg(count(lit(1)).as("n"))
-      .withColumn("wt", round(sqrt(col("n").cast(DoubleType)), 9).cast("decimal(28,9)"))
+      .withColumn("wt", round(wRaw, 9).cast("decimal(28,9)"))
     val tot = wts.agg(sum(col("wt")).as("sw"))
     val quotas = wts.crossJoin(broadcast(tot))
       .withColumn("quota", greatest(lit(1L),
-        floor(lit(TempK.toDouble) * col("wt").cast(DoubleType)
+        floor(lit(k.toDouble) * col("wt").cast(DoubleType)
           / col("sw").cast(DoubleType))))
       .select(col("source"), col("quota"))
     val h = md5(concat(lit("temp:"), col("doc_id").cast(StringType)).cast(BinaryType))
@@ -266,14 +278,16 @@ object Sampling {
       .orderBy("doc_id")
   }
 
-  val qSampleTemperatureSql: String = s"""
+  def qSampleTemperatureSqlAt(sqrtDepth: Int, k: Long): String = {
+    val wExpr = (1 to sqrtDepth).foldLeft("CAST(n AS DOUBLE)")((e, _) => s"sqrt($e)")
+    s"""
     WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
     wts AS (SELECT source, n,
-              CAST(ROUND(sqrt(n), 9) AS DECIMAL(28,9)) AS wt
+              CAST(ROUND($wExpr, 9) AS DECIMAL(28,9)) AS wt
             FROM counts),
     tot AS (SELECT SUM(wt) AS sw FROM wts),
     quotas AS (SELECT source,
-                 GREATEST(1, CAST(FLOOR($TempK * CAST(wt AS DOUBLE)
+                 GREATEST(1, CAST(FLOOR(CAST($k AS DOUBLE) * CAST(wt AS DOUBLE)
                    / CAST(sw AS DOUBLE)) AS BIGINT)) AS quota
                FROM wts, tot),
     ranked AS (
@@ -284,6 +298,9 @@ object Sampling {
     SELECT r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn, r.n_chars
     FROM ranked r JOIN quotas q ON q.source = r.source
     WHERE r.rn <= q.quota ORDER BY doc_id"""
+  }
+
+  val qSampleTemperatureSql: String = qSampleTemperatureSqlAt(1, TempK)
 
   def ops: Seq[Op] = Seq(
     Op("q_sample_temperature", qSampleTemperature, Some(qSampleTemperatureSql)),

@@ -1174,7 +1174,15 @@ object TextAnalysis {
     * shuffle but the gate's canonical ORDER BY. The 100 TB readability
     * pass is a map-only job.
     */
-  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+  def textReadability(spark: SparkSession, dir: String): DataFrame =
+    textReadabilityAt(spark, dir, easyCut = 70, medCut = 50)
+
+  /** Parameterized twin (the fuzz family draws the band cuts; integer
+    * cuts render as X.0 literals on both engines, and the compare runs
+    * on the identical unrounded double).
+    */
+  private[graft] def textReadabilityAt(spark: SparkSession, dir: String,
+      easyCut: Int, medCut: Int): DataFrame = {
     val words = greatest(size(split(col("text"), " ")).cast(LongType), lit(1L))
     val syll = regexp_count(col("text"), lit("[aeiouy]+")).cast(LongType)
     val sent = greatest(regexp_count(col("text"), lit("[.!?]+")).cast(LongType), lit(1L))
@@ -1185,13 +1193,13 @@ object TextAnalysis {
           - lit(84.6) * (col("n_syll") / col("n_words")))
       .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
         round(col("flesch"), 4).as("flesch"),
-        when(col("flesch") >= 70.0, "easy")
-          .when(col("flesch") >= 50.0, "medium")
+        when(col("flesch") >= easyCut.toDouble, "easy")
+          .when(col("flesch") >= medCut.toDouble, "medium")
           .otherwise("hard").as("band"))
       .orderBy("doc_id")
   }
 
-  val textReadabilitySql: String = """
+  def textReadabilitySqlAt(easyCut: Int, medCut: Int): String = s"""
     WITH f AS (
       SELECT doc_id,
         GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS n_words,
@@ -1204,10 +1212,12 @@ object TextAnalysis {
       FROM f)
     SELECT doc_id, n_words, n_syll, n_sent,
       ROUND(flesch, 4) AS flesch,
-      CASE WHEN flesch >= 70.0 THEN 'easy'
-           WHEN flesch >= 50.0 THEN 'medium'
+      CASE WHEN flesch >= $easyCut.0 THEN 'easy'
+           WHEN flesch >= $medCut.0 THEN 'medium'
            ELSE 'hard' END AS band
     FROM s ORDER BY doc_id"""
+
+  val textReadabilitySql: String = textReadabilitySqlAt(70, 50)
 
   /** Collocation pairs below this corpus count are noise, not phrases. */
   val CollocMinCount = 5L

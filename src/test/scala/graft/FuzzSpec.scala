@@ -25,6 +25,17 @@ class FuzzSpec extends SparkSpec {
     assert(c.map(_.name) !== a.map(_.name))
   }
 
+  test("every family (incl. the six r15 additions) is reachable") {
+    // seed 1 × 30 draws covers all NumFamilies selector values (the
+    // java.util.Random stream is algorithm-specified, so this is a
+    // fixed fact, not flake); if a family is ever added without a
+    // selector arm — or an arm dies at construction — this fails
+    val fams = Fuzz.draws(spark, sfDir, seed = 1, n = 30)
+      .map(_.name.split("_")(1)).toSet
+    assert(fams === Set("agg", "window", "topk", "jaccard", "bfs",
+      "basket", "contain", "ktruss", "ewma", "temp", "readability"))
+  }
+
   test("agg draw equals an independent spark.sql formulation") {
     val draw = Fuzz.draws(spark, sfDir, seed = 3, n = 20)
       .find(_.name.contains("_agg_")).get

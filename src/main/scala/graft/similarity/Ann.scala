@@ -1333,12 +1333,9 @@ object Ann {
     * with vec_id tie-breaks everywhere, so the oracle replays the
     * identical rounds as unrolled CTEs.
     */
-  def graphBeamTopK(emb: DataFrame, k: Int = K): DataFrame = {
-    val nn = knnJoin(emb, k = AnnGraphDegree)
-      .select(col("qid").as("src"), col("vec_id").as("dst"))
-    val edges = nn
-      .unionAll(nn.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+  def graphBeamTopK(emb: DataFrame, k: Int = K,
+      edgesOpt: Option[DataFrame] = None): DataFrame = {
+    val edges = edgesOpt.getOrElse(buildKnnGraph(emb))
     val vecs = withNorm(emb).localCheckpoint()
     val q = vecs.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1366,8 +1363,29 @@ object Ann {
     globalTopK(scored, k)
   }
 
+  /** The undirected k-NN graph as a raw frame (the index build). */
+  private def buildKnnGraph(emb: DataFrame): DataFrame = {
+    val nn = knnJoin(emb, k = AnnGraphDegree)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    nn.unionAll(nn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+  }
+
+  /** Catalog-served undirected k-NN graph: the graph IS the ANN index
+    * (a vector DB builds it once and serves queries against it — the
+    * same load-once-query-many shape as the IVF centroids and the
+    * derived graphs), so it lives in the Materialized catalog with the
+    * memory + disk layers; Bench's cold passes record the build cost
+    * explicitly (the ann_ prefix is in the cold op list).
+    */
+  private def knnGraphUndirected(spark: SparkSession, dir: String): DataFrame =
+    graft.Materialized.ofDF(spark, dir, s"ann:knn-und-$AnnGraphDegree") {
+      buildKnnGraph(Tables.embeddings(spark, dir))
+    }
+
   def annGraph(spark: SparkSession, dir: String): DataFrame =
-    graphBeamTopK(Tables.embeddings(spark, dir))
+    graphBeamTopK(Tables.embeddings(spark, dir),
+      edgesOpt = Some(knnGraphUndirected(spark, dir)))
 
   /** Oracle: the exact knn graph from the all-pairs score CTE (the
     * gate corpora take [[knnJoin]]'s exact path), undirected, then the

@@ -1190,25 +1190,50 @@ object Dedup {
     * linear in corpus token count.
     */
   def substringExactSpans(docs: DataFrame, k: Int = SpanK): DataFrame = {
+    val (members, reps) = collapseByText(docs)
+    substringExactSpansCollapsed(members, reps, k)
+  }
+
+  /** The family's exact-duplicate collapse applied to span dedup:
+    * shingles come from DISTINCT texts only, a window's corpus
+    * frequency is Σ over reps of (occurrences in the rep) × (copies
+    * of the rep) — exactly the uncollapsed count — and rep spans
+    * expand to members by one equi-join (identical text ⇒ identical
+    * positions ⇒ identical spans). On the ×100 ScaleUp corpus
+    * (~99% duplicated text) this shrinks the shingle index from all
+    * ~250M token positions to the ~2.5M distinct-text ones; the
+    * oracle stays the uncollapsed brute force, so the gate pins the
+    * collapse exact.
+    */
+  private def substringExactSpansCollapsed(members: DataFrame, reps: DataFrame,
+      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // two consumers (frequency agg + position join) — checkpoint so
     // the tokenizing flatMap runs once
-    val sh = spanShingles(docs, k).localCheckpoint()
-    val dup = sh.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val sh = spanShingles(reps, k).localCheckpoint()
+    val copies = members.groupBy("rep_id").agg(count(lit(1)).as("copies"))
+    val dup = sh.groupBy("doc_id", "g").agg(count(lit(1)).as("occ"))
+      .join(copies.select(col("rep_id").as("doc_id"), col("copies")), "doc_id")
+      .groupBy("g").agg(sum(col("occ") * col("copies")).as("cnt"))
       .where(col("cnt") >= 2).select("g")
     val dp = sh.join(dup, "g").select("doc_id", "pos")
     val wd = Window.partitionBy("doc_id").orderBy("pos")
-    dp.withColumn("grp", col("pos") - row_number().over(wd))
+    val repSpans = dp.withColumn("grp", col("pos") - row_number().over(wd))
       .groupBy("doc_id", "grp")
       .agg(min("pos").as("span_start"),
         (max("pos") + lit(k.toLong - 1)).as("span_end"),
         (max("pos") - min("pos") + lit(k.toLong)).as("n_tokens"))
-      .select("doc_id", "span_start", "span_end", "n_tokens")
+      .select(col("doc_id").as("rep_id"), col("span_start"),
+        col("span_end"), col("n_tokens"))
+    members.join(repSpans, "rep_id")
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_tokens"))
       .orderBy("doc_id", "span_start")
   }
 
-  def dedupSubstringExact(spark: SparkSession, dir: String): DataFrame =
-    substringExactSpans(Tables.documents(spark, dir))
+  def dedupSubstringExact(spark: SparkSession, dir: String): DataFrame = {
+    val c = collapsedFor(spark, dir)
+    substringExactSpansCollapsed(c.members, c.reps, SpanK)
+  }
 
   /** Parameterized oracle (the fuzz family draws k): brute-force
     * position-indexed shingles + frequency filter + gaps-and-islands,

@@ -267,8 +267,11 @@ class DedupSpec extends SparkSpec {
         ((1 to 8).map(i => s"y$i").mkString(" "))),
       // intra-doc repeat: Q at 1..8 and again at 10..17
       (2L, Q + " z1 " + Q),
-      // unrelated filler, no duplicated window
-      (3L, (1 to 30).map(i => s"w$i").mkString(" "))
+      // exact-duplicate pair: the collapse must count copies toward
+      // window frequency (every window occurs twice across the pair)
+      // and expand the rep's whole-doc span to both members
+      (3L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 30).map(i => s"w$i").mkString(" "))
     ).toDF("doc_id", "text")
     val out = Dedup.substringExactSpans(docs, k = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
@@ -276,7 +279,9 @@ class DedupSpec extends SparkSpec {
       (0L, 11L, 22L, 12L),
       (1L, 6L, 17L, 12L),
       (2L, 1L, 8L, 8L),
-      (2L, 10L, 17L, 8L)))
+      (2L, 10L, 17L, 8L),
+      (3L, 1L, 30L, 30L),
+      (4L, 1L, 30L, 30L)))
     // real corpus: spans exist, every span is >= k tokens and in-bounds
     val real = Dedup.substringExactSpans(Tables.documents(spark, sfDir)).collect()
     assert(real.nonEmpty)

@@ -755,6 +755,83 @@ object GraphOps {
       .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
   }
 
+  /** Full core decomposition (coreness per vertex — Batagelj &
+    * Zaveršnik 2003, the level-synchronous form): coreness(v) = max k
+    * such that v survives the k-core prune. Computed by INCREMENTAL
+    * peeling: level k prunes the (k−1)-core's fixpoint subgraph
+    * (core_k ⊆ core_{k−1}), so the edge set only ever shrinks, the
+    * level count is the graph's degeneracy, and each prune round is
+    * the [[kCore]] round — one degree aggregation + two semi-joins,
+    * shuffled on vertex id, checkpointed per level to cut lineage.
+    * Every vertex incident to an edge is emitted (coreness ≥ 1);
+    * driver twin under the edge threshold (spec pins both paths
+    * identical on a planted clique+triangle+tail graph).
+    */
+  def coreness(edges: DataFrame,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    if (e.count() <= maxLocalEdges) return localCoreness(spark, e)
+    def vertsOf(d: DataFrame): DataFrame =
+      d.select(col("u").as("vertex")).unionAll(d.select(col("v"))).distinct()
+    var result = Seq.empty[(Long, Long)].toDF("vertex", "coreness")
+    var before = vertsOf(e).localCheckpoint()
+    var k = 2L
+    var guard = 0
+    while (!e.isEmpty) {
+      guard += 1
+      require(guard <= (1 << 20), "coreness: level guard tripped")
+      // prune to the k-core fixpoint of the current subgraph
+      var n = e.count()
+      var prev = -1L
+      while (n != prev && n > 0) {
+        prev = n
+        val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val keep = deg.where(col("d") >= k).select("x")
+        e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+        n = e.count()
+      }
+      val after = vertsOf(e).localCheckpoint()
+      val dropped = before.join(after, Seq("vertex"), "left_anti")
+        .select(col("vertex"), lit(k - 1L).as("coreness"))
+      result = result.unionAll(dropped).localCheckpoint()
+      before = after
+      k += 1
+    }
+    result
+  }
+
+  /** Driver-side coreness twin: the same incremental peel on a
+    * collected edge array.
+    */
+  private def localCoreness(spark: SparkSession, undirected: DataFrame): DataFrame = {
+    import spark.implicits._
+    var es = collectPairs(undirected)
+    val core = new java.util.HashMap[Long, Long]()
+    es.foreach { case (u, v) => core.put(u, 1L); core.put(v, 1L) }
+    var k = 2L
+    while (es.nonEmpty) {
+      var changed = true
+      while (changed && es.nonEmpty) {
+        val deg = new java.util.HashMap[Long, Long]()
+        es.foreach { case (u, v) => deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _) }
+        val next = es.filter { case (u, v) => deg.get(u) >= k && deg.get(v) >= k }
+        changed = next.length != es.length
+        es = next
+      }
+      es.foreach { case (u, v) => core.put(u, k); core.put(v, k) }
+      k += 1
+    }
+    import scala.jdk.CollectionConverters._
+    core.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "coreness")
+  }
+
   /** Driver-side k-core twin for sub-threshold graphs: identical
     * monotone-prune fixpoint, exact integer degrees.
     */

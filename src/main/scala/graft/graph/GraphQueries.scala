@@ -417,6 +417,70 @@ object GraphQueries {
 
   val graphKTrussSql: String = graphKTrussSqlAt(TrussK)
 
+  /** Full core decomposition of the nation graph: every vertex with
+    * its coreness (max k whose k-core still contains it) — the notch
+    * of information above [[graphKCore]]'s single membership cut,
+    * and the standard influence/density ranking a graph DB ships.
+    * Oracle: the unrolled k-core level chain below, CHAINED
+    * incrementally (level k prunes level k−1's fixpoint, mirroring
+    * [[GraphOps.coreness]]); coreness = max level whose fixpoint
+    * still holds the vertex.
+    */
+  def graphCoreness(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.coreness(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  /** Measured max coreness is 5 (sf0.001) / 8 (sf0.01); the unroll
+    * goes to [[CorenessMaxK]] with two spare levels, 7 prune rounds
+    * per level, and THREE loud-failure sentinels: per-level
+    * unconverged rounds, and a non-empty top level (a corpus whose
+    * degeneracy reaches the unroll ceiling would otherwise silently
+    * understate coreness).
+    */
+  val CorenessMaxK = 10
+
+  val graphCorenessSql: String = {
+    def round(k: Int, prev: String, cur: String): String =
+      s"""d$cur AS MATERIALIZED (SELECT x, COUNT(*) AS c
+         |  FROM (SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
+         |$cur AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
+         |  JOIN d$cur a ON a.x = e.u JOIN d$cur b ON b.x = e.v
+         |  WHERE a.c >= $k AND b.c >= $k)""".stripMargin
+    val rounds = 7
+    // level k's chain starts from level (k-1)'s fixpoint edge set
+    def level(k: Int): String =
+      (1 to rounds).map { r =>
+        val prev = if (r == 1) finalOf(k - 1) else s"l${k}_${r - 1}"
+        round(k, prev, s"l${k}_$r")
+      }.mkString(",\n")
+    def finalOf(k: Int): String = if (k <= 1) "e1" else s"l${k}_$rounds"
+    val levels = (2 to CorenessMaxK).map(level).mkString(",\n")
+    val cands = (1 to CorenessMaxK).map { k =>
+      s"""SELECT x AS vertex, $k AS k FROM (
+         |    SELECT u AS x FROM ${finalOf(k)} UNION SELECT v FROM ${finalOf(k)})""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val sentinels = (2 to CorenessMaxK).map { k =>
+      s"""SELECT CAST(-$k AS BIGINT), CAST(-1 AS BIGINT)
+         |  WHERE (SELECT COUNT(*) FROM ${finalOf(k)}) !=
+         |        (SELECT COUNT(*) FROM l${k}_${rounds - 1})""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |e1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM ne WHERE src != dst),
+       |$levels,
+       |cand AS (
+       |  $cands
+       |)
+       |SELECT vertex, coreness FROM (
+       |  SELECT vertex, CAST(MAX(k) AS BIGINT) AS coreness FROM cand GROUP BY vertex
+       |  UNION ALL
+       |  $sentinels
+       |  UNION ALL
+       |  SELECT CAST(-99 AS BIGINT), CAST(-1 AS BIGINT)
+       |  WHERE EXISTS (SELECT 1 FROM ${finalOf(CorenessMaxK)}))
+       |ORDER BY vertex""".stripMargin
+  }
+
   val graphKCoreSql: String = {
     // MATERIALIZED: each round reads the previous edge set 3×; inlined
     // CTEs would expand the base join 3^rounds times.
@@ -984,6 +1048,7 @@ object GraphQueries {
     Op("graph_ppr", graphPpr, Some(graphPprSql)),
     Op("graph_random_walk", graphRandomWalk, Some(graphRandomWalkSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
+    Op("graph_coreness", graphCoreness, Some(graphCorenessSql)),
     Op("graph_k_truss", graphKTruss, Some(graphKTrussSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),

@@ -605,4 +605,31 @@ class GraphSpec extends SparkSpec {
     val b = GraphOps.assortativity(und).head
     assert(a.toSeq === b.toSeq)
   }
+
+  test("coreness: planted clique+triangle+tail; local and distributed paths agree") {
+    val spk = spark
+    import spk.implicits._
+    // 4-clique {1,2,3,4} (coreness 3), triangle {10,11,12} (2),
+    // tail 4-20-21 (1), bridging edge 4-10 (doesn't raise either side)
+    val edges = Seq(
+      (1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L),
+      (10L,11L),(10L,12L),(11L,12L),
+      (4L,10L),(4L,20L),(20L,21L)
+    ).toDF("src","dst")
+    val expect = Map(1L->3L,2L->3L,3L->3L,4L->3L,10L->2L,11L->2L,12L->2L,20L->1L,21L->1L)
+    val local = GraphOps.coreness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local === expect)
+    val dist = GraphOps.coreness(edges, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expect)
+    // gate graph: coreness is consistent with the k-core memberships
+    val cg = graph.GraphQueries.graphCoreness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k3 = GraphOps.kCore(DerivedGraphs.nationEdges(spark, sfDir), 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(cg.nonEmpty)
+    k3.foreach(v => assert(cg(v) >= 3L, s"vertex $v in 3-core but coreness ${cg(v)}"))
+    cg.filter(_._2 >= 3L).keys.foreach(v => assert(k3.contains(v)))
+  }
 }

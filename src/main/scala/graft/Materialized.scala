@@ -176,6 +176,32 @@ object Materialized {
     * blob stream — a crafted gadget-chain entry is rejected before
     * any class resolves.
     */
+  /** Exact class allowlist for blob deserialization. The blob layer
+    * persists only small driver matrices — `Array[Array[Double]]` and
+    * `Seq[(Int, Array[Double])]` — so the filter names precisely the
+    * classes those object graphs contain (boxes, Tuple2, the immutable
+    * collections and their two serialization proxies) instead of
+    * whole `scala.*` / `java.util.*` namespaces, which would leave
+    * gadget-adjacent JDK/scala classes resolvable. MaterializedSpec
+    * round-trips each caller's payload type through the filter, so a
+    * new blob type fails loudly there (and falls back to rebuild at
+    * runtime), never silently widens this list.
+    */
+  private val blobAllowedExact: Set[String] = Set(
+    "java.lang.Object", "java.lang.String", "java.lang.Number",
+    "java.lang.Integer", "java.lang.Long", "java.lang.Double",
+    "java.lang.Float", "java.lang.Short", "java.lang.Byte",
+    "java.lang.Boolean", "java.lang.Character",
+    "scala.collection.generic.DefaultSerializationProxy",
+    "scala.collection.generic.SerializeEnd$",
+    "scala.collection.IterableFactory$ToFactory",
+    "scala.runtime.ModuleSerializationProxy")
+
+  private def blobAllowedName(n: String): Boolean =
+    blobAllowedExact.contains(n) ||
+      n == "scala.Tuple2" || n.startsWith("scala.Tuple2$mc") ||
+      n.startsWith("scala.collection.immutable.")
+
   private val blobFilter = new java.io.ObjectInputFilter {
     override def checkInput(info: java.io.ObjectInputFilter.FilterInfo)
         : java.io.ObjectInputFilter.Status = {
@@ -185,9 +211,7 @@ object Materialized {
       if (c == null) return java.io.ObjectInputFilter.Status.UNDECIDED
       var k: Class[_] = c
       while (k.isArray) k = k.getComponentType
-      val n = k.getName
-      if (k.isPrimitive || n.startsWith("graft.") || n.startsWith("scala.") ||
-          n.startsWith("java.lang.") || n.startsWith("java.util."))
+      if (k.isPrimitive || blobAllowedName(k.getName))
         java.io.ObjectInputFilter.Status.ALLOWED
       else java.io.ObjectInputFilter.Status.REJECTED
     }

@@ -61,25 +61,51 @@ object DerivedGraphs {
       undirect(supplyEdges(spark, dir))
     }
 
-  /** Per-vertex degree of the undirected supply graph: the row count
-    * per `src` in [[supplyEdgesUndirected]] — i.e. the distinct-
-    * neighbor count. One catalog entry (memory + disk layer, like the
+  /** Directed degree catalog for the supply graph: out/in/total per
+    * vertex from ONE tagged-union aggregation over the directed frame
+    * (2·|E| rows). One catalog entry (memory + disk layer, like the
     * edge frames) feeds every degree consumer of the supply graph —
-    * graph_degrees and graph_assortativity — so the 2·|E| aggregation
-    * runs once per (session, corpus) instead of once per op call.
+    * graph_degrees and graph_assortativity — so the aggregation runs
+    * once per (session, corpus) instead of once per op call.
     *
-    * Bipartite invariant this frame carries (spec-pinned in
-    * GraphSpec): the supply graph's directed edges all run
-    * customer → offset+supplier with the two key spaces disjoint, so
-    * no reciprocal pair exists and the undirected degree of a vertex
-    * equals its directed total degree — out_deg for customers
-    * (vertex < [[SupplierOffset]]), in_deg for suppliers.
+    * The out/in split comes from which SIDE of the directed edge the
+    * vertex appeared on, never from a key-range compare: classifying by
+    * `vertex < SupplierOffset` breaks the moment a custkey reaches 1e6
+    * (plain TPC-H sf≥7) or a ScaleUp copy shifts keys by 1e9 — every
+    * such customer silently read as a supplier (out_deg=0). The
+    * bipartite invariant the derivation still relies on (the two key
+    * spaces are DISJOINT as sets, so no vertex is both a src and a dst
+    * and the undirected degree equals out+in) is asserted loudly at
+    * derivation time instead of assumed.
+    */
+  def supplyDegrees(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "supply-deg") {
+      val se = supplyEdges(spark, dir)
+      val deg = se
+        .select(col("src").as("vertex"), lit(1L).as("o"), lit(0L).as("i"))
+        .unionAll(se.select(col("dst").as("vertex"), lit(0L).as("o"), lit(1L).as("i")))
+        .groupBy("vertex")
+        .agg(sum("o").as("out_deg"), sum("i").as("in_deg"))
+        .select(col("vertex"), col("out_deg"), col("in_deg"),
+          (col("out_deg") + col("in_deg")).as("total_deg"))
+        .localCheckpoint()
+      val collided = deg
+        .where(col("out_deg") > 0 && col("in_deg") > 0).limit(1).count()
+      require(collided == 0L,
+        "supply graph bipartite invariant violated: a vertex appears as both " +
+          "customer (src) and offset-supplier (dst) — custkeys collide with " +
+          s"$SupplierOffset + suppkey; regenerate the corpus or raise SupplierOffset")
+      deg
+    }
+
+  /** Undirected degree of the supply graph, served from the shared
+    * [[supplyDegrees]] catalog entry: under the (asserted) disjoint
+    * key-space invariant no reciprocal pair exists, so the
+    * distinct-neighbor count equals out+in. GraphSpec pins this equal
+    * to the degree frame self-derived from [[supplyEdgesUndirected]].
     */
   def supplyDegreesUndirected(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "supply-und-deg") {
-      supplyEdgesUndirected(spark, dir)
-        .groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
-    }
+    supplyDegrees(spark, dir).select(col("vertex"), col("total_deg").as("deg"))
 
   /** Hash graph: a sparse deterministic digraph over residues of
     * o_orderkey mod M, out-degree ≤ 2 (two affine maps). Gives deep

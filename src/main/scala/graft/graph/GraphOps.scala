@@ -756,16 +756,22 @@ object GraphOps {
   }
 
   /** Full core decomposition (coreness per vertex — Batagelj &
-    * Zaveršnik 2003, the level-synchronous form): coreness(v) = max k
-    * such that v survives the k-core prune. Computed by INCREMENTAL
-    * peeling: level k prunes the (k−1)-core's fixpoint subgraph
-    * (core_k ⊆ core_{k−1}), so the edge set only ever shrinks, the
-    * level count is the graph's degeneracy, and each prune round is
-    * the [[kCore]] round — one degree aggregation + two semi-joins,
-    * shuffled on vertex id, checkpointed per level to cut lineage.
-    * Every vertex incident to an edge is emitted (coreness ≥ 1);
-    * driver twin under the edge threshold (spec pins both paths
-    * identical on a planted clique+triangle+tail graph).
+    * Zaveršnik 2003): coreness(v) = max k such that v survives the
+    * k-core prune. Distributed shape is the BUCKET-PEEL: one unified
+    * loop where each round computes the remaining graph's degree frame
+    * ONCE, jumps the level k straight to that frame's min degree
+    * (never walking empty levels one by one), peels EVERY vertex of
+    * degree ≤ k at coreness k, and prunes. Because peeling can drop a
+    * survivor's degree to ≤ k, the next round's min may still be ≤ k —
+    * the same loop IS the within-level fixpoint; k is monotone
+    * non-decreasing, so the per-vertex label is exactly the classic
+    * peel order's level. Total Spark jobs are O(total peel rounds) —
+    * NOT O(degeneracy × rounds per level) as the previous
+    * level-synchronous form was — and the per-round emitted frames sum
+    * to |V| rows across the whole run, so no growing result re-union
+    * is ever checkpointed. Every vertex incident to an edge is emitted
+    * (coreness ≥ 1); driver twin under the edge threshold (spec pins
+    * both paths identical on a planted clique+triangle+tail graph).
     */
   def coreness(edges: DataFrame,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
@@ -774,37 +780,29 @@ object GraphOps {
     var e = canonEdges(edges)
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    if (e.count() <= maxLocalEdges) return localCoreness(spark, e)
-    def vertsOf(d: DataFrame): DataFrame =
-      d.select(col("u").as("vertex")).unionAll(d.select(col("v"))).distinct()
-    var result = Seq.empty[(Long, Long)].toDF("vertex", "coreness")
-    var before = vertsOf(e).localCheckpoint()
-    var k = 2L
+    var n = e.count()
+    if (n <= maxLocalEdges) return localCoreness(spark, e)
+    val peeled = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 0L
     var guard = 0
-    while (!e.isEmpty) {
+    while (n > 0) {
       guard += 1
-      require(guard <= (1 << 20), "coreness: level guard tripped")
-      // prune to the k-core fixpoint of the current subgraph
-      var n = e.count()
-      var prev = -1L
-      while (n != prev && n > 0) {
-        prev = n
-        val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-          .groupBy("x").agg(count(lit(1)).as("d"))
-        val keep = deg.where(col("d") >= k).select("x")
-        e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-          .localCheckpoint()
-        n = e.count()
-      }
-      val after = vertsOf(e).localCheckpoint()
-      val dropped = before.join(after, Seq("vertex"), "left_anti")
-        .select(col("vertex"), lit(k - 1L).as("coreness"))
-      result = result.unionAll(dropped).localCheckpoint()
-      before = after
-      k += 1
+      require(guard <= (1 << 20), "coreness: peel-round guard tripped")
+      // one degree frame per round, checkpointed: feeds the min-degree
+      // probe, the peel emit, and the prune — never recomputed
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d")).localCheckpoint()
+      val kmin = deg.agg(min(col("d"))).head().getLong(0)
+      if (kmin > k) k = kmin
+      peeled += deg.where(col("d") <= k)
+        .select(col("x").as("vertex"), lit(k).as("coreness")).localCheckpoint()
+      val keep = deg.where(col("d") > k).select("x")
+      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      n = e.count()
     }
-    result
+    peeled.foldLeft(Seq.empty[(Long, Long)].toDF("vertex", "coreness"))(_ unionAll _)
   }
 
   /** Driver-side coreness twin: the same incremental peel on a

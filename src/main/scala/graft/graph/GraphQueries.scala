@@ -161,24 +161,18 @@ object GraphQueries {
   }
 
   /** Served from the shared supply-degree catalog entry
-    * ([[DerivedGraphs.supplyDegreesUndirected]]): the supply graph is
-    * bipartite with disjoint key spaces (customer → offset+supplier,
-    * primary_server.c:27-64's one-way adjacency rows), so the
-    * undirected degree IS the directed total degree and the out/in
-    * split is determined by which side of [[DerivedGraphs.SupplierOffset]]
-    * the vertex lies on. GraphSpec pins this mapping row-identical to
+    * ([[DerivedGraphs.supplyDegrees]]), which tags each directed edge
+    * end and aggregates once (primary_server.c:27-64's one-way
+    * adjacency rows). The out/in split comes from the edge side itself
+    * — NOT from a `vertex < SupplierOffset` compare, which misreads
+    * any custkey ≥ 1e6 (ScaleUp-shifted corpora, plain TPC-H sf≥7) as
+    * a supplier. GraphSpec pins this row-identical to
     * [[GraphOps.degrees]] over the directed frame; the DuckDB oracle
-    * (below, unchanged — it still counts the directed rows) hash-gates
-    * it every round.
+    * (below, unchanged) hash-gates it every round.
     */
   def graphDegrees(spark: SparkSession, dir: String): DataFrame =
-    DerivedGraphs.supplyDegreesUndirected(spark, dir)
-      .select(col("vertex"),
-        when(col("vertex") < DerivedGraphs.SupplierOffset, col("deg"))
-          .otherwise(lit(0L)).as("out_deg"),
-        when(col("vertex") < DerivedGraphs.SupplierOffset, lit(0L))
-          .otherwise(col("deg")).as("in_deg"),
-        col("deg").as("total_deg"))
+    DerivedGraphs.supplyDegrees(spark, dir)
+      .select("vertex", "out_deg", "in_deg", "total_deg")
       .orderBy("vertex")
 
   // SUM over INTEGER is HUGEINT in DuckDB — cast back to BIGINT so the

@@ -588,9 +588,9 @@ class GraphSpec extends SparkSpec {
   }
 
   test("supply degree catalog: bipartite mapping equals directed degrees; catalog-fed assortativity equals self-derived") {
-    // graph_degrees now derives in/out/total from the shared undirected
-    // degree frame via the bipartite rule — pin it row-identical to the
-    // direct tagged-union degree computation over the directed frame
+    // graph_degrees serves the shared directed-degree catalog (out/in
+    // split from the edge side, never a key-range compare) — pin it
+    // row-identical to GraphOps.degrees over the directed frame
     val fromCatalog = graph.GraphQueries.graphDegrees(spark, sfDir).collect().map(_.toSeq)
     val direct = GraphOps.degrees(DerivedGraphs.supplyEdges(spark, sfDir))
       .orderBy("vertex").collect().map(_.toSeq)

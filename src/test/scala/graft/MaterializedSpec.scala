@@ -130,6 +130,47 @@ class MaterializedSpec extends SparkSpec {
       === first.map { case (i, a) => (i, a.toSeq) })
   }
 
+  test("blob filter: every real ofBlob payload shape deserializes; unlisted types rebuild") {
+    // The filter is an exact-class allowlist (Materialized.blobAllowedExact)
+    // — round-trip each caller's concrete payload type so a payload the
+    // filter can't read back fails HERE, not as a silent cache miss.
+    val (dir, _) = corpus()
+    // ann:ivf-cents shape: Array[Array[Double]]
+    var b1 = 0
+    def mat(): Array[Array[Double]] =
+      Materialized.ofBlob(spark, dir.toString, "blob-mat") {
+        b1 += 1; Array(Array(1.0, 2.0), Array(3.0))
+      }
+    val m1 = mat().map(_.toSeq).toSeq
+    Materialized.evict(spark)
+    assert(mat().map(_.toSeq).toSeq === m1)
+    assert(b1 === 1, "Array[Array[Double]] must read back through the filter")
+    // cluster:*-cents shape as lloydCentroids actually builds it:
+    // collect().toSeq.map → immutable.ArraySeq of Tuple2
+    var b2 = 0
+    def cents(): Seq[(Int, Array[Double])] =
+      Materialized.ofBlob(spark, dir.toString, "blob-cents") {
+        b2 += 1
+        Array((0, Array(1.5)), (1, Array(2.5, 3.5))).toSeq.map(identity)
+      }
+    val c1 = cents().map { case (i, a) => (i, a.toSeq) }
+    Materialized.evict(spark)
+    assert(cents().map { case (i, a) => (i, a.toSeq) } === c1)
+    assert(b2 === 1, "Seq[(Int, Array[Double])] must read back through the filter")
+    // a type outside the allowlist must NOT deserialize — the read is
+    // rejected and the entry rebuilds (correct, just uncached)
+    var b3 = 0
+    def bad(): java.util.ArrayList[String] =
+      Materialized.ofBlob(spark, dir.toString, "blob-bad") {
+        b3 += 1
+        val l = new java.util.ArrayList[String](); l.add("x"); l
+      }
+    bad()
+    Materialized.evict(spark)
+    bad()
+    assert(b3 === 2, "an unlisted class must be rejected by the filter, forcing rebuild")
+  }
+
   test("in-place part rewrite invalidates without any parent-dir mtime change") {
     val (dir, part) = corpus()
     var builds = 0

@@ -301,4 +301,67 @@ class AnnSpec extends SparkSpec {
     // fixed seeds + rounded tie-broken ranking: two runs are identical
     assert(rowsOf(Ann.graphBeamTopK(emb)) === rowsOf(out))
   }
+
+  test("graphBeamTopK on an LSH-built graph (>10k vectors): recall vs brute force >= 0.8") {
+    // Above KnnBroadcastMaxRows (10k) buildKnnGraph's knnJoin routes to
+    // the LSH-bucketed candidate path — the graph the beam searches at
+    // production scale is approximate. The gate corpora (≤2k vectors)
+    // only ever exercise the exact-built graph, so this planted 12k
+    // corpus is the one place the LSH-built graph's navigability is
+    // measured. Deterministic (hash-derived, no rand()): moderate
+    // cluster pull over dominant noise, so the knn graph is CONNECTED
+    // with small diameter (fully-separated clusters would strand the
+    // beam regardless of how the graph was built — that shape defeats
+    // any knn-graph method, it measures nothing about the LSH build).
+    val s = spark
+    import s.implicits._
+    // 8 clusters with i%8 assignment: the 8 fixed entry points
+    // (vec_id 16..23) land one per cluster, so every query has an
+    // entry in its own region — beam recall then measures how well the
+    // graph lets the search climb from a same-region entry to the true
+    // neighbors, the navigation the production index actually does
+    // (quasi-orthogonal clusters with NO entry coverage strand any
+    // knn-graph beam and measure nothing about the build).
+    val n = 12000
+    val dim = 16
+    val nClusters = 8
+    // splitmix64 avalanche: a weak multiplicative hash here leaves
+    // id-arithmetic structure in the noise (pairs of ids with
+    // near-identical noise vectors become 0.9999-cosine "twins" that
+    // no graph navigation could find — the recall floor would measure
+    // the hash, not the index)
+    def noise(i: Long, d: Int): Float = {
+      var z = (i * 16 + d) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble * 2 - 1).toFloat
+    }
+    val data = (0 until n).map { i =>
+      val c = i % nClusters
+      val v = Array.tabulate(dim)(d =>
+        0.6f * math.sin(c * 37.0 + d * 11.0).toFloat + 0.8f * noise(i.toLong, d))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    assert(n > Ann.KnnBroadcastMaxRows, "corpus must force the LSH knn-graph build")
+    val bf = neighborSets(Ann.bruteForceTopK(data))
+    def meanRecall(got: Map[Long, Set[Long]]): Double = {
+      val rs = bf.map { case (q, t) =>
+        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+      rs.sum / rs.size
+    }
+    // exact-built graph on the same corpus: the navigability ceiling —
+    // how much of any recall loss is the LSH build vs the beam itself
+    val exactNn = Ann.knnJoin(data, k = Ann.AnnGraphDegree,
+      maxBroadcastRows = Long.MaxValue)
+      .select(col("qid").as("src"), col("vec_id").as("dst"))
+    val exactGraph = exactNn.unionAll(
+      exactNn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val ceil = meanRecall(neighborSets(
+      Ann.graphBeamTopK(data, edgesOpt = Some(exactGraph))))
+    val mean = meanRecall(neighborSets(Ann.graphBeamTopK(data)))
+    info(f"knn-graph beam recall@${Ann.K} over $n vectors: LSH-built $mean%.3f, exact-built $ceil%.3f")
+    assert(mean >= 0.8, s"mean beam recall on the LSH-built graph: $mean (exact-built: $ceil)")
+  }
 }

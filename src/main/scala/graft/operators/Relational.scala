@@ -848,8 +848,20 @@ object Relational {
     */
   val GiniExactWindowRows: Long = 2L << 20
 
+  /** Group count above which the bucketed path derives the bucket id
+    * via a broadcast-joined (nk, lo, width) param frame instead of a
+    * per-nation nested CASE: the foldLeft CASE is the cheapest shape
+    * at warehouse nation counts (25 branches, no extra join) but its
+    * codegen grows quadratically with branches — at thousands of
+    * groups the expression tree itself becomes the bottleneck. Both
+    * shapes bucket with the same doubles, so ranks (and output) are
+    * bit-identical (spec-pinned via forceParamJoin).
+    */
+  val GiniCaseMaxGroups: Int = 100
+
   private[graft] def qGiniImpl(spark: SparkSession, dir: String,
-      forceBucketed: Boolean): DataFrame = {
+      forceBucketed: Boolean, forceParamJoin: Boolean = false,
+      forceExactWindow: Boolean = false): DataFrame = {
     val sp = Tables.customer(spark, dir)
       .select(col("c_nationkey").cast(LongType).as("nk"), col("c_custkey").as("ck"))
       .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
@@ -870,24 +882,41 @@ object Relational {
       .toMap
     val maxGroup = if (stats.isEmpty) 0L else stats.valuesIterator.map(_._1).max
     val rk =
-      if (!forceBucketed && maxGroup <= GiniExactWindowRows) {
+      if (forceExactWindow || (!forceBucketed && maxGroup <= GiniExactWindowRows)) {
         val byNation = Window.partitionBy("nk")
         sp.withColumn("r",
             row_number().over(byNation.orderBy("spend", "ck")).cast(LongType))
           .withColumn("n", count(lit(1)).over(byNation))
       } else {
         val NB = 1024
+        import spark.implicits._
         // monotone per-nation bucket of spend: equal spends share a
         // bucket, so the within-bucket (spend, ck) order is globally
-        // consistent and offset + row_number is the EXACT global rank
-        val bCol = stats.foldLeft(lit(0)) { case (acc, (nk, (_, lo, hi))) =>
-          val width = math.max((hi - lo) / NB, java.lang.Double.MIN_NORMAL)
-          when(col("nk") === nk,
-            least(floor((col("spend").cast(DoubleType) - lit(lo)) / lit(width)),
-              lit(NB - 1)).cast("int"))
-            .otherwise(acc)
-        }
-        val hist = sp.withColumn("b", bCol)
+        // consistent and offset + row_number is the EXACT global rank.
+        // Bucket-id derivation is shape-adaptive: a nested CASE at
+        // warehouse group counts, a broadcast-joined param frame past
+        // [[GiniCaseMaxGroups]] (identical doubles → identical buckets)
+        def withBucket(d: DataFrame): DataFrame =
+          if (forceParamJoin || stats.size > GiniCaseMaxGroups) {
+            val params = stats.toSeq.map { case (nk, (_, lo, hi)) =>
+              (nk, lo, math.max((hi - lo) / NB, java.lang.Double.MIN_NORMAL))
+            }.toDF("nk", "blo", "bwidth")
+            d.join(broadcast(params), Seq("nk"))
+              .withColumn("b",
+                least(floor((col("spend").cast(DoubleType) - col("blo")) / col("bwidth")),
+                  lit(NB - 1)).cast("int"))
+              .drop("blo", "bwidth")
+          } else {
+            val bCol = stats.foldLeft(lit(0)) { case (acc, (nk, (_, lo, hi))) =>
+              val width = math.max((hi - lo) / NB, java.lang.Double.MIN_NORMAL)
+              when(col("nk") === nk,
+                least(floor((col("spend").cast(DoubleType) - lit(lo)) / lit(width)),
+                  lit(NB - 1)).cast("int"))
+                .otherwise(acc)
+            }
+            d.withColumn("b", bCol)
+          }
+        val hist = withBucket(sp)
           .groupBy("nk", "b").agg(count(lit(1)).as("c")).collect()
           .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
         // per-(nation, bucket) rank offsets via driver prefix sums over
@@ -900,10 +929,9 @@ object Relational {
             }
           }
         }
-        import spark.implicits._
         val offDf = offRows.toDF("nk", "b", "off", "n")
         val wb = Window.partitionBy("nk", "b")
-        sp.withColumn("b", bCol)
+        withBucket(sp)
           .join(broadcast(offDf), Seq("nk", "b"))
           .withColumn("r",
             row_number().over(wb.orderBy("spend", "ck")).cast(LongType) + col("off"))

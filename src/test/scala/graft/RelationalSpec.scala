@@ -440,6 +440,12 @@ class RelationalSpec extends SparkSpec {
     val b = operators.Relational.qGiniImpl(spark, sfDir, forceBucketed = true).collect()
     assert(a.nonEmpty)
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // high-group-count bucket shape (broadcast-joined (lo, width)
+    // params instead of the nested CASE): identical doubles →
+    // identical buckets → identical output
+    val p = operators.Relational.qGiniImpl(spark, sfDir,
+      forceBucketed = true, forceParamJoin = true).collect()
+    assert(a.map(_.toSeq).toSeq === p.map(_.toSeq).toSeq)
 
     // planted heavy-nation skew corpus: one 500-customer nation dense
     // with exact spend ties (tie runs must rank consistently inside
@@ -460,5 +466,8 @@ class RelationalSpec extends SparkSpec {
     val eb = operators.Relational.qGiniImpl(spark, dir, forceBucketed = true).collect()
     assert(ea.length === 2)
     assert(ea.map(_.toSeq).toSeq === eb.map(_.toSeq).toSeq)
+    val ep = operators.Relational.qGiniImpl(spark, dir,
+      forceBucketed = true, forceParamJoin = true).collect()
+    assert(ea.map(_.toSeq).toSeq === ep.map(_.toSeq).toSeq)
   }
 }

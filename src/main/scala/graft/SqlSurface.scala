@@ -93,7 +93,7 @@ object SqlSurface {
   val excluded: Map[String, String] = {
     val fixpoint = Seq("graph_bfs", "graph_bfs_deep", "graph_cc", "graph_cc_large",
       "graph_scc", "graph_sssp_weighted", "graph_msf", "graph_shortest_paths",
-      "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_coreness", "graph_k_truss", "graph_closeness",
+      "graph_dfs_reach", "graph_dfs_leaves", "graph_k_core", "graph_coreness", "graph_densest_subgraph", "graph_k_truss", "graph_closeness",
       "graph_eccentricity", "graph_harmonic", "graph_betweenness", "dedup_cluster")
       .map(_ -> "fixpoint: data-dependent to-convergence loop; no recursive CTE in Spark SQL")
     val streaming = Seq("stream_window_agg", "stream_window_append", "stream_sessionize",
@@ -117,6 +117,7 @@ object SqlSurface {
     val kernel = Seq(
       "ann_lsh" -> "kernel: seeded Gaussian hyperplane signatures in a mapPartitions scan",
       "ann_pq" -> "kernel: PQ encode + ADC tables in a mapPartitions scan",
+      "ann_opq" -> "kernel: OPQ permutation + PQ encode/ADC in a mapPartitions scan",
       "ann_sq" -> "kernel: SQ byte-encode + dequantized dot in a mapPartitions scan",
       "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
       "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",

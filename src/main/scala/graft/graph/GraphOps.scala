@@ -830,6 +830,89 @@ object GraphOps {
     core.asScala.toSeq.map { case (v, c) => (v, c) }.toDF("vertex", "coreness")
   }
 
+  /** Densest subgraph, 2.2-approx (Charikar 2000's greedy peel in the
+    * parallel threshold form of Bahmani, Kumar & Vassilvitskii 2012):
+    * each round removes EVERY vertex whose degree is ≤ 2(1+ε)·(m/n)
+    * with ε = 0.1, remembers the round's (n, m, vertex set), and the
+    * answer is the vertex set of the densest snapshot (max m/n;
+    * earliest round on ties), each vertex carrying the rounded
+    * density. The threshold compare is INTEGER — keep iff
+    * 10·deg·n > 22·m, evaluated in decimal so it cannot overflow at
+    * any scale — and the best-round pick is an exact cross-multiply,
+    * so both engines peel and pick identically with zero FP until the
+    * single final ROUND(m/n, 6). Rounds are O(log n): at most n/1.1
+    * vertices can exceed 1.1× the average degree, so the vertex set
+    * shrinks geometrically — the property that makes the peel viable
+    * as a fixed driver loop at 100 TB (vs the sequential
+    * one-vertex-per-step classic). Driver twin under the edge
+    * threshold; spec pins both paths identical on a planted
+    * clique+tail graph.
+    */
+  def densestSubgraph(edges: DataFrame,
+      maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var e = canonEdges(edges)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
+    var m = e.count()
+    if (m <= maxLocalEdges) return localDensest(spark, e)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, DataFrame)]
+    var guard = 0
+    while (m > 0) {
+      guard += 1
+      require(guard <= 10000, "densestSubgraph: round guard tripped")
+      val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
+        .groupBy("x").agg(count(lit(1)).as("d")).localCheckpoint()
+      val n = deg.count()
+      snaps += ((n, m, deg))
+      // min degree ≤ avg = 2m/n ≤ 2.2·m/n, so every round removes at
+      // least the min-degree vertex: n and m strictly shrink
+      val keep = deg.where(
+        col("d").cast("decimal(38,0)") * lit(10L) * lit(n) > lit(22L) * lit(m))
+        .select("x")
+      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      m = e.count()
+    }
+    if (snaps.isEmpty) return Seq.empty[(Long, Double)].toDF("vertex", "density")
+    val (bn, bm, bdeg) = snaps.reduceLeft { (a, b) =>
+      if (BigInt(b._2) * BigInt(a._1) > BigInt(a._2) * BigInt(b._1)) b else a
+    }
+    bdeg.select(col("x").as("vertex"))
+      .withColumn("density",
+        round(lit(bm).cast("double") / lit(bn).cast("double"), 6))
+  }
+
+  /** Driver-side densest-subgraph twin: the identical threshold peel
+    * and exact-rational best-round pick on a collected edge array.
+    */
+  private def localDensest(spark: SparkSession, undirected: DataFrame): DataFrame = {
+    import spark.implicits._
+    var es = collectPairs(undirected)
+    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Long])]
+    while (es.nonEmpty) {
+      val deg = new java.util.HashMap[Long, Long]()
+      es.foreach { case (u, v) => deg.merge(u, 1L, _ + _); deg.merge(v, 1L, _ + _) }
+      val n = deg.size.toLong
+      val m = es.length.toLong
+      import scala.jdk.CollectionConverters._
+      snaps += ((n, m, deg.keySet().asScala.map(x => x: Long).toArray))
+      val keep = deg.asScala.collect {
+        case (x, d) if BigInt(d) * 10 * n > BigInt(22) * m => x
+      }.toSet
+      es = es.filter { case (u, v) => keep(u) && keep(v) }
+    }
+    if (snaps.isEmpty) return Seq.empty[(Long, Double)].toDF("vertex", "density")
+    val (bn, bm, bverts) = snaps.reduceLeft { (a, b) =>
+      if (BigInt(b._2) * BigInt(a._1) > BigInt(a._2) * BigInt(b._1)) b else a
+    }
+    val density = BigDecimal(bm.toDouble / bn.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    bverts.sorted.toSeq.map(v => (v, density)).toDF("vertex", "density")
+  }
+
   /** Driver-side k-core twin for sub-threshold graphs: identical
     * monotone-prune fixpoint, exact integer degrees.
     */

@@ -475,6 +475,66 @@ object GraphQueries {
        |ORDER BY vertex""".stripMargin
   }
 
+  /** Densest subgraph of the nation graph (Charikar greedy peel,
+    * parallel threshold form — [[GraphOps.densestSubgraph]]): the
+    * capstone of the cohesion family (k-core / coreness / k-truss
+    * order vertices and edges by local density; this finds the
+    * globally densest region). Output: the winning snapshot's
+    * vertices, each carrying the ROUND(m/n, 6) density.
+    */
+  def graphDensest(spark: SparkSession, dir: String): DataFrame =
+    GraphOps.densestSubgraph(DerivedGraphs.nationEdges(spark, dir))
+      .orderBy("vertex")
+
+  /** Measured peel depth is 3 rounds (sf0.001) / 2 (sf0.01); the
+    * unroll goes to [[DensestMaxRounds]] with spare rounds and a loud
+    * sentinel (-99 row) if the last unrolled prune still holds edges —
+    * the coreness oracle's convergence-sentinel pattern.
+    */
+  val DensestMaxRounds = 6
+
+  /** Oracle: the identical threshold peel unrolled — per round, the
+    * degree table (d·), the (n, m) stats row (s·), and the
+    * integer-compare prune into the next edge set; the best round is
+    * picked by the same exact cross-multiply the engine uses (no FP
+    * until the single final ROUND).
+    */
+  val graphDensestSql: String = {
+    def roundCtes(r: Int): String =
+      s"""d$r AS MATERIALIZED (SELECT x, COUNT(*) AS c FROM
+         |  (SELECT u AS x FROM e$r UNION ALL SELECT v FROM e$r) GROUP BY 1),
+         |s$r AS MATERIALIZED (SELECT (SELECT COUNT(*) FROM e$r) AS m,
+         |  (SELECT COUNT(*) FROM d$r) AS n),
+         |e${r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$r e
+         |  JOIN d$r a ON a.x = e.u JOIN d$r b ON b.x = e.v
+         |  WHERE CAST(a.c AS HUGEINT) * 10 * (SELECT n FROM s$r) > 22 * (SELECT m FROM s$r)
+         |    AND CAST(b.c AS HUGEINT) * 10 * (SELECT n FROM s$r) > 22 * (SELECT m FROM s$r))""".stripMargin
+    val rounds = (1 to DensestMaxRounds).map(roundCtes).mkString(",\n")
+    val roundsTable = (1 to DensestMaxRounds).map(r =>
+      s"SELECT $r AS r, n, m FROM s$r WHERE m > 0").mkString("\n  UNION ALL\n  ")
+    val cands = (1 to DensestMaxRounds).map(r =>
+      s"SELECT $r AS r, x AS vertex FROM d$r").mkString("\n  UNION ALL\n  ")
+    s"""WITH ${DerivedGraphs.nationEdgesSql},
+       |e1 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |       FROM ne WHERE src != dst),
+       |$rounds,
+       |rounds AS (
+       |  $roundsTable),
+       |best AS (SELECT r, n, m FROM rounds a WHERE NOT EXISTS (
+       |  SELECT 1 FROM rounds b
+       |  WHERE CAST(b.m AS HUGEINT) * a.n > CAST(a.m AS HUGEINT) * b.n
+       |     OR (CAST(b.m AS HUGEINT) * a.n = CAST(a.m AS HUGEINT) * b.n AND b.r < a.r))),
+       |cand AS (
+       |  $cands)
+       |SELECT vertex, density FROM (
+       |  SELECT c.vertex, ROUND(CAST(b.m AS DOUBLE) / b.n, 6) AS density
+       |  FROM cand c JOIN best b ON b.r = c.r
+       |  UNION ALL
+       |  SELECT CAST(-99 AS BIGINT), CAST(-1 AS DOUBLE)
+       |  WHERE EXISTS (SELECT 1 FROM e${DensestMaxRounds + 1}))
+       |ORDER BY vertex""".stripMargin
+  }
+
   val graphKCoreSql: String = {
     // MATERIALIZED: each round reads the previous edge set 3×; inlined
     // CTEs would expand the base join 3^rounds times.
@@ -1043,6 +1103,7 @@ object GraphQueries {
     Op("graph_random_walk", graphRandomWalk, Some(graphRandomWalkSql)),
     Op("graph_k_core", graphKCore, Some(graphKCoreSql)),
     Op("graph_coreness", graphCoreness, Some(graphCorenessSql)),
+    Op("graph_densest_subgraph", graphDensest, Some(graphDensestSql)),
     Op("graph_k_truss", graphKTruss, Some(graphKTrussSql)),
     Op("graph_lpa", graphLpa, Some(graphLpaSql)),
     Op("graph_scc", graphScc, Some(graphSccSql)),

@@ -1010,6 +1010,143 @@ object Ann {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir))
 
+  /** OPQ dimension-permutation training (Ge et al., CVPR 2013 — the
+    * eigenvalue-allocation initialization, restricted to the
+    * permutation family of orthogonal transforms): build the
+    * structured candidate layouts over the variance-ranked dimensions
+    * — identity (plain PQ's contiguous slicing), round-robin (each
+    * subspace gets one dim per variance tier: balanced energy), and
+    * contiguous-by-rank (similar-variance dims grouped) — then SELECT
+    * the one with the lowest measured total quantization distortion
+    * on the corpus, exactly OPQ's training objective. On corpora
+    * whose natural dim order already suits contiguous slicing the
+    * selection returns identity (never worse than plain PQ — AnnSpec
+    * pins recall ≥ PQ's); on variance-skewed corpora it returns a
+    * real permutation (AnnSpec plants one and pins the win).
+    *
+    * FP discipline, so the oracle replays training exactly: the
+    * variance key uses round9 + DECIMAL(28,9) sums (exact,
+    * order-independent — the q_entropy pattern) and exact BigDecimal
+    * key math; the distortion of each candidate sums the per-(vector,
+    * subspace) min-L2² encode distance — the same sequential-fold
+    * doubles the PQ encode computes — as round9 + DECIMAL(28,9), with
+    * argmin tie-broken by candidate index.
+    */
+  private[graft] def opqPermutation(emb: DataFrame): Array[Int] = {
+    val cands = opqCandidates(emb)
+    val errs = cands.map(p => opqDistortion(emb, p))
+    val best = errs.zipWithIndex.minBy { case (e, i) => (e, i) }._2
+    cands(best)
+  }
+
+  /** The structured candidate layouts over variance-ranked dims. */
+  private[graft] def opqCandidates(emb: DataFrame): Seq[Array[Int]] = {
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
+    val sub = dim / PqSubspaces
+    // one posexplode aggregation: (dim, n, Σround9(x), Σround9(x²)) —
+    // decimal sums are exact and order-free, so driver key math is too
+    val moments = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"), col("x").cast("double").as("x"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 9).cast("decimal(28,9)")).as("s1"),
+        sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("s2"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1),
+        r.getDecimal(2): BigDecimal, r.getDecimal(3): BigDecimal)))
+      .toMap
+    val key = Array.tabulate(dim) { d =>
+      val (n, s1, s2) = moments(d)
+      s2 * BigDecimal(n) - s1 * s1
+    }
+    val ranked = (0 until dim).sortBy(d => (key(d).unary_-, d))
+    def layout(pos: Int => Int): Array[Int] = {
+      val p = new Array[Int](dim)
+      ranked.zipWithIndex.foreach { case (d, r) => p(pos(r)) = d }
+      p
+    }
+    Seq(
+      (0 until dim).toArray,                                // identity
+      layout(r => (r % PqSubspaces) * sub + r / PqSubspaces), // round-robin
+      layout(identity))                                     // contiguous by rank
+  }
+
+  /** Total quantization distortion of the corpus under `perm`:
+    * Σ_{vector, subspace} min_c ‖v_m − c‖² with the PQ seed
+    * codebooks, accumulated as round9 → DECIMAL(28,9) (exact,
+    * order-free). The per-distance doubles are the identical
+    * sequential folds the PQ encode (and its oracle) computes.
+    */
+  private[graft] def opqDistortion(emb: DataFrame, perm: Array[Int]): BigDecimal = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val permuted = emb.withColumn("embedding",
+      array(perm.toSeq.map(i => col("embedding")(i)): _*))
+    val seeds = collectQueries(permuted).filter(_._1 < PqCentroids).sortBy(_._1)
+    require(seeds.length == PqCentroids,
+      s"OPQ seeding needs vec_ids 0..${PqCentroids - 1} present; found ${seeds.length}")
+    val dim = seeds.head._2.length
+    val sub = dim / PqSubspaces
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
+      seeds.map { case (_, v, _) => Array.tabulate(sub)(i => v(m * sub + i).toDouble) }
+    }
+    val bcb = spark.sparkContext.broadcast(codebooks)
+    permuted.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cbs = bcb.value
+        it.flatMap { case (id, v) =>
+          (0 until PqSubspaces).iterator.map { m =>
+            val cb = cbs(m)
+            var bestD = Double.MaxValue
+            var c = 0
+            while (c < cb.length) {
+              var d = 0.0; var j = 0
+              while (j < cb(c).length) {
+                val diff = v(m * cb(c).length + j).toDouble - cb(c)(j)
+                d += diff * diff; j += 1
+              }
+              if (d < bestD) bestD = d
+              c += 1
+            }
+            (id, m, bestD)
+          }
+        }
+      }.toDF("vec_id", "m", "d2min")
+      .agg(sum(round(col("d2min"), 9).cast("decimal(28,9)")).as("err"))
+      .head().getDecimal(0)
+  }
+
+  /** OPQ top-k: permute every vector by the trained [[opqPermutation]]
+    * (one array-projection expression — no shuffle, no UDF), then run
+    * the unchanged PQ encode/ADC/rerank chain in the rotated space.
+    * Returned scores are true cosines of the ORIGINAL vectors
+    * (permutation-invariant), so outputs are directly comparable to
+    * [[pqTopK]]'s; AnnSpec pins recall ≥ plain PQ's on the gate corpus.
+    */
+  def opqTopK(emb: DataFrame, k: Int = K,
+      permOpt: Option[Array[Int]] = None): DataFrame = {
+    val perm = permOpt.getOrElse(opqPermutation(emb))
+    val permuted = emb.withColumn("embedding",
+      array(perm.toSeq.map(i => col("embedding")(i)): _*))
+    pqTopK(permuted, k)
+  }
+
+  /** Gate op: OPQ over the corpus embeddings, the permutation trained
+    * once per (session, dir, corpus-version) and served from the
+    * Materialized catalog like the IVF centroids (a production index
+    * trains its rotation once and serves every query against it).
+    */
+  def annOpq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val perm = graft.Materialized.ofBlob(spark, dir, "ann:opq-perm") {
+      opqPermutation(emb)
+    }
+    opqTopK(emb, permOpt = Some(perm))
+  }
+
   /** IVF-PQ (Jégou et al., TPAMI 2011 §V — the FAISS production
     * shape): IVF coarse routing bounds WHICH vectors a query scores
     * (its `nprobe` nearest cells), PQ/ADC bounds the per-candidate
@@ -1153,6 +1290,93 @@ object Ann {
                  -- pqTopK's sequential subspace loop: SUM() order within a
                  -- group is unspecified and FP addition non-associative, so
                  -- a half-boundary ROUND could otherwise flake the cut
+                 ROUND(list_sum(list(adc.t ORDER BY adc.m))
+                   / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
+               FROM q
+               JOIN enc e ON e.vec_id != q.qid
+               JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
+               JOIN n ON n.vec_id = e.vec_id
+               GROUP BY q.qid, e.vec_id),
+    cand AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+               FROM approx) WHERE arn <= $PqRerank),
+    s AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM cand c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id),
+    r AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM s)
+    SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
+    FROM r WHERE rank <= $K ORDER BY qid, rank"""
+  }
+
+  /** Oracle for [[annOpq]]: recompute the TRAINING in SQL (the
+    * data-derived-state pattern of [[annPqSql]]'s codebooks) — the
+    * variance key from the same round9 + DECIMAL(28,9) sums the engine
+    * aggregates (exact, order-independent, so the rank order is exact
+    * with zero FP), the three candidate layouts from the rank table,
+    * each candidate's quantization distortion as the same round9 +
+    * DECIMAL sum of min encode distances, the argmin (tie → lower
+    * candidate index), then the [[annPqSql]] encode/ADC/rerank chain
+    * over the winning permuted space unchanged.
+    */
+  val annOpqSql: String = {
+    val sub = OracleDim / PqSubspaces
+    s"""
+    WITH $oracleVCte,
+    dims AS (SELECT unnest(generate_series(1, $OracleDim)) AS i),
+    sv AS (SELECT d, s2 * n - s1 * s1 AS vr FROM (
+             SELECT dims.i AS d, COUNT(*) AS n,
+               SUM(CAST(ROUND(v.v[dims.i], 9) AS DECIMAL(28,9))) AS s1,
+               SUM(CAST(ROUND(v.v[dims.i] * v.v[dims.i], 9) AS DECIMAL(28,9))) AS s2
+             FROM v CROSS JOIN dims GROUP BY dims.i)),
+    rk AS (SELECT d, ROW_NUMBER() OVER (ORDER BY vr DESC, d) - 1 AS r FROM sv),
+    pmall AS (SELECT 0 AS cidx, d, CAST(d AS BIGINT) AS p FROM rk
+              UNION ALL
+              SELECT 1, d, (r % $PqSubspaces) * $sub + r // $PqSubspaces + 1 FROM rk
+              UNION ALL
+              SELECT 2, d, r + 1 FROM rk),
+    vpall AS MATERIALIZED (SELECT pm.cidx, v.vec_id, list(v.v[pm.d] ORDER BY pm.p) AS v
+             FROM v CROSS JOIN pmall pm GROUP BY pm.cidx, v.vec_id),
+    msx AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    cball AS MATERIALIZED (SELECT w.cidx, w.vec_id AS c, msx.m,
+               list_slice(w.v, msx.m * $sub + 1, msx.m * $sub + $sub) AS cv
+             FROM vpall w CROSS JOIN msx WHERE w.vec_id < $PqCentroids),
+    encall AS MATERIALIZED (SELECT w.cidx, w.vec_id, cb.m,
+               MIN(list_sum(list_transform(generate_series(1, $sub),
+                 i -> (w.v[cb.m * $sub + i] - cb.cv[i]) * (w.v[cb.m * $sub + i] - cb.cv[i])))) AS d2min
+             FROM vpall w JOIN cball cb ON cb.cidx = w.cidx
+             GROUP BY w.cidx, w.vec_id, cb.m),
+    errs AS (SELECT cidx, SUM(CAST(ROUND(d2min, 9) AS DECIMAL(28,9))) AS err
+             FROM encall GROUP BY cidx),
+    bestc AS (SELECT cidx FROM errs a WHERE NOT EXISTS (
+                SELECT 1 FROM errs b
+                WHERE b.err < a.err OR (b.err = a.err AND b.cidx < a.cidx))),
+    vp AS (SELECT vec_id, v FROM vpall WHERE cidx = (SELECT cidx FROM bestc)),
+    n AS (SELECT vec_id, v,
+            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM vp),
+    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    cb AS (SELECT n.vec_id AS c, ms.m,
+             list_slice(n.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+           FROM n CROSS JOIN ms WHERE n.vec_id < $PqCentroids),
+    enc0 AS (SELECT n.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, $sub),
+                 i -> (n.v[cb.m * $sub + i] - cb.cv[i]) * (n.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
+             FROM n CROSS JOIN cb),
+    enc AS (SELECT vec_id, m, c AS code FROM (
+              SELECT vec_id, m, c,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+              FROM enc0)
+            WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
+    adc AS (SELECT q.qid, cb.m, cb.c,
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
+            FROM q CROSS JOIN cb),
+    approx AS (SELECT q.qid, e.vec_id,
                  ROUND(list_sum(list(adc.t ORDER BY adc.m))
                    / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
                FROM q
@@ -1441,6 +1665,7 @@ object Ann {
     Op("ann_ivf", annIvf, Some(annIvfSql)),
     Op("ann_lsh", annLsh, Some(annLshSql)),
     Op("ann_pq", annPq, Some(annPqSql)),
+    Op("ann_opq", annOpq, Some(annOpqSql)),
     Op("ann_ivfpq", annIvfPq, Some(annIvfPqSql)),
     Op("ann_range", annRange, Some(annRangeSql)),
     Op("ann_knn_join", annKnnJoin, Some(annKnnJoinSql)),

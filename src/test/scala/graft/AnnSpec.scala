@@ -109,6 +109,70 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("opqTopK: distortion-selected permutation, recall >= plain PQ, scores exact") {
+    // the trained transform must be a true permutation (orthogonal ⇒
+    // cosine-invariant rerank)
+    val perm = Ann.opqPermutation(emb)
+    assert(perm.sorted.toSeq === perm.indices.toSeq)
+    val bf = neighborSets(Ann.bruteForceTopK(emb))
+    def recall(bfs: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
+      val rs = bfs.map { case (q, s) =>
+        got.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+      rs.sum / rs.size
+    }
+    val opqDf = Ann.opqTopK(emb)
+    val rOpq = recall(bf, neighborSets(opqDf))
+    val rPq = recall(bf, neighborSets(Ann.pqTopK(emb)))
+    info(f"gate corpus: OPQ recall $rOpq%.3f vs PQ $rPq%.3f (perm ${if (perm.toSeq == perm.indices.toSeq) "identity" else "non-identity"})")
+    // distortion selection includes identity among the candidates, so
+    // OPQ can never lose to plain PQ on its own training objective; on
+    // the gate corpus the natural order wins and recall must hold
+    assert(rOpq >= rPq,
+      s"OPQ recall $rOpq must be >= plain PQ's $rPq (identity is a candidate)")
+    // every OPQ hit carries the true rounded cosine of the ORIGINAL
+    // vectors (permutation invariance end-to-end)
+    val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    opqDf.collect().foreach { r =>
+      assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
+    }
+    // deterministic: two runs identical (catalog-served or not)
+    assert(rowsOf(Ann.opqTopK(emb)) === rowsOf(opqDf))
+
+    // planted variance-skewed corpus: dims 0-1 carry ~all the energy
+    // (and the neighbor signal), the rest is low-amplitude noise.
+    // Contiguous slicing buries both hot dims in ONE 16-code subspace;
+    // the balanced layout splits them — training must select a
+    // NON-identity permutation and beat plain PQ's recall with it
+    val s = spark
+    import s.implicits._
+    def h(i: Long, d: Int): Float = {
+      var z = (i * 32 + d) + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (((z >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
+    }
+    val planted = (0 until 400).map { i =>
+      val ang = (i % 40) * 0.157
+      val v = Array.tabulate(16) { d =>
+        if (d == 0) (5.0 * math.cos(ang)).toFloat + 0.3f * h(i.toLong, d)
+        else if (d == 1) (5.0 * math.sin(ang)).toFloat + 0.3f * h(i.toLong, d)
+        else 0.2f * h(i.toLong, d)
+      }
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val permP = Ann.opqPermutation(planted)
+    assert(permP.toSeq !== permP.indices.toSeq,
+      "variance-skewed corpus must select a non-identity layout")
+    val bfP = neighborSets(Ann.bruteForceTopK(planted))
+    val rOpqP = recall(bfP, neighborSets(Ann.opqTopK(planted)))
+    val rPqP = recall(bfP, neighborSets(Ann.pqTopK(planted)))
+    info(f"planted skew: OPQ recall $rOpqP%.3f vs PQ $rPqP%.3f")
+    assert(rOpqP >= rPqP,
+      s"planted skew: OPQ recall $rOpqP must be >= PQ's $rPqP")
+  }
+
   test("bruteForceTopK pins known neighbors on a synthetic set") {
     val s = spark
     import s.implicits._

@@ -606,6 +606,41 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("densest subgraph: planted clique+tail peels to the clique; paths agree") {
+    val spk = spark
+    import spk.implicits._
+    // 6-clique {1..6} (density 15/6 = 2.5) + a 12-vertex path tail
+    // hanging off vertex 6: the full graph's density (15+12)/18 = 1.5
+    // is NOT the best snapshot — the peel must strip the tail and
+    // return the clique
+    val clique = for (a <- 1 to 6; b <- (a + 1) to 6) yield (a.toLong, b.toLong)
+    val tail = (0 until 12).map(i => ((if (i == 0) 6 else 100 + i - 1).toLong, (100 + i).toLong))
+    val edges = (clique ++ tail).toDF("src", "dst")
+    val local = GraphOps.densestSubgraph(edges).orderBy("vertex").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(local.map(_._1).toSeq === (1L to 6L).toSeq)
+    assert(local.forall(_._2 === 2.5))
+    val dist = GraphOps.densestSubgraph(edges, maxLocalEdges = 0L)
+      .orderBy("vertex").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(dist.toSeq === local.toSeq)
+    // gate graph: every snapshot's edge set is the induced subgraph on
+    // its vertex set, so the reported density must EQUAL m/n of the
+    // returned vertices' induced subgraph (self-consistency on real data)
+    val g = graph.GraphQueries.graphDensest(spark, sfDir).collect()
+    assert(g.nonEmpty)
+    val vs = g.map(_.getLong(0)).toSet
+    val e = DerivedGraphs.nationEdges(spark, sfDir)
+      .select(org.apache.spark.sql.functions.least($"src", $"dst").as("u"),
+        org.apache.spark.sql.functions.greatest($"src", $"dst").as("v"))
+      .where($"u" =!= $"v").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val m = e.count { case (u, v) => vs(u) && vs(v) }
+    val want = BigDecimal(m.toDouble / vs.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g.head.getDouble(1) === want,
+      s"reported density ${g.head.getDouble(1)} vs induced $want")
+  }
+
   test("coreness: planted clique+triangle+tail; local and distributed paths agree") {
     val spk = spark
     import spk.implicits._

@@ -35,6 +35,9 @@ import java.nio.file.{Files, Paths}
   *  - temp: q_sample_temperature at a random sqrt-chain temperature
   *    and quota scale (r15)
   *  - readability: text_readability at random integer band cuts (r15)
+  *  - substr: dedup_substring_exact at random shingle width k ∈ [3, 10] (r16)
+  *  - coreness: graph_coreness under random oracle unroll geometry (r16)
+  *  - anngraph: ann_graph at random (degree, beam, rounds) index geometry (r16)
   *
   * Usage: runMain graft.Fuzz <sfDir> <outDir> <seed> <nDraws>
   */
@@ -42,7 +45,7 @@ object Fuzz {
 
   final case class Draw(name: String, frame: DataFrame, oracle: String)
 
-  val NumFamilies = 11
+  val NumFamilies = 14
 
   def draws(spark: SparkSession, dir: String, seed: Long, n: Int): Seq[Draw] =
     (1 to n).map { i =>
@@ -59,6 +62,9 @@ object Fuzz {
         case 8  => ewmaDraw(spark, dir, i, rng)
         case 9  => temperatureDraw(spark, dir, i, rng)
         case 10 => readabilityDraw(spark, dir, i, rng)
+        case 11 => substrDraw(spark, dir, i, rng)
+        case 12 => corenessDraw(spark, dir, i, rng)
+        case 13 => annGraphDraw(spark, dir, i, rng)
       }
     }
 
@@ -242,6 +248,50 @@ object Fuzz {
     Draw(f"fz$i%03d_readability_e${easy}_m$med",
       text.TextAnalysis.textReadabilityAt(spark, dir, easy, med),
       text.TextAnalysis.textReadabilitySqlAt(easy, med))
+  }
+
+  /** dedup_substring_exact at a random shingle width k ∈ [3, 10]
+    * (r16): the span machinery — inverted index, frequency filter,
+    * gaps-and-islands — across the window-size range, including the
+    * collapse's occ×copies frequency accounting at every k.
+    */
+  private def substrDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val k = 3 + rng.nextInt(8)
+    Draw(f"fz$i%03d_substr_k$k",
+      dedup.Dedup.substringExactSpans(Tables.documents(spark, dir), k),
+      dedup.Dedup.dedupSubstringExactSqlAt(k))
+  }
+
+  /** graph_coreness under a random oracle unroll geometry (r16):
+    * maxK ∈ [9, 12] levels × rounds ∈ [7, 9] prunes per level — the
+    * engine result is fixed, so every draw checks the sentinel-guarded
+    * unroll reproduces it at arbitrary spare depth.
+    */
+  private def corenessDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val maxK = 9 + rng.nextInt(4)
+    val rounds = 7 + rng.nextInt(3)
+    Draw(f"fz$i%03d_coreness_k${maxK}_r$rounds",
+      graph.GraphOps.coreness(graph.DerivedGraphs.nationEdges(spark, dir))
+        .orderBy("vertex"),
+      graph.GraphQueries.graphCorenessSqlAt(maxK, rounds))
+  }
+
+  /** ann_graph at a random index geometry (r16): knn degree ∈ [8, 16],
+    * beam width ∈ [16, 32], rounds ∈ [3, 5] — the build + beam-search
+    * contract away from the gate's fixed (12, 24, 4) point.
+    */
+  private def annGraphDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val degree = 8 + rng.nextInt(9)
+    val beam = 16 + rng.nextInt(17)
+    val rounds = 3 + rng.nextInt(3)
+    Draw(f"fz$i%03d_anngraph_d${degree}_b${beam}_r$rounds",
+      similarity.Ann.graphBeamTopK(Tables.embeddings(spark, dir),
+        degree = degree, rounds = rounds, beamW = beam),
+      similarity.Ann.annGraphSqlAt(degree, similarity.Ann.AnnGraphEntries,
+        rounds, beam))
   }
 
   def main(args: Array[String]): Unit = {

@@ -433,14 +433,17 @@ object GraphQueries {
     */
   val CorenessMaxK = 10
 
-  val graphCorenessSql: String = {
+  /** Parameterized coreness oracle (the fuzz family draws the unroll
+    * geometry): `maxK` levels × `rounds` prune rounds per level, same
+    * three loud-failure sentinels at every shape.
+    */
+  def graphCorenessSqlAt(maxK: Int, rounds: Int = 7): String = {
     def round(k: Int, prev: String, cur: String): String =
       s"""d$cur AS MATERIALIZED (SELECT x, COUNT(*) AS c
          |  FROM (SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1),
          |$cur AS MATERIALIZED (SELECT e.u, e.v FROM $prev e
          |  JOIN d$cur a ON a.x = e.u JOIN d$cur b ON b.x = e.v
          |  WHERE a.c >= $k AND b.c >= $k)""".stripMargin
-    val rounds = 7
     // level k's chain starts from level (k-1)'s fixpoint edge set
     def level(k: Int): String =
       (1 to rounds).map { r =>
@@ -448,12 +451,12 @@ object GraphQueries {
         round(k, prev, s"l${k}_$r")
       }.mkString(",\n")
     def finalOf(k: Int): String = if (k <= 1) "e1" else s"l${k}_$rounds"
-    val levels = (2 to CorenessMaxK).map(level).mkString(",\n")
-    val cands = (1 to CorenessMaxK).map { k =>
+    val levels = (2 to maxK).map(level).mkString(",\n")
+    val cands = (1 to maxK).map { k =>
       s"""SELECT x AS vertex, $k AS k FROM (
          |    SELECT u AS x FROM ${finalOf(k)} UNION SELECT v FROM ${finalOf(k)})""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
-    val sentinels = (2 to CorenessMaxK).map { k =>
+    val sentinels = (2 to maxK).map { k =>
       s"""SELECT CAST(-$k AS BIGINT), CAST(-1 AS BIGINT)
          |  WHERE (SELECT COUNT(*) FROM ${finalOf(k)}) !=
          |        (SELECT COUNT(*) FROM l${k}_${rounds - 1})""".stripMargin
@@ -471,9 +474,11 @@ object GraphQueries {
        |  $sentinels
        |  UNION ALL
        |  SELECT CAST(-99 AS BIGINT), CAST(-1 AS BIGINT)
-       |  WHERE EXISTS (SELECT 1 FROM ${finalOf(CorenessMaxK)}))
+       |  WHERE EXISTS (SELECT 1 FROM ${finalOf(maxK)}))
        |ORDER BY vertex""".stripMargin
   }
+
+  val graphCorenessSql: String = graphCorenessSqlAt(CorenessMaxK)
 
   /** Densest subgraph of the nation graph (Charikar greedy peel,
     * parallel threshold form — [[GraphOps.densestSubgraph]]): the

@@ -1558,17 +1558,19 @@ object Ann {
     * identical rounds as unrolled CTEs.
     */
   def graphBeamTopK(emb: DataFrame, k: Int = K,
-      edgesOpt: Option[DataFrame] = None): DataFrame = {
-    val edges = edgesOpt.getOrElse(buildKnnGraph(emb))
+      edgesOpt: Option[DataFrame] = None,
+      degree: Int = AnnGraphDegree, entriesN: Int = AnnGraphEntries,
+      rounds: Int = AnnGraphRounds, beamW: Int = AnnGraphBeam): DataFrame = {
+    val edges = edgesOpt.getOrElse(buildKnnGraph(emb, degree))
     val vecs = withNorm(emb).localCheckpoint()
     val q = vecs.where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val entries = vecs.where(col("vec_id") >= NumQueries)
-      .select("vec_id").orderBy("vec_id").limit(AnnGraphEntries)
+      .select("vec_id").orderBy("vec_id").limit(entriesN)
     var beam = q.select("qid").crossJoin(broadcast(entries))
       .select(col("qid"), col("vec_id"))
     var scored: DataFrame = null
-    for (_ <- 1 to AnnGraphRounds) {
+    for (_ <- 1 to rounds) {
       val cand = beam
         .unionAll(edges
           .join(broadcast(beam.select(col("vec_id").as("src"), col("qid"))), "src")
@@ -1581,15 +1583,16 @@ object Ann {
         .select("qid", "vec_id", "score")
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
       beam = scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= AnnGraphBeam)
+        .where(col("rn") <= beamW)
         .select("qid", "vec_id").localCheckpoint()
     }
     globalTopK(scored, k)
   }
 
   /** The undirected k-NN graph as a raw frame (the index build). */
-  private def buildKnnGraph(emb: DataFrame): DataFrame = {
-    val nn = knnJoin(emb, k = AnnGraphDegree)
+  private def buildKnnGraph(emb: DataFrame,
+      degree: Int = AnnGraphDegree): DataFrame = {
+    val nn = knnJoin(emb, k = degree)
       .select(col("qid").as("src"), col("vec_id").as("dst"))
     nn.unionAll(nn.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
@@ -1618,7 +1621,11 @@ object Ann {
     * graft_dot/round6 arithmetic is mirrored by the same list_sum
     * fold every other ann oracle uses.
     */
-  val annGraphSql: String = {
+  /** Parameterized [[annGraph]] oracle (the fuzz family draws the
+    * index geometry): degree-`degree` knn graph, `entriesN` entry
+    * points, `rounds` unrolled beam rounds at width `beamW`.
+    */
+  def annGraphSqlAt(degree: Int, entriesN: Int, rounds: Int, beamW: Int): String = {
     def beamRound(i: Int): String =
       s"""c$i AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
          |    SELECT qid, vec_id FROM b${i - 1}
@@ -1630,8 +1637,8 @@ object Ann {
          |b$i AS MATERIALIZED (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-         |    FROM s$i) WHERE rn <= $AnnGraphBeam)""".stripMargin
-    val rounds = (1 to AnnGraphRounds).map(beamRound).mkString(",\n")
+         |    FROM s$i) WHERE rn <= $beamW)""".stripMargin
+    val roundsSql = (1 to rounds).map(beamRound).mkString(",\n")
     s"""
     WITH $oracleVCte,
     n AS (SELECT vec_id, v,
@@ -1644,19 +1651,22 @@ object Ann {
     knn AS MATERIALIZED (SELECT src, dst FROM (
         SELECT src, dst,
           ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
-        FROM sall) WHERE rn <= $AnnGraphDegree),
+        FROM sall) WHERE rn <= $degree),
     e AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
     q AS (SELECT vec_id AS qid FROM n WHERE vec_id < $NumQueries),
     en AS (SELECT vec_id FROM n WHERE vec_id >= $NumQueries
-           ORDER BY vec_id LIMIT $AnnGraphEntries),
+           ORDER BY vec_id LIMIT $entriesN),
     b0 AS (SELECT q.qid, en.vec_id FROM q CROSS JOIN en),
-    $rounds
+    $roundsSql
     SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
       SELECT qid, vec_id, score,
         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-      FROM s$AnnGraphRounds) WHERE rn <= $K
+      FROM s$rounds) WHERE rn <= $K
     ORDER BY qid, rank"""
   }
+
+  val annGraphSql: String =
+    annGraphSqlAt(AnnGraphDegree, AnnGraphEntries, AnnGraphRounds, AnnGraphBeam)
 
   def ops: Seq[Op] = Seq(
     Op("ann_graph", annGraph, Some(annGraphSql)),

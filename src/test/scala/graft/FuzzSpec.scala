@@ -25,19 +25,20 @@ class FuzzSpec extends SparkSpec {
     assert(c.map(_.name) !== a.map(_.name))
   }
 
-  test("every family (incl. the six r15 additions) is reachable") {
-    // seed 1 × 30 draws covers all NumFamilies selector values (the
+  test("every family (incl. the three r16 additions) is reachable") {
+    // seed 1 × 60 draws covers all NumFamilies selector values (the
     // java.util.Random stream is algorithm-specified, so this is a
     // fixed fact, not flake); if a family is ever added without a
     // selector arm — or an arm dies at construction — this fails
-    val fams = Fuzz.draws(spark, sfDir, seed = 1, n = 30)
+    val fams = Fuzz.draws(spark, sfDir, seed = 1, n = 60)
       .map(_.name.split("_")(1)).toSet
     assert(fams === Set("agg", "window", "topk", "jaccard", "bfs",
-      "basket", "contain", "ktruss", "ewma", "temp", "readability"))
+      "basket", "contain", "ktruss", "ewma", "temp", "readability",
+      "substr", "coreness", "anngraph"))
   }
 
   test("agg draw equals an independent spark.sql formulation") {
-    val draw = Fuzz.draws(spark, sfDir, seed = 3, n = 20)
+    val draw = Fuzz.draws(spark, sfDir, seed = 3, n = 25)
       .find(_.name.contains("_agg_")).get
     // name encodes the parameters: fzNNN_agg_t<threshold>_<column>
     val parts = draw.name.split("_", 4)
@@ -51,7 +52,7 @@ class FuzzSpec extends SparkSpec {
   }
 
   test("bfs draw levels are valid BFS levels from the encoded source") {
-    val draw = Fuzz.draws(spark, sfDir, seed = 5, n = 25)
+    val draw = Fuzz.draws(spark, sfDir, seed = 5, n = 30)
       .find(_.name.contains("_bfs_")).get
     val rows = draw.frame.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rows.nonEmpty)

@@ -1539,17 +1539,29 @@ object Ann {
   val AnnGraphBeam = 24
 
   /** Graph-based ANN (the NSW/HNSW-family shape — Malkov & Yashunin
-    * 2016 — next to the IVF/PQ/LSH index families): build the k-NN
-    * neighbor graph with the existing adaptive [[knnJoin]] machinery
-    * (exact broadcast heaps under [[KnnBroadcastMaxRows]] — the gate
-    * corpora — LSH-bucketed above), make it undirected, then run a
-    * deterministic fixed-round beam search per query: candidates =
-    * beam ∪ neighbors(beam) minus the query itself, keep the top-
-    * [[AnnGraphBeam]] by (6-dp cosine desc, vec_id). Final answer is
-    * the top-k of the last round's candidate set.
+    * 2016 — next to the IVF/PQ/LSH index families): collapse exact-
+    * duplicate embeddings to their min-id representative (the dedup
+    * family's standard collapse — a vector DB stores each distinct
+    * point once), build the k-NN neighbor graph OVER THE DISTINCT
+    * POINTS with the existing adaptive [[knnJoin]] machinery (exact
+    * broadcast heaps under [[KnnBroadcastMaxRows]], LSH-bucketed
+    * above), make it undirected, run a deterministic fixed-round beam
+    * search per query — candidates = beam ∪ neighbors(beam), keep the
+    * top-[[AnnGraphBeam]] by (6-dp cosine desc, vec_id) — then EXPAND
+    * the final candidates back to duplicate members (identical vector
+    * ⇒ identical score), drop the query itself, and return the top-k.
     *
-    * Scale shape: the graph build is the knnJoin story (bucketed,
-    * never all-pairs, n·k output). Each search round streams the
+    * The collapse is what keeps the index navigable on replicated
+    * corpora: without it a 90%-duplicate corpus spends ~all of every
+    * vertex's degree-k slots on its own copies (measured: recall 0.0
+    * at the ×10 rung on BOTH the exact- and LSH-built graphs, at any
+    * affordable beam geometry), while the collapsed graph carries only
+    * real neighbors and restores the distinct-corpus recall at the
+    * same fixed geometry.
+    *
+    * Scale shape: the collapse is one hash aggregation on the vector
+    * key; the graph build is the knnJoin story (bucketed, never
+    * all-pairs, distinct-n·k output). Each search round streams the
     * checkpointed edge and vector frames against BROADCAST beam /
     * candidate sets (queries × beam × degree rows — KBs), so the
     * per-round cost is a scan, not a shuffle, and the rounds are a
@@ -1561,21 +1573,27 @@ object Ann {
       edgesOpt: Option[DataFrame] = None,
       degree: Int = AnnGraphDegree, entriesN: Int = AnnGraphEntries,
       rounds: Int = AnnGraphRounds, beamW: Int = AnnGraphBeam): DataFrame = {
-    val edges = edgesOpt.getOrElse(buildKnnGraph(emb, degree))
-    val vecs = withNorm(emb).localCheckpoint()
-    val q = vecs.where(col("vec_id") < NumQueries)
+    val (members, reps) = collapseByEmbedding(emb)
+    val edges = edgesOpt.getOrElse(buildKnnGraph(reps, degree))
+    val vecs = withNorm(reps).localCheckpoint()
+    val q = withNorm(emb).where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .localCheckpoint()
     val entries = vecs.where(col("vec_id") >= NumQueries)
       .select("vec_id").orderBy("vec_id").limit(entriesN)
     var beam = q.select("qid").crossJoin(broadcast(entries))
       .select(col("qid"), col("vec_id"))
     var scored: DataFrame = null
     for (_ <- 1 to rounds) {
+      // the query's own representative stays IN the candidate set (its
+      // duplicate members are legitimate answers and its edges are the
+      // best possible expansion frontier); the query row itself is
+      // dropped after the member expansion below
       val cand = beam
         .unionAll(edges
           .join(broadcast(beam.select(col("vec_id").as("src"), col("qid"))), "src")
           .select(col("qid"), col("dst").as("vec_id")))
-        .where(col("vec_id") =!= col("qid")).distinct()
+        .distinct()
       scored = vecs.join(broadcast(cand), "vec_id")
         .join(broadcast(q), "qid")
         .withColumn("score",
@@ -1586,7 +1604,26 @@ object Ann {
         .where(col("rn") <= beamW)
         .select("qid", "vec_id").localCheckpoint()
     }
-    globalTopK(scored, k)
+    val expanded = scored
+      .join(members.select(col("rep_id").as("vec_id"), col("vec_id").as("mid")), "vec_id")
+      .select(col("qid"), col("mid").as("vec_id"), col("score"))
+      .where(col("vec_id") =!= col("qid"))
+    globalTopK(expanded, k)
+  }
+
+  /** Exact-duplicate collapse on the embedding key: (members, reps)
+    * where members maps every vec_id to the min vec_id of its
+    * identical-vector group and reps is one row per distinct vector.
+    */
+  private def collapseByEmbedding(emb: DataFrame): (DataFrame, DataFrame) = {
+    val base = emb.select(col("vec_id").cast(LongType).as("vec_id"), col("embedding"))
+    val members = base
+      .join(base.groupBy("embedding").agg(min(col("vec_id")).as("rep_id")), "embedding")
+      .select(col("vec_id"), col("rep_id")).localCheckpoint()
+    val reps = base.join(
+      members.where(col("vec_id") === col("rep_id")).select("vec_id"), "vec_id")
+      .select(col("vec_id"), col("embedding")).localCheckpoint()
+    (members, reps)
   }
 
   /** The undirected k-NN graph as a raw frame (the index build). */
@@ -1607,7 +1644,7 @@ object Ann {
     */
   private def knnGraphUndirected(spark: SparkSession, dir: String): DataFrame =
     graft.Materialized.ofDF(spark, dir, s"ann:knn-und-$AnnGraphDegree") {
-      buildKnnGraph(Tables.embeddings(spark, dir))
+      buildKnnGraph(collapseByEmbedding(Tables.embeddings(spark, dir))._2)
     }
 
   def annGraph(spark: SparkSession, dir: String): DataFrame =
@@ -1622,8 +1659,12 @@ object Ann {
     * fold every other ann oracle uses.
     */
   /** Parameterized [[annGraph]] oracle (the fuzz family draws the
-    * index geometry): degree-`degree` knn graph, `entriesN` entry
-    * points, `rounds` unrolled beam rounds at width `beamW`.
+    * index geometry): the exact-duplicate collapse (GROUP BY the
+    * double list, rep = min vec_id), the degree-`degree` knn graph
+    * over the reps, `entriesN` entry points, `rounds` unrolled beam
+    * rounds at width `beamW` (the query's own rep stays in the
+    * candidate set, mirroring the engine), then the member expansion
+    * minus the query itself and the final top-[[K]] cut.
     */
   def annGraphSqlAt(degree: Int, entriesN: Int, rounds: Int, beamW: Int): String = {
     def beamRound(i: Int): String =
@@ -1631,9 +1672,9 @@ object Ann {
          |    SELECT qid, vec_id FROM b${i - 1}
          |    UNION ALL
          |    SELECT b.qid, e.dst AS vec_id FROM b${i - 1} b JOIN e ON e.src = b.vec_id
-         |  ) WHERE vec_id != qid),
-         |s$i AS MATERIALIZED (SELECT c.qid, c.vec_id, sall.score
-         |  FROM c$i c JOIN sall ON sall.src = c.qid AND sall.dst = c.vec_id),
+         |  )),
+         |s$i AS MATERIALIZED (SELECT c.qid, c.vec_id, sq.score
+         |  FROM c$i c JOIN sq ON sq.qid = c.qid AND sq.dst = c.vec_id),
          |b$i AS MATERIALIZED (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id,
          |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
@@ -1641,27 +1682,39 @@ object Ann {
     val roundsSql = (1 to rounds).map(beamRound).mkString(",\n")
     s"""
     WITH $oracleVCte,
-    n AS (SELECT vec_id, v,
-            sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-          FROM v),
-    sall AS MATERIALIZED (SELECT q.vec_id AS src, n.vec_id AS dst,
+    rep AS MATERIALIZED (SELECT v, MIN(vec_id) AS rep_id FROM v GROUP BY v),
+    mem AS MATERIALIZED (SELECT a.vec_id, r.rep_id FROM v a JOIN rep r ON r.v = a.v),
+    n AS MATERIALIZED (SELECT r.rep_id AS vec_id, r.v,
+            sqrt(list_sum(list_transform(r.v, x -> x * x))) AS nrm
+          FROM rep r),
+    sall AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
         ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
-          i -> q.v[i] * n.v[i])) / (q.nrm * n.nrm), 6) + 0.0 AS score
-      FROM n q JOIN n ON n.vec_id != q.vec_id),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) + 0.0 AS score
+      FROM n a JOIN n b ON b.vec_id != a.vec_id),
     knn AS MATERIALIZED (SELECT src, dst FROM (
         SELECT src, dst,
           ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
         FROM sall) WHERE rn <= $degree),
     e AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
-    q AS (SELECT vec_id AS qid FROM n WHERE vec_id < $NumQueries),
+    qv AS MATERIALIZED (SELECT a.vec_id AS qid, a.v AS qv,
+            sqrt(list_sum(list_transform(a.v, x -> x * x))) AS qn
+          FROM v a WHERE a.vec_id < $NumQueries),
+    sq AS MATERIALIZED (SELECT q.qid, n.vec_id AS dst,
+        ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+          i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+      FROM qv q CROSS JOIN n),
+    q AS (SELECT qid FROM qv),
     en AS (SELECT vec_id FROM n WHERE vec_id >= $NumQueries
            ORDER BY vec_id LIMIT $entriesN),
     b0 AS (SELECT q.qid, en.vec_id FROM q CROSS JOIN en),
-    $roundsSql
+    $roundsSql,
+    exp AS (SELECT s.qid, m.vec_id, s.score
+            FROM s$rounds s JOIN mem m ON m.rep_id = s.vec_id
+            WHERE m.vec_id != s.qid)
     SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
       SELECT qid, vec_id, score,
         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
-      FROM s$rounds) WHERE rn <= $K
+      FROM exp) WHERE rn <= $K
     ORDER BY qid, rank"""
   }
 

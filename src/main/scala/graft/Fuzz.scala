@@ -264,13 +264,17 @@ object Fuzz {
   }
 
   /** graph_coreness under a random oracle unroll geometry (r16):
-    * maxK ∈ [9, 12] levels × rounds ∈ [7, 9] prunes per level — the
+    * maxK ∈ [10, 13] levels × rounds ∈ [7, 9] prunes per level — the
     * engine result is fixed, so every draw checks the sentinel-guarded
-    * unroll reproduces it at arbitrary spare depth.
+    * unroll reproduces it at arbitrary spare depth. The drawn maxK is
+    * floored at the gate's CorenessMaxK (10) so every draw keeps the
+    * gate's two-spare-level headroom: measured max coreness is already
+    * 8 at sf0.01, and a corpus whose degeneracy reached 9 would make a
+    * maxK=9 draw trip the -99 sentinel on a CORRECT engine result.
     */
   private def corenessDraw(spark: SparkSession, dir: String, i: Int,
       rng: scala.util.Random): Draw = {
-    val maxK = 9 + rng.nextInt(4)
+    val maxK = 10 + rng.nextInt(4)
     val rounds = 7 + rng.nextInt(3)
     Draw(f"fz$i%03d_coreness_k${maxK}_r$rounds",
       graph.GraphOps.coreness(graph.DerivedGraphs.nationEdges(spark, dir))

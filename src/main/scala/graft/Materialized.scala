@@ -170,13 +170,10 @@ object Materialized {
     } catch { case _: Exception => None }
   }
 
-  /** Deserialization filter for [[ofBlob]] (defense in depth behind
-    * the ownership checks): only primitives, arrays, and graft /
-    * scala / java.lang / java.util classes may appear in a cached
-    * blob stream — a crafted gadget-chain entry is rejected before
-    * any class resolves.
-    */
-  /** Exact class allowlist for blob deserialization. The blob layer
+  /** Exact class allowlist for blob deserialization — the filter for
+    * [[ofBlob]], defense in depth behind the ownership checks: a
+    * crafted gadget-chain entry is rejected before any class resolves.
+    * The blob layer
     * persists only small driver matrices — `Array[Array[Double]]` and
     * `Seq[(Int, Array[Double])]` — so the filter names precisely the
     * classes those object graphs contain (boxes, Tuple2, the immutable

@@ -801,6 +801,19 @@ object GraphOps {
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
       n = e.count()
+      // A kept vertex (degree > k) whose neighbors were ALL peeled this
+      // round loses every incident edge in the prune, so it never
+      // appears in a later degree frame — yet its sequential-peel level
+      // is exactly k (its degree falls to ≤ k as the neighbors leave:
+      // it is in the k-core but cannot be in the (k+1)-core, whose
+      // whole component just vanished). Emit those prune-isolated
+      // vertices now at coreness k — e.g. a star hub, whose leaves get
+      // coreness 1 while the hub would otherwise silently vanish.
+      val isolated = keep.join(
+        e.select(col("u").as("x")).unionAll(e.select(col("v").as("x"))).distinct(),
+        Seq("x"), "left_anti")
+      peeled += isolated
+        .select(col("x").as("vertex"), lit(k).as("coreness")).localCheckpoint()
     }
     peeled.foldLeft(Seq.empty[(Long, Long)].toDF("vertex", "coreness"))(_ unionAll _)
   }
@@ -844,28 +857,68 @@ object GraphOps {
     * vertices can exceed 1.1× the average degree, so the vertex set
     * shrinks geometrically — the property that makes the peel viable
     * as a fixed driver loop at 100 TB (vs the sequential
-    * one-vertex-per-step classic). Driver twin under the edge
+    * one-vertex-per-step classic). Retention is O(|V|) TOTAL: instead
+    * of holding every round's full checkpointed degree frame alive
+    * until the best-round pick (O(V·rounds) ≈ 30× vertex-set storage
+    * at scale), each round contributes one small removal-tag delta —
+    * only the vertices that LEFT the degree frame this round, tagged
+    * with the round index — and only the (n, m) pair is snapshotted
+    * per round. The deltas partition the vertex set (each vertex is
+    * tagged exactly once, the round it disappears), so membership in
+    * the best round's snapshot is exactly `removal_round ≥ best`, and
+    * no growing re-union is ever checkpointed (the same delta-frame
+    * discipline as [[coreness]]'s peel). Driver twin under the edge
     * threshold; spec pins both paths identical on a planted
-    * clique+tail graph.
+    * clique+tail graph and pins the partition property of the deltas.
     */
   def densestSubgraph(edges: DataFrame,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = canonEdges(edges)
+    val e = canonEdges(edges)
       .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint()
-    var m = e.count()
-    if (m <= maxLocalEdges) return localDensest(spark, e)
-    val snaps = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, DataFrame)]
-    var guard = 0
+    val m0 = e.count()
+    if (m0 <= maxLocalEdges) return localDensest(spark, e)
+    val (removedAt, stats) = densestPeelRounds(e, m0)
+    if (stats.isEmpty) return Seq.empty[(Long, Double)].toDF("vertex", "density")
+    // exact-rational argmax of m/n across rounds; earliest on ties
+    var best = 0
+    for (i <- 1 until stats.length)
+      if (BigInt(stats(i)._2) * BigInt(stats(best)._1) >
+          BigInt(stats(best)._2) * BigInt(stats(i)._1)) best = i
+    val (bn, bm) = stats(best)
+    removedAt
+      .foldLeft(Seq.empty[(Long, Int)].toDF("vertex", "removal_round"))(_ unionAll _)
+      .where(col("removal_round") >= best + 1)
+      .select(col("vertex"))
+      .withColumn("density",
+        round(lit(bm).cast("double") / lit(bn).cast("double"), 6))
+  }
+
+  /** Distributed threshold-peel core for [[densestSubgraph]]: runs the
+    * Bahmani rounds on a canonical checkpointed edge frame and returns
+    * (per-round removal-tag deltas, per-round (n, m) stats). The deltas
+    * are vertex-disjoint `(vertex, removal_round)` frames summing to
+    * |V| rows across the whole run — a vertex is tagged in the round it
+    * leaves the degree frame, whether threshold-peeled or kept-but-
+    * isolated by the prune. Package-private so the spec can assert the
+    * partition property (= the O(V) retention contract) directly.
+    */
+  private[graft] def densestPeelRounds(e0: DataFrame, m0: Long)
+      : (Seq[DataFrame], Seq[(Long, Long)]) = {
+    var e = e0
+    var m = m0
+    val removedAt = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var r = 0
     while (m > 0) {
-      guard += 1
-      require(guard <= 10000, "densestSubgraph: round guard tripped")
+      r += 1
+      require(r <= 10000, "densestSubgraph: round guard tripped")
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d")).localCheckpoint()
       val n = deg.count()
-      snaps += ((n, m, deg))
+      stats += ((n, m))
       // min degree ≤ avg = 2m/n ≤ 2.2·m/n, so every round removes at
       // least the min-degree vertex: n and m strictly shrink
       val keep = deg.where(
@@ -875,14 +928,16 @@ object GraphOps {
         .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
         .localCheckpoint()
       m = e.count()
+      // everything in this round's degree frame that is absent from the
+      // surviving edge endpoints left THIS round (threshold peel +
+      // prune-isolated kept vertices alike); checkpointing the delta
+      // cuts its lineage to this round's deg/e so neither stays live
+      removedAt += deg.select("x").join(
+        e.select(col("u").as("x")).unionAll(e.select(col("v").as("x"))).distinct(),
+        Seq("x"), "left_anti")
+        .select(col("x").as("vertex"), lit(r).as("removal_round")).localCheckpoint()
     }
-    if (snaps.isEmpty) return Seq.empty[(Long, Double)].toDF("vertex", "density")
-    val (bn, bm, bdeg) = snaps.reduceLeft { (a, b) =>
-      if (BigInt(b._2) * BigInt(a._1) > BigInt(a._2) * BigInt(b._1)) b else a
-    }
-    bdeg.select(col("x").as("vertex"))
-      .withColumn("density",
-        round(lit(bm).cast("double") / lit(bn).cast("double"), 6))
+    (removedAt.toSeq, stats.toSeq)
   }
 
   /** Driver-side densest-subgraph twin: the identical threshold peel

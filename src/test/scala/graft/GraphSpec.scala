@@ -623,6 +623,20 @@ class GraphSpec extends SparkSpec {
     val dist = GraphOps.densestSubgraph(edges, maxLocalEdges = 0L)
       .orderBy("vertex").collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(dist.toSeq === local.toSeq)
+    // O(V) retention contract: the per-round removal-tag deltas are a
+    // PARTITION of the vertex set — every vertex tagged exactly once,
+    // total retained rows == |V| (not |V| × rounds as the old
+    // snapshot-retaining path held live until the best-round pick)
+    val canon = edges.select(
+      org.apache.spark.sql.functions.least($"src", $"dst").as("u"),
+      org.apache.spark.sql.functions.greatest($"src", $"dst").as("v"))
+      .where($"u" =!= $"v").distinct().localCheckpoint()
+    val (deltas, stats) = GraphOps.densestPeelRounds(canon, canon.count())
+    assert(stats.nonEmpty)
+    val tagged = deltas.flatMap(_.collect().map(_.getLong(0)))
+    val allVerts = (1L to 6L).toSet ++ (100L to 111L).toSet
+    assert(tagged.length === allVerts.size, "removal tags must sum to |V| rows")
+    assert(tagged.toSet === allVerts, "every vertex tagged exactly once")
     // gate graph: every snapshot's edge set is the induced subgraph on
     // its vertex set, so the reported density must EQUAL m/n of the
     // returned vertices' induced subgraph (self-consistency on real data)
@@ -658,6 +672,31 @@ class GraphSpec extends SparkSpec {
     val dist = GraphOps.coreness(edges, maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === expect)
+    // star graph: the hub (degree 5 > k=1) loses ALL its edges when the
+    // leaves peel — the prune-isolation case the bucket-peel used to
+    // silently drop. Every vertex has coreness 1, hub included.
+    val star = (1 to 5).map(i => (0L, i.toLong)).toDF("src", "dst")
+    val starExpect = (0L to 5L).map(_ -> 1L).toMap
+    assert(GraphOps.coreness(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === starExpect)
+    assert(GraphOps.coreness(star, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === starExpect)
+    // isolation at k > 1: 8-cycle c1..c8 (vertices 61..68, coreness 2
+    // throughout) plus hub 50 adjacent to the odd cycle vertices
+    // {61,63,65,67} (degree 4). Round 1 peels the even cycle vertices
+    // at k=2; round 2 peels the odds (degree fell to 1) at k=2 and the
+    // prune then strips ALL four hub edges while deg(hub)=4 > k=2 —
+    // the mid-run isolation case. The whole graph has min degree 2 so
+    // the 2-core is everything (hub coreness = 2), and the 3-core is
+    // empty.
+    val cyc = (0 until 8).map(i => ((61 + i).toLong, (61 + (i + 1) % 8).toLong))
+    val hub = Seq(61L, 63L, 65L, 67L).map(v => (50L, v))
+    val g2 = (cyc ++ hub).toDF("src", "dst")
+    val wantG2 = ((61L to 68L) :+ 50L).map(_ -> 2L).toMap
+    assert(GraphOps.coreness(g2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === wantG2)
+    assert(GraphOps.coreness(g2, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === wantG2)
     // gate graph: coreness is consistent with the k-core memberships
     val cg = graph.GraphQueries.graphCoreness(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -117,7 +117,7 @@ object SqlSurface {
     val kernel = Seq(
       "ann_lsh" -> "kernel: seeded Gaussian hyperplane signatures in a mapPartitions scan",
       "ann_pq" -> "kernel: PQ encode + ADC tables in a mapPartitions scan",
-      "ann_opq" -> "kernel: OPQ permutation + PQ encode/ADC in a mapPartitions scan",
+      "ann_opq" -> "kernel: OPQ learned rotation (butterfly Givens layers) + PQ encode/ADC in a mapPartitions scan",
       "ann_sq" -> "kernel: SQ byte-encode + dequantized dot in a mapPartitions scan",
       "ann_ivfpq" -> "kernel: IVF routing + PQ/ADC in a mapPartitions scan",
       "ann_knn_join" -> "kernel: LSH-bucketed self-join over seeded signatures",

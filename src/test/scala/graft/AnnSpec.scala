@@ -109,68 +109,107 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("opqTopK: distortion-selected permutation, recall >= plain PQ, scores exact") {
-    // the trained transform must be a true permutation (orthogonal ⇒
-    // cosine-invariant rerank)
-    val perm = Ann.opqPermutation(emb)
-    assert(perm.sorted.toSeq === perm.indices.toSeq)
+  private def annRecall(bfs: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
+    val rs = bfs.map { case (q, s) =>
+      got.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+    rs.sum / rs.size
+  }
+
+  private def splitmixF(i: Long, d: Int): Float = {
+    var z = (i * 32 + d) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (((z >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
+  }
+
+  test("opqTopK: recall-tournament transform, recall >= plain PQ, scores exact") {
     val bf = neighborSets(Ann.bruteForceTopK(emb))
-    def recall(bfs: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double = {
-      val rs = bfs.map { case (q, s) =>
-        got.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
-      rs.sum / rs.size
-    }
-    val opqDf = Ann.opqTopK(emb)
-    val rOpq = recall(bf, neighborSets(opqDf))
-    val rPq = recall(bf, neighborSets(Ann.pqTopK(emb)))
-    info(f"gate corpus: OPQ recall $rOpq%.3f vs PQ $rPq%.3f (perm ${if (perm.toSeq == perm.indices.toSeq) "identity" else "non-identity"})")
-    // distortion selection includes identity among the candidates, so
-    // OPQ can never lose to plain PQ on its own training objective; on
-    // the gate corpus the natural order wins and recall must hold
+    val t = Ann.opqSelect(emb)
+    // whatever won, the permutation part must be a true permutation
+    assert(t.perm.sorted.toSeq === t.perm.indices.toSeq)
+    val opqDf = Ann.opqTopK(emb, transform = Some(t))
+    val rOpq = annRecall(bf, neighborSets(opqDf))
+    val rPq = annRecall(bf, neighborSets(Ann.pqTopK(emb)))
+    info(f"gate corpus: OPQ recall $rOpq%.3f vs PQ $rPq%.3f (transform: ${if (t.isIdentity) "identity" else s"layers ${t.layers.map(_._1).mkString("/")}"})")
+    // identity is candidate 0 of the recall tournament, so OPQ can
+    // never lose to plain PQ on its own training metric
     assert(rOpq >= rPq,
       s"OPQ recall $rOpq must be >= plain PQ's $rPq (identity is a candidate)")
     // every OPQ hit carries the true rounded cosine of the ORIGINAL
-    // vectors (permutation invariance end-to-end)
+    // vectors: the rerank joins the original frame whatever the
+    // transform did (rotation included — not just permutations)
     val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     opqDf.collect().foreach { r =>
       assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
     }
     // deterministic: two runs identical (catalog-served or not)
-    assert(rowsOf(Ann.opqTopK(emb)) === rowsOf(opqDf))
+    assert(rowsOf(Ann.opqTopK(emb, transform = Some(t))) === rowsOf(opqDf))
+    // the Materialized blob codec round-trips the transform exactly
+    val rt = Ann.opqFromBlob(Ann.opqToBlob(t))
+    assert(rt.perm.toSeq === t.perm.toSeq)
+    assert(rt.layers.map(_._1) === t.layers.map(_._1))
+    assert(rt.layers.zip(t.layers).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
 
     // planted variance-skewed corpus: dims 0-1 carry ~all the energy
     // (and the neighbor signal), the rest is low-amplitude noise.
     // Contiguous slicing buries both hot dims in ONE 16-code subspace;
-    // the balanced layout splits them — training must select a
-    // NON-identity permutation and beat plain PQ's recall with it
+    // a balanced layout splits them — the tournament must select a
+    // NON-identity transform and beat plain PQ's recall with it
     val s = spark
     import s.implicits._
-    def h(i: Long, d: Int): Float = {
-      var z = (i * 32 + d) + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      (((z >>> 11).toDouble / (1L << 53).toDouble) * 2 - 1).toFloat
-    }
     val planted = (0 until 400).map { i =>
       val ang = (i % 40) * 0.157
       val v = Array.tabulate(16) { d =>
-        if (d == 0) (5.0 * math.cos(ang)).toFloat + 0.3f * h(i.toLong, d)
-        else if (d == 1) (5.0 * math.sin(ang)).toFloat + 0.3f * h(i.toLong, d)
-        else 0.2f * h(i.toLong, d)
+        if (d == 0) (5.0 * math.cos(ang)).toFloat + 0.3f * splitmixF(i.toLong, d)
+        else if (d == 1) (5.0 * math.sin(ang)).toFloat + 0.3f * splitmixF(i.toLong, d)
+        else 0.2f * splitmixF(i.toLong, d)
       }
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding").localCheckpoint()
-    val permP = Ann.opqPermutation(planted)
-    assert(permP.toSeq !== permP.indices.toSeq,
-      "variance-skewed corpus must select a non-identity layout")
+    val tP = Ann.opqSelect(planted)
+    assert(!tP.isIdentity,
+      "variance-skewed corpus must select a non-identity transform")
     val bfP = neighborSets(Ann.bruteForceTopK(planted))
-    val rOpqP = recall(bfP, neighborSets(Ann.opqTopK(planted)))
-    val rPqP = recall(bfP, neighborSets(Ann.pqTopK(planted)))
+    val rOpqP = annRecall(bfP, neighborSets(Ann.opqTopK(planted, transform = Some(tP))))
+    val rPqP = annRecall(bfP, neighborSets(Ann.pqTopK(planted)))
     info(f"planted skew: OPQ recall $rOpqP%.3f vs PQ $rPqP%.3f")
     assert(rOpqP >= rPqP,
       s"planted skew: OPQ recall $rOpqP must be >= PQ's $rPqP")
+  }
+
+  test("opqTopK: learned balance rotation beats EVERY permutation on a dominant-dim corpus") {
+    // one dim carries 100x the variance of the rest. A permutation can
+    // MOVE that dim but its subspace's 16 codes still quantize it
+    // alone (4-ish effective levels next to its pair dim); only a
+    // ROTATION can SPLIT it, letting several subspaces' independent
+    // codebooks each quantize a share so ADC errors average down —
+    // the regime where no permutation can win but the rotation does.
+    val s = spark
+    import s.implicits._
+    val dom = (0 until 1600).map { i =>
+      val v = Array.tabulate(16)(d =>
+        (if (d == 0) 20.0f else 2.0f) * splitmixF(i.toLong, d))
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val truth = Ann.bruteForceTopK(dom).select("qid", "vec_id").localCheckpoint()
+    val ts = Ann.opqTransforms(dom)
+    val hits = ts.map(t => Ann.opqRecallHits(dom, truth, t))
+    info(s"dominant-dim tournament hits (id, rr, ct, conc, bal): ${hits.mkString(", ")}")
+    // candidates 0-2 are the permutation layouts, 4 the balance
+    // rotation: the rotation must beat ALL permutations outright
+    assert(hits(4) > hits.take(3).max,
+      s"balance rotation ${hits(4)} must beat every permutation ${hits.take(3).mkString(",")}")
+    val tD = Ann.opqSelect(dom)
+    assert(tD.layers.nonEmpty, "selection must pick a rotation here")
+    // and end to end the op must strictly beat plain PQ's recall
+    val bfD = neighborSets(Ann.bruteForceTopK(dom))
+    val rOpqD = annRecall(bfD, neighborSets(Ann.opqTopK(dom, transform = Some(tD))))
+    val rPqD = annRecall(bfD, neighborSets(Ann.pqTopK(dom)))
+    info(f"dominant-dim: OPQ recall $rOpqD%.3f vs PQ $rPqD%.3f")
+    assert(rOpqD > rPqD,
+      s"dominant-dim: OPQ recall $rOpqD must strictly beat PQ's $rPqD")
   }
 
   test("bruteForceTopK pins known neighbors on a synthetic set") {

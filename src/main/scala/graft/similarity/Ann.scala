@@ -192,14 +192,22 @@ object Ann {
     * against the query's probed-cell mask — branch-free in the scan's
     * hot loop.
     */
-  private def closureCellMask(cents: Array[Array[Double]], v: Array[Float], nrm: Double): Long = {
+  private def closureCellMask(cents: Array[Array[Double]], v: Array[Float], nrm: Double): Long =
+    closureMaskAndPrim(cents, v, nrm)._1
+
+  /** Closure mask plus the PRIMARY cell (the argmax itself; rounded
+    * ties break to the lower cell id — the residual-encode anchor).
+    */
+  private def closureMaskAndPrim(cents: Array[Array[Double]], v: Array[Float],
+      nrm: Double): (Long, Int) = {
     val scores = new Array[Double](cents.length)
     var best = Double.NegativeInfinity
+    var bestC = 0
     var c = 0
     while (c < cents.length) {
       val s = round6(dot(cents(c), v) / nrm) // centroids pre-normalized
       scores(c) = s
-      if (s > best) best = s
+      if (s > best) { best = s; bestC = c }
       c += 1
     }
     var mask = 0L
@@ -208,7 +216,7 @@ object Ann {
       if (scores(c) >= best - IvfClosureEps) mask |= (1L << c)
       c += 1
     }
-    mask
+    (mask, bestC)
   }
 
   def bruteForceTopK(emb: DataFrame, k: Int = K): DataFrame =
@@ -903,7 +911,10 @@ object Ann {
   def pqTopK(emb: DataFrame, k: Int = K,
       probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None,
       rerank: Int = PqRerank,
-      rerankOn: Option[DataFrame] = None): DataFrame = {
+      rerankOn: Option[DataFrame] = None,
+      byResidual: Boolean = false): DataFrame = {
+    require(!byResidual || probedCells.isDefined,
+      "byResidual needs coarse cells to take residuals against")
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = collectQueries(emb)
@@ -911,17 +922,42 @@ object Ann {
     val dim = queries.head._2.length
     require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
     val sub = dim / PqSubspaces
-    // codebooks[m][c] = subvector m of seed vector c (raw, unnormalized)
-    val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1).map(_._2)
+    val cents = probedCells.map(_._1).orNull
+    // Encode source: raw vector, or (byResidual — the FAISS IVF-PQ
+    // production form) the residual v − c_primary against the vector's
+    // PRIMARY coarse centroid. Residuals are small exactly when cells
+    // are tight, so the same 16 codes per subspace resolve much finer
+    // structure; the ADC adds dot(q, c_primary) back (one per-query ×
+    // per-cell constant) so the approximate score still estimates the
+    // full inner product.
+    def encodeSource(v: Array[Float], prim: Int): Array[Double] = {
+      val src = new Array[Double](v.length)
+      var i = 0
+      if (byResidual) {
+        val cp = cents(prim)
+        while (i < v.length) { src(i) = v(i).toDouble - cp(i); i += 1 }
+      } else {
+        while (i < v.length) { src(i) = v(i).toDouble; i += 1 }
+      }
+      src
+    }
+    // codebooks[m][c] = subvector m of seed vector c (raw, or the
+    // seed's residual against ITS primary cell when byResidual)
+    val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1)
     // Fail loudly on a sparse/1-based vec_id corpus: the ADC tables
     // below index codebooks(m)(c) for c < PqCentroids, so fewer seeds
     // than centroids would be a silent ArrayIndexOutOfBounds later.
     require(seeds.length == PqCentroids,
       s"PQ seeding needs vec_ids 0..${PqCentroids - 1} present; found ${seeds.length}")
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
-      seeds.map(v => Array.tabulate(sub)(i => v(m * sub + i).toDouble))
+    val seedSrc: Array[Array[Double]] = seeds.map { case (_, v, n) =>
+      encodeSource(v, if (byResidual) closureMaskAndPrim(cents, v, n)._2 else 0)
     }
-    // per-query ADC tables: adc[q](m)(c) = dot(q_m, codebook[m][c])
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
+      seedSrc.map(v => Array.tabulate(sub)(i => v(m * sub + i)))
+    }
+    // per-query ADC tables: adc[q](m)(c) = dot(q_m, codebook[m][c]) —
+    // the query stays RAW in both modes (residual ADC estimates
+    // dot(q, c_p) + dot(q, v − c_p))
     val adcTables: Map[Long, Array[Array[Double]]] = queries.map { case (qid, qv, _) =>
       qid -> Array.tabulate(PqSubspaces) { m =>
         Array.tabulate(PqCentroids) { c =>
@@ -931,10 +967,23 @@ object Ann {
         }
       }
     }.toMap
+    // per-(query, cell) constant dot(q, c_cell) — the residual ADC's
+    // added-back term (queries × cells, trivially broadcastable)
+    val qCell: Map[Long, Array[Double]] =
+      if (byResidual) queries.map { case (qid, qv, _) =>
+        qid -> Array.tabulate(cents.length) { c =>
+          var s = 0.0; var i = 0
+          while (i < qv.length) { s += cents(c)(i) * qv(i); i += 1 }
+          s
+        }
+      }.toMap
+      else Map.empty
     val bq = spark.sparkContext.broadcast(queries.map(q => (q._1, q._3)))
     val bcb = spark.sparkContext.broadcast(codebooks)
     val badc = spark.sparkContext.broadcast(adcTables)
     val bp = spark.sparkContext.broadcast(probedCells)
+    val bqc = spark.sparkContext.broadcast(qCell)
+    val resid = byResidual
     // encode + ADC-score in one pass; bounded per-partition heaps
     val partials = emb.select(col("vec_id").cast(LongType), col("embedding"))
       .as[(Long, Array[Float])]
@@ -943,6 +992,7 @@ object Ann {
         val cbs = bcb.value
         val adc = badc.value
         val probe = bp.value
+        val qc = bqc.value
         val ord = Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
         val heaps = qs.map(q => q._1 -> scala.collection.mutable.PriorityQueue.empty(ord)).toMap
         val qMask = probe.map { case (_, byQ) =>
@@ -953,7 +1003,10 @@ object Ann {
           var i = 0
           while (i < v.length) { nrm += v(i).toDouble * v(i); i += 1 }
           nrm = math.sqrt(nrm)
-          val cellMask = probe.map { case (cents, _) => closureCellMask(cents, v, nrm) }
+          val maskPrim = probe.map { case (cs, _) => closureMaskAndPrim(cs, v, nrm) }
+          val cellMask = maskPrim.map(_._1)
+          val prim = maskPrim.map(_._2).getOrElse(0)
+          val src = encodeSource(v, prim)
           // encode: nearest centroid per subspace (L2², ties → lower c)
           val codes = new Array[Int](PqSubspaces)
           var m = 0
@@ -964,7 +1017,7 @@ object Ann {
             while (c < cb.length) {
               var d = 0.0; var j = 0
               while (j < cb(c).length) {
-                val diff = v(m * cb(c).length + j).toDouble - cb(c)(j)
+                val diff = src(m * cb(c).length + j) - cb(c)(j)
                 d += diff * diff; j += 1
               }
               if (d < bestD) { bestD = d; best = c }
@@ -983,7 +1036,8 @@ object Ann {
               var s = 0.0
               var mm = 0
               while (mm < PqSubspaces) { s += t(mm)(codes(mm)); mm += 1 }
-              val approx = round6(s / (qn * nrm))
+              val total = if (resid) qc(qid)(prim) + s else s
+              val approx = round6(total / (qn * nrm))
               val h = heaps(qid)
               h.enqueue((approx, id))
               if (h.size > rerank) h.dequeue()
@@ -1290,15 +1344,26 @@ object Ann {
     * scan does assignment, encoding, and ADC scoring simultaneously —
     * at 100 TB that is the difference between "scan M bytes per
     * vector for 1/nprobe of the corpus" and either component alone.
-    * With nprobe = [[IvfCells]] the routing is a no-op and the result
-    * is exactly [[pqTopK]] (spec-pinned identity).
+    *
+    * `byResidual` (default, the FAISS production form) encodes the
+    * RESIDUAL v − c_primary against each vector's primary coarse
+    * centroid instead of raw v: residual magnitudes shrink exactly
+    * when cells are tight, so the same 16 codes per subspace resolve
+    * far finer structure, and the ADC adds the per-(query, cell)
+    * constant dot(q, c_primary) back so approximate scores still
+    * estimate the full inner product. With byResidual=false and
+    * nprobe = [[IvfCells]] the routing is a no-op and the result is
+    * exactly [[pqTopK]] (spec-pinned identity); the residual spec pins
+    * recall ≥ the raw encoding at the default nprobe.
     */
   def ivfPqTopK(emb: DataFrame, nprobe: Int = IvfNprobe, k: Int = K,
-      coarse: Option[Array[Array[Double]]] = None): DataFrame = {
+      coarse: Option[Array[Array[Double]]] = None,
+      byResidual: Boolean = true): DataFrame = {
     val queries = collectQueries(emb)
     val cents = coarse.getOrElse(trainedCoarse(emb))
     require(cents.length <= 64, "closure bitmask supports at most 64 coarse cells")
-    pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))), rerank = IvfPqRerank)
+    pqTopK(emb, k, Some((cents, ivfProbes(queries, cents, nprobe))),
+      rerank = IvfPqRerank, byResidual = byResidual)
   }
 
   def annIvfPq(spark: SparkSession, dir: String): DataFrame =
@@ -1306,10 +1371,13 @@ object Ann {
       coarse = Some(ivfCoarse(spark, dir)))
 
   /** IVF-PQ oracle: [[annIvfSql]]'s assignment/probe CTEs composed
-    * with [[annPqSql]]'s encode/ADC/rerank chain — the ADC candidate
-    * join additionally gated by cell membership (vector's assigned
-    * cell ∈ the query's probed cells). Same 6-dp/tie-break discipline
-    * as both parents.
+    * with [[annPqSql]]'s encode/ADC/rerank chain in RESIDUAL form —
+    * each vector encodes v − c_primary against its primary cell's
+    * centroid (rounded routing ties → lower cell), codebooks are the
+    * seed vectors' residuals, the ADC adds the per-(query, cell)
+    * dot(q, c_primary) constant back, and the candidate join is gated
+    * by closure-cell membership (vector's assigned cell ∈ the query's
+    * probed cells). Same 6-dp/tie-break discipline as both parents.
     */
   val annIvfPqSql: String = {
     val sub = OracleDim / PqSubspaces
@@ -1337,6 +1405,16 @@ object Ann {
                  JOIN (SELECT vec_id, MAX(sc) AS mx FROM casg0 GROUP BY vec_id) m
                    ON m.vec_id = a.vec_id
                  WHERE a.sc >= m.mx - $IvfClosureEps),
+    prim AS (SELECT vec_id, cell FROM (
+               SELECT vec_id, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell) AS rn
+               FROM casg0)
+             WHERE rn = 1),
+    rsd AS (SELECT n.vec_id,
+              list_transform(generate_series(1, $OracleDim),
+                i -> n.v[i] - ct.cv[i]) AS rv
+            FROM n JOIN prim p ON p.vec_id = n.vec_id
+                   JOIN cents ct ON ct.cell = p.cell),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $NumQueries),
     probes AS (SELECT qid, cell FROM (
                  SELECT q.qid, cents.cell,
@@ -1346,13 +1424,13 @@ object Ann {
                  FROM q CROSS JOIN cents)
                WHERE rn <= $IvfNprobe),
     ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
-    cb AS (SELECT n.vec_id AS c, ms.m,
-             list_slice(n.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
-           FROM n CROSS JOIN ms WHERE n.vec_id < $PqCentroids),
-    enc0 AS (SELECT n.vec_id, cb.m, cb.c,
+    cb AS (SELECT r.vec_id AS c, ms.m,
+             list_slice(r.rv, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+           FROM rsd r CROSS JOIN ms WHERE r.vec_id < $PqCentroids),
+    enc0 AS (SELECT r.vec_id, cb.m, cb.c,
                list_sum(list_transform(generate_series(1, $sub),
-                 i -> (n.v[cb.m * $sub + i] - cb.cv[i]) * (n.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
-             FROM n CROSS JOIN cb),
+                 i -> (r.rv[cb.m * $sub + i] - cb.cv[i]) * (r.rv[cb.m * $sub + i] - cb.cv[i]))) AS d2
+             FROM rsd r CROSS JOIN cb),
     enc AS (SELECT vec_id, m, c AS code FROM (
               SELECT vec_id, m, c,
                 ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
@@ -1362,16 +1440,22 @@ object Ann {
               list_sum(list_transform(generate_series(1, $sub),
                 i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
             FROM q CROSS JOIN cb),
+    qcell AS (SELECT q.qid, ct.cell,
+                list_sum(list_transform(generate_series(1, $OracleDim),
+                  i -> ct.cv[i] * q.qv[i])) AS t0
+              FROM q CROSS JOIN cents ct),
     cand0 AS (SELECT DISTINCT p.qid, a.vec_id
               FROM probes p JOIN assigned a ON a.cell = p.cell),
     approx AS (SELECT q.qid, e.vec_id,
-                 ROUND(list_sum(list(adc.t ORDER BY adc.m))
+                 ROUND((ANY_VALUE(qc.t0) + list_sum(list(adc.t ORDER BY adc.m)))
                    / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
                FROM q
                JOIN cand0 c0 ON c0.qid = q.qid
                JOIN enc e ON e.vec_id = c0.vec_id AND e.vec_id != q.qid
                JOIN adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
                JOIN n ON n.vec_id = e.vec_id
+               JOIN prim pr ON pr.vec_id = e.vec_id
+               JOIN qcell qc ON qc.qid = q.qid AND qc.cell = pr.cell
                GROUP BY q.qid, e.vec_id),
     cand AS (SELECT qid, vec_id FROM (
                SELECT qid, vec_id,

@@ -87,20 +87,29 @@ class AnnSpec extends SparkSpec {
     }
   }
 
-  test("ivfPqTopK: full probing degenerates to PQ; routed recall holds; scores exact") {
-    // routing with every cell probed is a no-op — IVF-PQ ≡ PQ at the
-    // same rerank budget (IVF-PQ's own budget is wider to compensate
-    // for closure-multiplied candidate pools)
-    assert(rowsOf(Ann.ivfPqTopK(emb, nprobe = Ann.IvfCells))
+  test("ivfPqTopK: full probing degenerates to PQ; residual >= raw recall; scores exact") {
+    // with raw encoding, routing with every cell probed is a no-op —
+    // IVF-PQ ≡ PQ at the same rerank budget (IVF-PQ's own budget is
+    // wider to compensate for closure-multiplied candidate pools)
+    assert(rowsOf(Ann.ivfPqTopK(emb, nprobe = Ann.IvfCells, byResidual = false))
       === rowsOf(Ann.pqTopK(emb, rerank = Ann.IvfPqRerank)))
     val bf = neighborSets(Ann.bruteForceTopK(emb))
-    val ivfpqDf = Ann.ivfPqTopK(emb)
+    val ivfpqDf = Ann.ivfPqTopK(emb) // residual encoding — the gate path
     val ivfpq = neighborSets(ivfpqDf)
     val recalls = bf.map { case (q, s) =>
       ivfpq.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
     }
-    assert(recalls.sum / recalls.size >= 0.5,
-      s"mean IVF-PQ recall ${recalls.sum / recalls.size}")
+    val rResid = recalls.sum / recalls.size
+    assert(rResid >= 0.5, s"mean IVF-PQ recall $rResid")
+    // residual encoding resolves finer structure than raw at the same
+    // code budget: recall must not regress vs the raw path
+    val raw = neighborSets(Ann.ivfPqTopK(emb, byResidual = false))
+    val rRaw = bf.map { case (q, s) =>
+      raw.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size
+    }.sum / bf.size
+    info(f"IVF-PQ recall residual $rResid%.3f vs raw $rRaw%.3f")
+    assert(rResid >= rRaw,
+      s"residual IVF-PQ recall $rResid must be >= raw's $rRaw")
     // the rerank is exact: every returned score is the true cosine
     val bfScores = Ann.bruteForceTopK(emb, k = emb.count().toInt).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap

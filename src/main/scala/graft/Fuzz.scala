@@ -282,20 +282,23 @@ object Fuzz {
       graph.GraphQueries.graphCorenessSqlAt(maxK, rounds))
   }
 
-  /** ann_graph at a random index geometry (r16): knn degree ∈ [8, 16],
-    * beam width ∈ [16, 32], rounds ∈ [3, 5] — the build + beam-search
-    * contract away from the gate's fixed (12, 24, 4) point.
+  /** ann_graph at a random EXPLICIT index geometry (r16; r17 widened
+    * to draw the entry count too): knn degree ∈ [8, 16], entries ∈
+    * [6, 12], beam width ∈ [16, 32], rounds ∈ [3, 5] — the build +
+    * beam-search contract away from the gate's adaptive point (every
+    * knob passed explicitly on BOTH sides, so the adaptive defaults
+    * never leak into a draw).
     */
   private def annGraphDraw(spark: SparkSession, dir: String, i: Int,
       rng: scala.util.Random): Draw = {
     val degree = 8 + rng.nextInt(9)
+    val entries = 6 + rng.nextInt(7)
     val beam = 16 + rng.nextInt(17)
     val rounds = 3 + rng.nextInt(3)
-    Draw(f"fz$i%03d_anngraph_d${degree}_b${beam}_r$rounds",
+    Draw(f"fz$i%03d_anngraph_d${degree}_e${entries}_b${beam}_r$rounds",
       similarity.Ann.graphBeamTopK(Tables.embeddings(spark, dir),
-        degree = degree, rounds = rounds, beamW = beam),
-      similarity.Ann.annGraphSqlAt(degree, similarity.Ann.AnnGraphEntries,
-        rounds, beam))
+        degree = degree, entriesN = entries, rounds = rounds, beamW = beam),
+      similarity.Ann.annGraphSqlAt(degree, entries, rounds, beam))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1824,17 +1824,45 @@ object Ann {
   /** k-NN-graph beam search parameters: graph degree (each vector's
     * [[AnnGraphDegree]] nearest neighbors, then UNDIRECTED — in-links
     * double the effective fan-out, the NSW trick that random
-    * high-dimensional data needs), seeded entry points (the
-    * [[AnnGraphEntries]] smallest non-query ids), fixed
-    * [[AnnGraphRounds]] expansion rounds, and a search beam wider than
-    * the answer ([[AnnGraphBeam]] = 24 vs k = 10 — HNSW's efSearch >
-    * k). Measured recall@10 vs brute force: 0.975 at both gate
-    * corpora (spec-pinned ≥ 0.9).
+    * high-dimensional data needs), seeded entry points (the smallest
+    * non-query ids), expansion rounds, and a search beam wider than
+    * the answer (HNSW's efSearch > k). The three search knobs are the
+    * FLOORS of the adaptive geometry (see [[annGraphGeometry]]) —
+    * small corpora keep this proven fixed point, larger ones grow
+    * with log2 of the distinct count. Measured recall@10 vs brute
+    * force: 0.975 at both gate corpora (spec-pinned ≥ 0.9).
     */
   val AnnGraphDegree = 12
   val AnnGraphEntries = 8
   val AnnGraphRounds = 4
   val AnnGraphBeam = 24
+
+  /** Oracle unroll depth for the ADAPTIVE rounds: covers corpora to
+    * 2^23 distinct vectors (rounds ≤ 8); a larger adaptive count
+    * trips the oracle's loud -99 sentinel row instead of silently
+    * comparing different search depths.
+    */
+  private val AnnGraphMaxUnroll = 8
+
+  /** Adaptive index geometry (r17): entries / rounds / beam scale
+    * with log2 of the DISTINCT corpus size — the navigable-small-world
+    * diameter grows logarithmically, so a fixed geometry that is right
+    * at 500 vectors starves at 200k (more hops to cross the graph,
+    * more beam to survive local minima). `ilog` is the integer
+    * floor(log2(dn)) via bit length — never an FP log, so both engines
+    * compute the identical geometry — and each knob floors at the
+    * fixed r16 point so small corpora keep their proven settings:
+    * entries = max(8, ilog+1), rounds = max(4, ceil((ilog+1)/3)),
+    * beam = max(24, 4·(ilog+1)). At dn=500 → (9, 4, 36); 12k →
+    * (14, 5, 56); 200k → (18, 6, 72).
+    */
+  private[graft] def annGraphGeometry(dn: Long): (Int, Int, Int) = {
+    require(dn > 0, "annGraphGeometry: empty corpus")
+    val ilog = 63 - java.lang.Long.numberOfLeadingZeros(dn)
+    (math.max(AnnGraphEntries, ilog + 1),
+      math.max(AnnGraphRounds, (ilog + 3) / 3),
+      math.max(AnnGraphBeam, 4 * (ilog + 1)))
+  }
 
   /** Graph-based ANN (the NSW/HNSW-family shape — Malkov & Yashunin
     * 2016 — next to the IVF/PQ/LSH index families): collapse exact-
@@ -1869,20 +1897,26 @@ object Ann {
     */
   def graphBeamTopK(emb: DataFrame, k: Int = K,
       edgesOpt: Option[DataFrame] = None,
-      degree: Int = AnnGraphDegree, entriesN: Int = AnnGraphEntries,
-      rounds: Int = AnnGraphRounds, beamW: Int = AnnGraphBeam): DataFrame = {
+      degree: Int = AnnGraphDegree, entriesN: Int = -1,
+      rounds: Int = -1, beamW: Int = -1): DataFrame = {
     val (members, reps) = collapseByEmbedding(emb)
+    // non-positive search knobs resolve ADAPTIVELY from the distinct
+    // count (the gate path); explicit values (fuzz, specs) win
+    val (aE, aR, aB) = annGraphGeometry(reps.count())
+    val eN = if (entriesN > 0) entriesN else aE
+    val nRounds = if (rounds > 0) rounds else aR
+    val bW = if (beamW > 0) beamW else aB
     val edges = edgesOpt.getOrElse(buildKnnGraph(reps, degree))
     val vecs = withNorm(reps).localCheckpoint()
     val q = withNorm(emb).where(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
       .localCheckpoint()
     val entries = vecs.where(col("vec_id") >= NumQueries)
-      .select("vec_id").orderBy("vec_id").limit(entriesN)
+      .select("vec_id").orderBy("vec_id").limit(eN)
     var beam = q.select("qid").crossJoin(broadcast(entries))
       .select(col("qid"), col("vec_id"))
     var scored: DataFrame = null
-    for (_ <- 1 to rounds) {
+    for (_ <- 1 to nRounds) {
       // the query's own representative stays IN the candidate set (its
       // duplicate members are legitimate answers and its edges are the
       // best possible expansion frontier); the query row itself is
@@ -1899,7 +1933,7 @@ object Ann {
         .select("qid", "vec_id", "score")
       val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
       beam = scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= beamW)
+        .where(col("rn") <= bW)
         .select("qid", "vec_id").localCheckpoint()
     }
     val expanded = scored
@@ -2016,8 +2050,85 @@ object Ann {
     ORDER BY qid, rank"""
   }
 
-  val annGraphSql: String =
-    annGraphSqlAt(AnnGraphDegree, AnnGraphEntries, AnnGraphRounds, AnnGraphBeam)
+  /** ADAPTIVE-geometry oracle (the gate path): the search geometry is
+    * computed IN SQL from the distinct count — ilog via bit length
+    * (integer-exact, never an FP log), the same max/ceil formulas as
+    * [[annGraphGeometry]] — the beam rounds are unrolled to
+    * [[AnnGraphMaxUnroll]] with pass-through gating (round i > the
+    * adaptive count copies the previous beam and the final scored set
+    * selects exactly round `rounds`), and a -99 sentinel row fires
+    * loudly if the adaptive count ever exceeds the unroll.
+    */
+  val annGraphSql: String = {
+    def beamRound(i: Int): String =
+      s"""c$i AS MATERIALIZED (SELECT DISTINCT qid, vec_id FROM (
+         |    SELECT qid, vec_id FROM b${i - 1}
+         |    UNION ALL
+         |    SELECT b.qid, e.dst AS vec_id FROM b${i - 1} b JOIN e ON e.src = b.vec_id
+         |  )),
+         |s$i AS MATERIALIZED (SELECT c.qid, c.vec_id, sq.score
+         |  FROM c$i c JOIN sq ON sq.qid = c.qid AND sq.dst = c.vec_id),
+         |b$i AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |    FROM s$i)
+         |  WHERE rn <= (SELECT beam FROM geo) AND $i <= (SELECT rounds FROM geo)
+         |  UNION ALL
+         |  SELECT qid, vec_id FROM b${i - 1} WHERE $i > (SELECT rounds FROM geo))""".stripMargin
+    val roundsSql = (1 to AnnGraphMaxUnroll).map(beamRound).mkString(",\n")
+    val finSql = (1 to AnnGraphMaxUnroll).map(i =>
+      s"SELECT qid, vec_id, score FROM s$i WHERE (SELECT rounds FROM geo) = $i")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH $oracleVCte,
+    rep AS MATERIALIZED (SELECT v, MIN(vec_id) AS rep_id FROM v GROUP BY v),
+    mem AS MATERIALIZED (SELECT a.vec_id, r.rep_id FROM v a JOIN rep r ON r.v = a.v),
+    n AS MATERIALIZED (SELECT r.rep_id AS vec_id, r.v,
+            sqrt(list_sum(list_transform(r.v, x -> x * x))) AS nrm
+          FROM rep r),
+    geo AS (SELECT dn,
+              GREATEST($AnnGraphEntries, ilog + 1) AS entries,
+              GREATEST($AnnGraphRounds, (ilog + 3) // 3) AS rounds,
+              GREATEST($AnnGraphBeam, 4 * (ilog + 1)) AS beam
+            FROM (SELECT dn, length(bin(dn)) - 1 AS ilog
+                  FROM (SELECT COUNT(*) AS dn FROM n))),
+    sall AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst,
+        ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+          i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) + 0.0 AS score
+      FROM n a JOIN n b ON b.vec_id != a.vec_id),
+    knn AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT src, dst,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
+        FROM sall) WHERE rn <= $AnnGraphDegree),
+    e AS MATERIALIZED (SELECT src, dst FROM knn UNION SELECT dst, src FROM knn),
+    qv AS MATERIALIZED (SELECT a.vec_id AS qid, a.v AS qv,
+            sqrt(list_sum(list_transform(a.v, x -> x * x))) AS qn
+          FROM v a WHERE a.vec_id < $NumQueries),
+    sq AS MATERIALIZED (SELECT q.qid, n.vec_id AS dst,
+        ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+          i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+      FROM qv q CROSS JOIN n),
+    q AS (SELECT qid FROM qv),
+    en AS (SELECT vec_id FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+             FROM n WHERE vec_id >= $NumQueries)
+           WHERE rn <= (SELECT entries FROM geo)),
+    b0 AS (SELECT q.qid, en.vec_id FROM q CROSS JOIN en),
+    $roundsSql,
+    fin AS MATERIALIZED (
+      $finSql),
+    exp AS (SELECT s.qid, m.vec_id, s.score
+            FROM fin s JOIN mem m ON m.rep_id = s.vec_id
+            WHERE m.vec_id != s.qid)
+    SELECT qid, CAST(rn AS BIGINT) AS rank, vec_id, score FROM (
+      SELECT qid, vec_id, score,
+        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM exp) WHERE rn <= $K
+    UNION ALL
+    SELECT -99, -99, -99, -99.0 FROM geo WHERE rounds > $AnnGraphMaxUnroll
+    ORDER BY qid, rank"""
+  }
 
   def ops: Seq[Op] = Seq(
     Op("ann_graph", annGraph, Some(annGraphSql)),

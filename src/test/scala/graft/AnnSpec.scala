@@ -412,9 +412,16 @@ class AnnSpec extends SparkSpec {
     }
     // fixed seeds + rounded tie-broken ranking: two runs are identical
     assert(rowsOf(Ann.graphBeamTopK(emb)) === rowsOf(out))
+    // adaptive geometry pins (integer bit-length log2, floored at the
+    // fixed r16 point): 500 distinct → (9, 4, 36); the 12k planted
+    // corpus → (14, 5, 56); an sf10-sized 200k corpus → (18, 6, 72)
+    assert(Ann.annGraphGeometry(500L) === ((9, 4, 36)))
+    assert(Ann.annGraphGeometry(12000L) === ((14, 5, 56)))
+    assert(Ann.annGraphGeometry(200000L) === ((18, 6, 72)))
+    assert(Ann.annGraphGeometry(1L) === ((Ann.AnnGraphEntries, Ann.AnnGraphRounds, Ann.AnnGraphBeam)))
   }
 
-  test("graphBeamTopK on an LSH-built graph (>10k vectors): recall vs brute force >= 0.8") {
+  test("graphBeamTopK on an LSH-built graph (>10k vectors): recall vs brute force >= 0.9") {
     // Above KnnBroadcastMaxRows (10k) buildKnnGraph's knnJoin routes to
     // the LSH-bucketed candidate path — the graph the beam searches at
     // production scale is approximate. The gate corpora (≤2k vectors)
@@ -427,13 +434,14 @@ class AnnSpec extends SparkSpec {
     // any knn-graph method, it measures nothing about the LSH build).
     val s = spark
     import s.implicits._
-    // 8 clusters with i%8 assignment: the 8 fixed entry points
-    // (vec_id 16..23) land one per cluster, so every query has an
-    // entry in its own region — beam recall then measures how well the
-    // graph lets the search climb from a same-region entry to the true
-    // neighbors, the navigation the production index actually does
-    // (quasi-orthogonal clusters with NO entry coverage strand any
-    // knn-graph beam and measure nothing about the build).
+    // 8 clusters with i%8 assignment: the adaptive geometry at 12k
+    // distinct gives 14 entry points (vec_id 16..29), covering every
+    // cluster, so each query has an entry in its own region — beam
+    // recall then measures how well the graph lets the search climb
+    // from a same-region entry to the true neighbors, the navigation
+    // the production index actually does (quasi-orthogonal clusters
+    // with NO entry coverage strand any knn-graph beam and measure
+    // nothing about the build).
     val n = 12000
     val dim = 16
     val nClusters = 8
@@ -474,6 +482,8 @@ class AnnSpec extends SparkSpec {
       Ann.graphBeamTopK(data, edgesOpt = Some(exactGraph))))
     val mean = meanRecall(neighborSets(Ann.graphBeamTopK(data)))
     info(f"knn-graph beam recall@${Ann.K} over $n vectors: LSH-built $mean%.3f, exact-built $ceil%.3f")
-    assert(mean >= 0.8, s"mean beam recall on the LSH-built graph: $mean (exact-built: $ceil)")
+    // adaptive geometry (14 entries / 5 rounds / beam 56 at 12k
+    // distinct) must hold the verdict floor at this rung too
+    assert(mean >= 0.9, s"mean beam recall on the LSH-built graph: $mean (exact-built: $ceil)")
   }
 }

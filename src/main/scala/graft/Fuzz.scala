@@ -38,6 +38,11 @@ import java.nio.file.{Files, Paths}
   *  - substr: dedup_substring_exact at random shingle width k ∈ [3, 10] (r16)
   *  - coreness: graph_coreness under random oracle unroll geometry (r16)
   *  - anngraph: ann_graph at random (degree, beam, rounds) index geometry (r16)
+  *  - gini: q_gini under random customer-subset modulus × FORCED rank
+  *    path (exact window / bucketed CASE / bucketed param-join) against
+  *    the path-blind oracle — the bucketed machinery stays
+  *    data-exercised at varying group sizes every fuzz run, not just
+  *    once per round via the GiniStress corpus (r17)
   *
   * Usage: runMain graft.Fuzz <sfDir> <outDir> <seed> <nDraws>
   */
@@ -45,7 +50,7 @@ object Fuzz {
 
   final case class Draw(name: String, frame: DataFrame, oracle: String)
 
-  val NumFamilies = 14
+  val NumFamilies = 15
 
   def draws(spark: SparkSession, dir: String, seed: Long, n: Int): Seq[Draw] =
     (1 to n).map { i =>
@@ -65,6 +70,7 @@ object Fuzz {
         case 11 => substrDraw(spark, dir, i, rng)
         case 12 => corenessDraw(spark, dir, i, rng)
         case 13 => annGraphDraw(spark, dir, i, rng)
+        case 14 => giniDraw(spark, dir, i, rng)
       }
     }
 
@@ -299,6 +305,26 @@ object Fuzz {
       similarity.Ann.graphBeamTopK(Tables.embeddings(spark, dir),
         degree = degree, entriesN = entries, rounds = rounds, beamW = beam),
       similarity.Ann.annGraphSqlAt(degree, entries, rounds, beam))
+  }
+
+  /** q_gini under a random customer-subset modulus (varying every
+    * nation's group size) and a random FORCED rank path — exact
+    * window, bucketed with the nested-CASE bucket id, or bucketed with
+    * the broadcast param-join shape. The oracle is path-blind (always
+    * the exact rank identity), so each draw proves the bucketed
+    * machinery bit-identical on a fresh group-size profile — the
+    * GiniStress crossover exercised per fuzz run, not once per round.
+    */
+  private def giniDraw(spark: SparkSession, dir: String, i: Int,
+      rng: scala.util.Random): Draw = {
+    val m = 1L + rng.nextInt(8)
+    val path = rng.nextInt(3) // 0 = exact window, 1 = bucketed CASE, 2 = bucketed param-join
+    val tag = Seq("w", "bc", "bp")(path)
+    Draw(f"fz$i%03d_gini_m${m}_$tag",
+      operators.Relational.qGiniImpl(spark, dir,
+        forceBucketed = path > 0, forceParamJoin = path == 2,
+        forceExactWindow = path == 0, custModulus = m),
+      operators.Relational.qGiniSqlAt(m))
   }
 
   def main(args: Array[String]): Unit = {

@@ -861,8 +861,9 @@ object Relational {
 
   private[graft] def qGiniImpl(spark: SparkSession, dir: String,
       forceBucketed: Boolean, forceParamJoin: Boolean = false,
-      forceExactWindow: Boolean = false): DataFrame = {
+      forceExactWindow: Boolean = false, custModulus: Long = 1L): DataFrame = {
     val sp = Tables.customer(spark, dir)
+      .where(col("c_custkey") % custModulus === 0)
       .select(col("c_nationkey").cast(LongType).as("nk"), col("c_custkey").as("ck"))
       .join(Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice")),
         col("o_custkey") === col("ck"))
@@ -952,6 +953,37 @@ object Relational {
         round(coalesce(col("top_spend"), lit(0.0)) / col("total"), 6).as("top20_share"))
       .orderBy("nationkey")
   }
+
+  /** Parameterized [[qGiniSql]] for the fuzz family: the same exact
+    * rank-identity SQL over the customers passing a `c_custkey %
+    * modulus = 0` subset — varying the per-nation group sizes the way
+    * the engine's path decision sees them. The oracle is PATH-BLIND
+    * (exact window always): every engine path must reproduce it.
+    */
+  def qGiniSqlAt(modulus: Long): String = s"""
+    WITH sp AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS nk, c.c_custkey AS ck,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey % $modulus = 0
+      GROUP BY 1, 2),
+    rk AS (
+      SELECT nk, ck, spend,
+        ROW_NUMBER() OVER (PARTITION BY nk ORDER BY spend, ck) AS r,
+        COUNT(*) OVER (PARTITION BY nk) AS n
+      FROM sp),
+    ag AS (
+      SELECT nk, MAX(n) AS n,
+        CAST(SUM(spend) AS DOUBLE) AS total,
+        CAST(SUM(r * spend) AS DOUBLE) AS rs,
+        CAST(SUM(CASE WHEN r > n - CAST(FLOOR(n / 5) AS BIGINT) THEN spend END) AS DOUBLE) AS top_spend,
+        CAST(FLOOR(n / 5) AS BIGINT) AS top_k
+      FROM rk GROUP BY nk, CAST(FLOOR(n / 5) AS BIGINT))
+    SELECT nk AS nationkey, n AS n_customers,
+      ROUND(total, 2) AS total_spend,
+      ROUND(2 * rs / (n * total) - (n + 1.0) / n, 6) AS gini,
+      top_k, ROUND(COALESCE(top_spend, 0) / total, 6) AS top20_share
+    FROM ag ORDER BY nationkey"""
 
   val qGiniSql: String = """
     WITH sp AS (

@@ -25,16 +25,16 @@ class FuzzSpec extends SparkSpec {
     assert(c.map(_.name) !== a.map(_.name))
   }
 
-  test("every family (incl. the three r16 additions) is reachable") {
-    // seed 1 × 60 draws covers all NumFamilies selector values (the
+  test("every family (incl. the r17 gini addition) is reachable") {
+    // seed 1 × 80 draws covers all NumFamilies selector values (the
     // java.util.Random stream is algorithm-specified, so this is a
     // fixed fact, not flake); if a family is ever added without a
     // selector arm — or an arm dies at construction — this fails
-    val fams = Fuzz.draws(spark, sfDir, seed = 1, n = 60)
+    val fams = Fuzz.draws(spark, sfDir, seed = 1, n = 80)
       .map(_.name.split("_")(1)).toSet
     assert(fams === Set("agg", "window", "topk", "jaccard", "bfs",
       "basket", "contain", "ktruss", "ewma", "temp", "readability",
-      "substr", "coreness", "anngraph"))
+      "substr", "coreness", "anngraph", "gini"))
   }
 
   test("agg draw equals an independent spark.sql formulation") {

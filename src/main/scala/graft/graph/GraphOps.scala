@@ -773,6 +773,12 @@ object GraphOps {
     * (coreness ≥ 1); driver twin under the edge threshold (spec pins
     * both paths identical on a planted clique+triangle+tail graph).
     */
+  /** Round count of the last DISTRIBUTED [[coreness]] peel on this
+    * driver (diagnostic for the scale probes — bucket-peel rounds
+    * should track the graph's degeneracy, not its vertex count).
+    */
+  @volatile private[graft] var lastCorenessRounds: Int = 0
+
   def coreness(edges: DataFrame,
       maxLocalEdges: Long = LocalEdgeThreshold): DataFrame = {
     val spark = edges.sparkSession
@@ -815,6 +821,7 @@ object GraphOps {
       peeled += isolated
         .select(col("x").as("vertex"), lit(k).as("coreness")).localCheckpoint()
     }
+    lastCorenessRounds = guard
     peeled.foldLeft(Seq.empty[(Long, Long)].toDF("vertex", "coreness"))(_ unionAll _)
   }
 

@@ -1017,14 +1017,19 @@ object Relational {
     * casts, so the doubles are bit-identical on both engines at
     * ROUND(6).
     *
-    * Scale shape: the pair generator is a SELF-EQUI-JOIN on the order
-    * key — per-order work is C(basket-brands, 2), bounded by basket
-    * size, never corpus-quadratic (the same bounded-blocks argument as
-    * the dedup candidate generators). The distinct collapses duplicate
-    * (order, brand) rows map-side first; brand marginals and the
-    * 1-row order count ride a broadcast. At 100 TB this is two
-    * shuffles of the basket stream (distinct, pair-count) and nothing
-    * else.
+    * Scale shape (r17): ONE shuffle of the basket stream. The
+    * (order, brand) rows group straight into per-order brand SETS
+    * (bounded: ≤ |brands| elements, so collect_set is never a skew
+    * hazard), and the ordered pairs explode map-side from each sorted
+    * set — per-order work is C(basket-brands, 2), bounded by basket
+    * size, never corpus-quadratic, with no self-join machinery at
+    * all. The former shape (distinct → self-equi-join on the order
+    * key) shuffled the basket stream three times (distinct by (o,b),
+    * then both join sides by o); the grouped frame is
+    * localCheckpoint'd so the pair explosion, the brand marginals
+    * (explode + count), and the 1-row order total all read the one
+    * shuffled pass. Marginals and the order count ride a broadcast
+    * into the final ≤ |brands|² row join.
     */
   val BasketMinSupport = 5L
 
@@ -1037,12 +1042,26 @@ object Relational {
     val ob = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("p_partkey") === col("l_partkey"))
-      .select(col("l_orderkey").as("o"), col("p_brand").as("b")).distinct()
-    val nb = ob.groupBy("b").agg(count(lit(1)).as("nb"))
-    val no = ob.agg(count_distinct(col("o")).as("n"))
-    val pr = ob.as("a").join(ob.as("c"),
-        col("a.o") === col("c.o") && col("a.b") < col("c.b"))
-      .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+    // One shuffle: per-order sorted brand set (collect_set dedups the
+    // (o, b) stream inside the aggregation — no separate distinct).
+    val baskets = ob.groupBy("o")
+      .agg(sort_array(collect_set(col("b"))).as("bs"))
+      .localCheckpoint()
+    val nb = baskets.select(explode(col("bs")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("nb"))
+    val no = baskets.agg(count(lit(1)).as("n"))
+    // Ordered pairs explode map-side from each sorted set: element i
+    // pairs with every later element, so b1 < b2 by construction and
+    // each co-purchased pair counts once per order. Two chained
+    // codegen'd generators (posexplode, then explode over a slice) —
+    // NOT a higher-order transform, which would drop the whole pair
+    // stream to interpreted evaluation.
+    val pr = baskets
+      .select(col("bs"), posexplode(col("bs")).as(Seq("i", "b1")))
+      .select(col("b1"),
+        explode(expr("slice(bs, i + 2, size(bs) - i - 1)")).as("b2"))
+      .groupBy("b1", "b2")
       .agg(count(lit(1)).as("n_both"))
       .where(col("n_both") >= minSupport)
     pr.join(nb.select(col("b").as("b1"), col("nb").as("n1")), "b1")

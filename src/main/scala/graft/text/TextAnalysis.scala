@@ -69,14 +69,32 @@ object TextAnalysis {
     * pipeline can score its surviving subset.
     */
   def qualityScored(docs: DataFrame): DataFrame = {
-    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    // Every counter is a codegen'd single pass — no split arrays, no
+    // higher-order lambda (a filter(split(...), t -> t IN ...) HOF
+    // drops the whole projection to interpreted eval; it was the
+    // dominant per-doc cost). Identities, exact by construction:
+    //  - ws_tokens: split-on-single-space token count = spaces + 1
+    //    (split with limit -1 keeps empty tokens, so runs of spaces
+    //    count the same both ways);
+    //  - stop_tokens: a token EQUALS a stopword iff the word occurs
+    //    delimited by string edge / single spaces — counted by an
+    //    anchored-alternation regex (zero-width lookarounds keep
+    //    adjacent stopword tokens from consuming each other's
+    //    delimiter);
+    //  - punct_marks: [^a-z0-9 ] count = chars remaining after
+    //    deleting the allowed alphabet (translate is a per-char map).
+    val stopAlt = Stopwords.mkString("|")
+    val allowed = "abcdefghijklmnopqrstuvwxyz0123456789 "
     docs
       .withColumn("char_len", length(col("text")).cast(LongType))
-      .withColumn("ws_tokens", size(split(col("text"), " ")).cast(LongType))
+      .withColumn("ws_tokens",
+        (col("char_len") - length(translate(col("text"), " ", "")) + 1L)
+          .cast(LongType))
       .withColumn("stop_tokens",
-        expr(s"size(filter(split(text, ' '), t -> t IN ($stopList)))").cast(LongType))
+        regexp_count(col("text"),
+          lit(s"(^|(?<= ))(?:$stopAlt)(?= |$$)")).cast(LongType))
       .withColumn("punct_marks",
-        regexp_count(col("text"), lit("[^a-z0-9 ]")).cast(LongType))
+        length(translate(col("text"), allowed, "")).cast(LongType))
       .select(col("doc_id"), col("char_len"), col("ws_tokens"),
         round(col("stop_tokens") / col("ws_tokens"), 6).as("stop_ratio"),
         round(col("punct_marks") / col("char_len"), 6).as("punct_ratio"),

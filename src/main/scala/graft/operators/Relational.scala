@@ -1043,26 +1043,49 @@ object Relational {
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("p_partkey") === col("l_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-    // One shuffle: per-order sorted brand set (collect_set dedups the
-    // (o, b) stream inside the aggregation — no separate distinct).
-    val baskets = ob.groupBy("o")
-      .agg(sort_array(collect_set(col("b"))).as("bs"))
+    // The brand alphabet is a bounded dimension (25 at every TPC-H
+    // scale), so a basket is a FIXED-WIDTH value: one bit per brand in
+    // a 64-bit mask. bit_or over longs runs in the codegen'd,
+    // gracefully-spilling HashAggregate with map-side partial combine
+    // — ONE shuffle of the basket stream and the only corpus-sized
+    // pass. (collect_set is ObjectHashAggregate, whose sort-based
+    // fallback re-sorts the full stream at real key counts — measured
+    // 24 → 67 s at sf10 — and a lag-dedup + self-join pays 3 stream
+    // exchanges.) Pair/marginal counts then read the DISTINCT-mask
+    // frame (collapses hard on replicated corpora) against broadcast
+    // bit tables: no corpus-sized join at all.
+    import spark.implicits._
+    // Bounded-dimension collect (the langid-allLangs pattern): brand
+    // count must fit the mask width or we'd need multi-word masks.
+    val brandArr = Tables.part(spark, dir).select(col("p_brand"))
+      .distinct().collect().map(_.getString(0)).sorted
+    require(brandArr.length <= 64,
+      s"q_basket bitmask path supports <= 64 brands, got ${brandArr.length}")
+    val bitMap = typedLit(brandArr.zipWithIndex.map {
+      case (b, i) => b -> (1L << i)
+    }.toMap)
+    val masks = ob
+      .withColumn("bit", element_at(bitMap, col("b")))
+      .groupBy("o").agg(expr("bit_or(bit)").as("mask"))
+    // distinct-mask histogram: the three readouts below consume it, so
+    // one checkpoint of a <= min(n_orders, 2^|brands|)-row frame
+    val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val nb = baskets.select(explode(col("bs")).as("b"))
-      .groupBy("b").agg(count(lit(1)).as("nb"))
-    val no = baskets.agg(count(lit(1)).as("n"))
-    // Ordered pairs explode map-side from each sorted set: element i
-    // pairs with every later element, so b1 < b2 by construction and
-    // each co-purchased pair counts once per order. Two chained
-    // codegen'd generators (posexplode, then explode over a slice) —
-    // NOT a higher-order transform, which would drop the whole pair
-    // stream to interpreted evaluation.
-    val pr = baskets
-      .select(col("bs"), posexplode(col("bs")).as(Seq("i", "b1")))
-      .select(col("b1"),
-        explode(expr("slice(bs, i + 2, size(bs) - i - 1)")).as("b2"))
-      .groupBy("b1", "b2")
-      .agg(count(lit(1)).as("n_both"))
+    val pairTab = broadcast(
+      (for {
+        i <- brandArr.indices; j <- brandArr.indices if i < j
+      } yield (brandArr(i), brandArr(j), (1L << i) | (1L << j)))
+        .toDF("b1", "b2", "bits"))
+    val brandTab = broadcast(
+      brandArr.zipWithIndex.map { case (b, i) => (b, 1L << i) }
+        .toSeq.toDF("b", "bit"))
+    val nb = mc.join(brandTab,
+        col("mask").bitwiseAND(col("bit")) === col("bit"))
+      .groupBy("b").agg(sum(col("cnt")).as("nb"))
+    val no = mc.agg(sum(col("cnt")).as("n"))
+    val pr = mc.join(pairTab,
+        col("mask").bitwiseAND(col("bits")) === col("bits"))
+      .groupBy("b1", "b2").agg(sum(col("cnt")).as("n_both"))
       .where(col("n_both") >= minSupport)
     pr.join(nb.select(col("b").as("b1"), col("nb").as("n1")), "b1")
       .join(nb.select(col("b").as("b2"), col("nb").as("n2")), "b2")

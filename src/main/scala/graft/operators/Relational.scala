@@ -1043,48 +1043,71 @@ object Relational {
       .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
         col("p_partkey") === col("l_partkey"))
       .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
-    // The brand alphabet is a bounded dimension (25 at every TPC-H
-    // scale), so a basket is a FIXED-WIDTH value: one bit per brand in
-    // a 64-bit mask. bit_or over longs runs in the codegen'd,
-    // gracefully-spilling HashAggregate with map-side partial combine
-    // — ONE shuffle of the basket stream and the only corpus-sized
-    // pass. (collect_set is ObjectHashAggregate, whose sort-based
-    // fallback re-sorts the full stream at real key counts — measured
-    // 24 → 67 s at sf10 — and a lag-dedup + self-join pays 3 stream
-    // exchanges.) Pair/marginal counts then read the DISTINCT-mask
-    // frame (collapses hard on replicated corpora) against broadcast
-    // bit tables: no corpus-sized join at all.
-    import spark.implicits._
-    // Bounded-dimension collect (the langid-allLangs pattern): brand
-    // count must fit the mask width or we'd need multi-word masks.
+    // Bounded-dimension collect (the langid-allLangs pattern) from the
+    // part DIMENSION, never the basket stream.
     val brandArr = Tables.part(spark, dir).select(col("p_brand"))
       .distinct().collect().map(_.getString(0)).sorted
-    require(brandArr.length <= 64,
-      s"q_basket bitmask path supports <= 64 brands, got ${brandArr.length}")
-    val bitMap = typedLit(brandArr.zipWithIndex.map {
-      case (b, i) => b -> (1L << i)
+    basketRulesFromPairs(spark, ob, brandArr, minSupport)
+  }
+
+  /** Core of [[basketRules]] over an `(o, b)` basket stream.
+    *
+    * The brand alphabet is a bounded dimension (25 at every TPC-H
+    * scale), so a basket is a FIXED-WIDTH value: one bit per brand
+    * across ceil(|brands|/64) 64-bit words — ONE word column on the
+    * shipped data model, and the same plan simply widens by a word
+    * per extra 64 brands instead of refusing (the former
+    * `require(<= 64)`). bit_or over long words runs in the codegen'd,
+    * gracefully-spilling HashAggregate with map-side partial combine
+    * — ONE shuffle of the basket stream and the only corpus-sized
+    * pass. (collect_set is ObjectHashAggregate, whose sort-based
+    * fallback re-sorts the full stream at real key counts — measured
+    * 24 → 67 s at sf10 — and a lag-dedup + self-join pays 3 stream
+    * exchanges.) Pair/marginal counts then read the DISTINCT-mask
+    * frame (collapses hard on replicated corpora) against broadcast
+    * bit tables — |brands| and C(|brands|, 2) rows, word-indexed —
+    * so there is no corpus-sized join at all at any alphabet width.
+    */
+  private[graft] def basketRulesFromPairs(spark: SparkSession, ob: DataFrame,
+      brandArr: Array[String], minSupport: Long): DataFrame = {
+    import spark.implicits._
+    val nWords = math.max(1, (brandArr.length + 63) / 64)
+    val wordMap = typedLit(brandArr.zipWithIndex.map {
+      case (b, i) => b -> (i / 64)
     }.toMap)
+    val bitMap = typedLit(brandArr.zipWithIndex.map {
+      case (b, i) => b -> (1L << (i % 64))
+    }.toMap)
+    val wordAggs = (0 until nWords).map(w =>
+      expr(s"bit_or(CASE WHEN w = $w THEN bit ELSE 0L END)").as(s"m$w"))
     val masks = ob
+      .withColumn("w", element_at(wordMap, col("b")))
       .withColumn("bit", element_at(bitMap, col("b")))
-      .groupBy("o").agg(expr("bit_or(bit)").as("mask"))
+      .groupBy("o").agg(wordAggs.head, wordAggs.tail: _*)
     // distinct-mask histogram: the three readouts below consume it, so
-    // one checkpoint of a <= min(n_orders, 2^|brands|)-row frame
-    val mc = masks.groupBy("mask").agg(count(lit(1)).as("cnt"))
+    // one checkpoint of a <= min(n_orders, 2^|brands|)-row frame;
+    // the words collapse into one array column for the bit probes
+    val maskCols = (0 until nWords).map(w => col(s"m$w"))
+    val mc = masks.groupBy(maskCols: _*).agg(count(lit(1)).as("cnt"))
+      .select(array(maskCols: _*).as("marr"), col("cnt"))
       .localCheckpoint()
+    // broadcast bit tables carry 1-based word indices for element_at
     val pairTab = broadcast(
       (for {
         i <- brandArr.indices; j <- brandArr.indices if i < j
-      } yield (brandArr(i), brandArr(j), (1L << i) | (1L << j)))
-        .toDF("b1", "b2", "bits"))
+      } yield (brandArr(i), brandArr(j),
+        i / 64 + 1, 1L << (i % 64), j / 64 + 1, 1L << (j % 64)))
+        .toDF("b1", "b2", "w1", "bit1", "w2", "bit2"))
     val brandTab = broadcast(
-      brandArr.zipWithIndex.map { case (b, i) => (b, 1L << i) }
-        .toSeq.toDF("b", "bit"))
-    val nb = mc.join(brandTab,
-        col("mask").bitwiseAND(col("bit")) === col("bit"))
+      brandArr.zipWithIndex.map { case (b, i) => (b, i / 64 + 1, 1L << (i % 64)) }
+        .toSeq.toDF("b", "w", "bit"))
+    def hasBit(w: Column, bit: Column): Column =
+      element_at(col("marr"), w).bitwiseAND(bit) === bit
+    val nb = mc.join(brandTab, hasBit(col("w"), col("bit")))
       .groupBy("b").agg(sum(col("cnt")).as("nb"))
     val no = mc.agg(sum(col("cnt")).as("n"))
     val pr = mc.join(pairTab,
-        col("mask").bitwiseAND(col("bits")) === col("bits"))
+        hasBit(col("w1"), col("bit1")) && hasBit(col("w2"), col("bit2")))
       .groupBy("b1", "b2").agg(sum(col("cnt")).as("n_both"))
       .where(col("n_both") >= minSupport)
     pr.join(nb.select(col("b").as("b1"), col("nb").as("n1")), "b1")

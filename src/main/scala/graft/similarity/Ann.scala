@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.{Op, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -1221,10 +1221,11 @@ object Ann {
     * lo' = round9(c·v[lo] + s·v[hi]), hi' = round9(c·v[hi] − s·v[lo]),
     * snapped to FLOAT — both engines quantize each layer identically,
     * so the replay is float-exact layer by layer. No shuffle, no UDF.
+    * `inverse` applies the transpose (x = c·a − s·b, y = s·a + c·b),
+    * the alternation's target pull-back, with the SAME per-step snap.
     */
-  private def opqRotateLayer(emb: DataFrame, stride: Int,
-      cs: Array[Double]): DataFrame = {
-    val dim = embeddingDim(emb)
+  private def rotateArrayCol(dim: Int, stride: Int, cs: Array[Double],
+      arr: Column, inverse: Boolean = false): Column = {
     val loIdx = (0 until dim).filter(lo => (lo / stride) % 2 == 0)
       .zipWithIndex.toMap
     val out = (0 until dim).map { d =>
@@ -1232,13 +1233,20 @@ object Ann {
       val lo = if (isLo) d else d - stride
       val p = loIdx(lo)
       val c = lit(cs(2 * p)); val s = lit(cs(2 * p + 1))
-      val vlo = col("embedding")(lo).cast(DoubleType)
-      val vhi = col("embedding")(lo + stride).cast(DoubleType)
-      val e = if (isLo) c * vlo + s * vhi else c * vhi - s * vlo
+      val vlo = arr(lo).cast(DoubleType)
+      val vhi = arr(lo + stride).cast(DoubleType)
+      val e =
+        if (inverse) { if (isLo) c * vlo - s * vhi else s * vlo + c * vhi }
+        else { if (isLo) c * vlo + s * vhi else c * vhi - s * vlo }
       round(e, 9).cast(FloatType)
     }
-    emb.withColumn("embedding", array(out: _*))
+    array(out: _*)
   }
+
+  private def opqRotateLayer(emb: DataFrame, stride: Int,
+      cs: Array[Double]): DataFrame =
+    emb.withColumn("embedding",
+      rotateArrayCol(embeddingDim(emb), stride, cs, col("embedding")))
 
   private[graft] def applyOpq(emb: DataFrame, t: OpqTransform): DataFrame = {
     var cur = emb
@@ -1265,7 +1273,134 @@ object Ann {
     (layers, cur)
   }
 
-  /** The five transform candidates, in tournament (tie-break) order. */
+  /** Alternation sweeps for tournament candidate 5 (Ge et al. 2013). */
+  private[graft] val OpqAltIters = 2
+
+  /** Fixed-codes rotation step of the Ge alternation, restricted to
+    * one butterfly layer's disjoint (lo, lo+stride) pairs: the Givens
+    * angle minimizing Σᵢ ‖G·xᵢ − tᵢ‖² over the pair has the CLOSED
+    * form (c, s) ∝ (α, β) with α = Σ t_lo·x_lo + t_hi·x_hi and
+    * β = Σ t_lo·x_hi − t_hi·x_lo — no SVD needed inside the butterfly
+    * family (maximizing Σ⟨t, G·x⟩ = c·α + s·β over the unit circle).
+    * Sums are round9 + DECIMAL(28,18) (order-free, engine-exact); the
+    * ratios cross the verified decimal→double bridge; the unit pair
+    * snaps to 9 dp like every other learned angle.
+    */
+  private def opqAltLayerAngles(xy: DataFrame, stride: Int, dim: Int): Array[Double] = {
+    val pairs = (0 until dim).filter(lo => (lo / stride) % 2 == 0)
+      .map(lo => (lo, lo + stride))
+    def x(d: Int) = col("x")(d).cast(DoubleType)
+    def t(d: Int) = col("t")(d).cast(DoubleType)
+    def d18(c: Column) = round(c, 9).cast("decimal(28,18)")
+    val aggs = pairs.flatMap { case (lo, hi) => Seq(
+      sum(d18(t(lo) * x(lo) + t(hi) * x(hi))).as(s"al_$lo"),
+      sum(d18(t(lo) * x(hi) - t(hi) * x(lo))).as(s"be_$lo")) }
+    val row = xy.agg(aggs.head, aggs.tail: _*).head()
+    val cs = new Array[Double](pairs.length * 2)
+    pairs.zipWithIndex.foreach { case ((lo, _), p) =>
+      def dec(pre: String): BigDecimal = {
+        val v = row.getAs[java.math.BigDecimal](s"${pre}_$lo")
+        if (v == null) BigDecimal(0) else BigDecimal(v)
+      }
+      val a = duckToDouble18(dec("al"))
+      val b = duckToDouble18(dec("be"))
+      val h = math.sqrt(a * a + b * b)
+      val (c0, s0) = if (h == 0.0) (1.0, 0.0) else (a / h, b / h)
+      cs(2 * p) = round9d(c0); cs(2 * p + 1) = round9d(s0)
+    }
+    cs
+  }
+
+  /** Decoded-PQ reconstruction of the current rep — the fixed-CODEBOOK
+    * half of the alternation: per subspace the nearest of the
+    * first-[[PqCentroids]] seed subvectors (the chain's deterministic
+    * seeding; sequential-index d², tie → lower id), re-concatenated,
+    * then inverse-permuted back to the pre-perm rotated space where
+    * the layers live. One broadcast-codebook pass, no shuffle.
+    */
+  private def opqAltTargets(rep: DataFrame, perm: Array[Int]): DataFrame = {
+    val spark = rep.sparkSession
+    import spark.implicits._
+    val dim = perm.length
+    val sub = dim / PqSubspaces
+    val seeds = rep.where(col("vec_id") < PqCentroids)
+      .select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    require(seeds.length == PqCentroids,
+      s"OPQ alternation needs vec_ids 0..${PqCentroids - 1}; found ${seeds.length}")
+    val cb: Array[Array[Array[Float]]] = Array.tabulate(PqSubspaces) { m =>
+      seeds.map { case (_, v) => Array.tabulate(sub)(i => v(m * sub + i)) }
+    }
+    val bcb = spark.sparkContext.broadcast(cb)
+    val bperm = spark.sparkContext.broadcast(perm)
+    rep.select(col("vec_id").cast(LongType), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val cbs = bcb.value; val pm = bperm.value
+        val yRep = new Array[Float](v.length)
+        var m = 0
+        while (m < PqSubspaces) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < PqCentroids) {
+            var d2 = 0.0; var i = 0
+            while (i < sub) {
+              val diff = v(m * sub + i).toDouble - cbs(m)(c)(i).toDouble
+              d2 += diff * diff; i += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < sub) { yRep(m * sub + i) = cbs(m)(best)(i); i += 1 }
+          m += 1
+        }
+        // rep[j] = rot[perm(j)] ⇒ the rotated-space target at dim
+        // perm(j) is the decoded rep value at position j
+        val yRot = new Array[Float](v.length)
+        var j = 0
+        while (j < v.length) { yRot(pm(j)) = yRep(j); j += 1 }
+        (id, yRot)
+      }.toDF("vec_id", "t")
+  }
+
+  /** Ge et al. 2013 PROPER alternation on top of the concentrate
+    * butterfly init: each sweep re-derives the codebook/codes from the
+    * current rep (seed subvectors → nearest-centroid decode), pulls
+    * the decoded target back through the inverses of the LATER layers,
+    * and relearns every layer's angles in application order against
+    * the fixed targets (closed-form per-pair Givens — the butterfly
+    * restriction of Ge's SVD step). Two sweeps; strides and the
+    * rep-space permutation stay those of the butterfly init, so the
+    * result drops into the same OpqTransform/blob/oracle machinery.
+    */
+  private def opqTrainAlternating(emb: DataFrame,
+      layers0: Seq[(Int, Array[Double])], perm: Array[Int])
+      : Seq[(Int, Array[Double])] = {
+    val dim = perm.length
+    var layers = layers0
+    for (_ <- 1 to OpqAltIters) {
+      val rep = applyOpq(emb, OpqTransform(layers, perm))
+      val targets = opqAltTargets(rep, perm)
+      val xy0 = emb.select(col("vec_id"), col("embedding"))
+        .join(targets, "vec_id").localCheckpoint()
+      val newLayers = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])]
+      var x: Column = col("embedding")
+      for (k <- layers.indices) {
+        var t: Column = col("t")
+        for (j <- (layers.length - 1) to (k + 1) by -1)
+          t = rotateArrayCol(dim, layers(j)._1, layers(j)._2, t, inverse = true)
+        val cs = opqAltLayerAngles(
+          xy0.select(x.as("x"), t.as("t")), layers(k)._1, dim)
+        newLayers += ((layers(k)._1, cs))
+        x = rotateArrayCol(dim, layers(k)._1, cs, x)
+      }
+      layers = newLayers.toSeq
+    }
+    layers
+  }
+
+  /** The seven transform candidates, in tournament (tie-break) order. */
   private[graft] def opqTransforms(emb: DataFrame): Seq[OpqTransform] = {
     val dim = embeddingDim(emb)
     require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
@@ -1273,13 +1408,18 @@ object Ann {
     val ranked = rankedDims(opqVarianceKey(emb))
     val (layersA, rotA) = opqTrainButterfly(emb, opqStridesConc(dim), balance = false)
     val rankedA = rankedDims(opqVarianceKey(rotA))
+    val permA = opqRrPerm(rankedA, dim)
     val (layersB, _) = opqTrainButterfly(emb, opqStridesBal(dim), balance = true)
+    val layersAltA = opqTrainAlternating(emb, layersA, permA)
+    val layersAltB = opqTrainAlternating(emb, layersB, idPerm)
     Seq(
       OpqTransform(Nil, idPerm),                      // 0: plain PQ
       OpqTransform(Nil, opqRrPerm(ranked, dim)),      // 1: balanced layout
       OpqTransform(Nil, opqCtPerm(ranked)),           // 2: contiguous by rank
-      OpqTransform(layersA, opqRrPerm(rankedA, dim)), // 3: concentrate + rr
-      OpqTransform(layersB, idPerm))                  // 4: balance
+      OpqTransform(layersA, permA),                   // 3: concentrate + rr
+      OpqTransform(layersB, idPerm),                  // 4: balance
+      OpqTransform(layersAltA, permA),                // 5: alternation on 3
+      OpqTransform(layersAltB, idPerm))               // 6: alternation on 4
   }
 
   /** Recall hits of the end-to-end PQ chain under transform `t`:
@@ -1537,8 +1677,11 @@ object Ann {
     * aggregates (exact, order-free, so rank order is exact with zero
     * FP), both butterfly branches layer by layer (pair moments →
     * closed-form Schur angles through the DuckDB-exact decimal→double
-    * bridge → rotated FLOAT-snapped rep), the five candidate frames,
-    * each candidate's full encode/ADC/rerank/top-k chain, exact
+    * bridge → rotated FLOAT-snapped rep), the two Ge-alternation
+    * sweeps on top of the concentrate branch (seed-codebook decode →
+    * inverse-perm + inverse-layer pull-back → closed-form per-pair
+    * Givens relearn, all replayed CTE by CTE), the six candidate
+    * frames, each candidate's full encode/ADC/rerank/top-k chain, exact
     * brute-force truth, the INTEGER recall tournament (argmax hits,
     * tie → lower candidate index), then the winner's top-k with
     * original-space scores.
@@ -1604,6 +1747,100 @@ object Ann {
     val layersB = balStr.zipWithIndex.map { case (st, i) =>
       layer(s"b${i + 1}", if (i == 0) "v" else s"w_b$i", st, balance = true)
     }.mkString
+    // ---- candidate 5: Ge alternation replay (OpqAltIters sweeps) ----
+    // inverse butterfly layer (target pull-back): x = c·a − s·b,
+    // y = s·a + c·b, same round9→FLOAT snap as the forward replay
+    def invLayer(outTag: String, src: String, angleTag: String): String = s"""
+    dri_$outTag AS (SELECT lo AS d, lo, hi, c, s, TRUE AS is_lo FROM an_$angleTag
+                UNION ALL SELECT hi, lo, hi, c, s, FALSE FROM an_$angleTag),
+    $outTag AS MATERIALIZED (SELECT w.vec_id,
+          list(CAST(CAST(ROUND(CASE WHEN dr.is_lo
+                 THEN dr.c*w.v[dr.lo+1] - dr.s*w.v[dr.hi+1]
+                 ELSE dr.s*w.v[dr.lo+1] + dr.c*w.v[dr.hi+1] END, 9)
+               AS FLOAT) AS DOUBLE) ORDER BY dr.d) AS v
+        FROM $src w CROSS JOIN dri_$outTag dr GROUP BY w.vec_id),"""
+    // fixed-codes Givens relearn: (c, s) ∝ (α, β) from round9 +
+    // DECIMAL(28,18) cross-moment sums crossing the decimal→double
+    // bridge — the closed form of the per-pair rotation update
+    def altAngles(tag: String, xsrc: String, tsrc: String, stride: Int): String = s"""
+    pr_$tag AS (SELECT lo, lo + $stride AS hi
+                FROM (SELECT unnest(generate_series(0, ${OracleDim - 1})) AS lo)
+                WHERE (lo // $stride) % 2 = 0),
+    mo_$tag AS (SELECT p.lo, p.hi,
+          SUM(CAST(ROUND(t.v[p.lo+1]*x.v[p.lo+1] + t.v[p.hi+1]*x.v[p.hi+1], 9)
+              AS DECIMAL(28,18))) AS al,
+          SUM(CAST(ROUND(t.v[p.lo+1]*x.v[p.hi+1] - t.v[p.hi+1]*x.v[p.lo+1], 9)
+              AS DECIMAL(28,18))) AS be
+        FROM $xsrc x JOIN $tsrc t ON t.vec_id = x.vec_id CROSS JOIN pr_$tag p
+        GROUP BY p.lo, p.hi),
+    an_$tag AS MATERIALIZED (SELECT lo, hi,
+          ROUND(CASE WHEN h = 0 THEN 1.0 ELSE a/h END, 9) AS c,
+          ROUND(CASE WHEN h = 0 THEN 0.0 ELSE b/h END, 9) AS s
+        FROM (SELECT lo, hi, a, b, sqrt(a*a + b*b) AS h
+              FROM (SELECT lo, hi, CAST(al AS DOUBLE) AS a,
+                           CAST(be AS DOUBLE) AS b FROM mo_$tag))),"""
+    def fwdLayer(outTag: String, src: String, angleTag: String): String = s"""
+    drf_$outTag AS (SELECT lo AS d, lo, hi, c, s, TRUE AS is_lo FROM an_$angleTag
+                UNION ALL SELECT hi, lo, hi, c, s, FALSE FROM an_$angleTag),
+    $outTag AS MATERIALIZED (SELECT w.vec_id,
+          list(CAST(CAST(ROUND(CASE WHEN dr.is_lo
+                 THEN dr.c*w.v[dr.lo+1] + dr.s*w.v[dr.hi+1]
+                 ELSE dr.c*w.v[dr.hi+1] - dr.s*w.v[dr.lo+1] END, 9)
+               AS FLOAT) AS DOUBLE) ORDER BY dr.d) AS v
+        FROM $src w CROSS JOIN drf_$outTag dr GROUP BY w.vec_id),"""
+    def permApply(outTag: String, src: String): String = s"""
+    $outTag AS MATERIALIZED (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
+                FROM $src w CROSS JOIN pm3 pm GROUP BY w.vec_id),"""
+    // decode the current rep's PQ reconstruction (seed codebooks,
+    // sequential-index d², tie → lower id) — the fixed-codebook half
+    // of the sweep; `usePerm` maps it back to the pre-perm rotated
+    // space (the identity-perm balance branch skips the mapping)
+    def decode(q: String, repSrc: String, usePerm: Boolean): String = s"""
+    cb_$q AS MATERIALIZED (SELECT ms.m, w.vec_id AS c,
+                list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+              FROM $repSrc w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),
+    en_${q}0 AS (SELECT w.vec_id, cb.m, cb.c,
+          list_sum(list_transform(generate_series(1, $sub),
+            i -> (w.v[cb.m * $sub + i] - cb.cv[i])
+               * (w.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
+        FROM $repSrc w CROSS JOIN cb_$q cb),
+    en_$q AS MATERIALIZED (SELECT vec_id, m, c FROM (
+          SELECT vec_id, m, c,
+            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+          FROM en_${q}0) WHERE rn = 1),
+    yrep_$q AS MATERIALIZED (SELECT e.vec_id, flatten(list(cb.cv ORDER BY e.m)) AS v
+          FROM en_$q e JOIN cb_$q cb ON cb.m = e.m AND cb.c = e.c
+          GROUP BY e.vec_id),""" +
+      (if (usePerm) s"""
+    yrot_$q AS MATERIALIZED (SELECT y.vec_id, list(y.v[pm.p] ORDER BY pm.d) AS v
+          FROM yrep_$q y CROSS JOIN pm3 pm GROUP BY y.vec_id),"""
+      else s"""
+    yrot_$q AS (SELECT vec_id, v FROM yrep_$q),""")
+    // one sweep: decode targets off `repSrc`, pull back through the
+    // later OLD layers (`olds` = current angle tags of layers 2, 3),
+    // relearn the three layers forward; new angle/rep CTEs carry the
+    // `lp` layer-tag prefix
+    def sweep(lp: String, q: String, repSrc: String, olds: (String, String),
+        strides: Seq[Int], usePerm: Boolean): String = {
+      val Seq(s1, s2, s3) = strides
+      decode(q, repSrc, usePerm) +
+        invLayer(s"yb_${lp}2", s"yrot_$q", olds._2) +
+        invLayer(s"yb_${lp}1", s"yb_${lp}2", olds._1) +
+        altAngles(s"${lp}1", "v", s"yb_${lp}1", s1) +
+        fwdLayer(s"w_${lp}1", "v", s"${lp}1") +
+        altAngles(s"${lp}2", s"w_${lp}1", s"yb_${lp}2", s2) +
+        fwdLayer(s"w_${lp}2", s"w_${lp}1", s"${lp}2") +
+        altAngles(s"${lp}3", s"w_${lp}2", s"yrot_$q", s3) +
+        fwdLayer(s"w_${lp}3", s"w_${lp}2", s"${lp}3")
+    }
+    val altCtes =
+      sweep("t1", "qa1", "vp3", ("a2", "a3"), concStr, usePerm = true) +
+        permApply("vq1", "w_t13") +
+        sweep("t2", "qa2", "vq1", ("t12", "t13"), concStr, usePerm = true) +
+        permApply("vq2", "w_t23") +
+        sweep("u1", "qb1", s"w_b${balStr.length}", ("b2", "b3"), balStr,
+          usePerm = false) +
+        sweep("u2", "qb2", "w_u13", ("u12", "u13"), balStr, usePerm = false)
     s"""
     WITH $oracleVCte,
     dims AS (SELECT unnest(generate_series(1, $OracleDim)) AS i),
@@ -1614,22 +1851,25 @@ object Ann {
     pm1 AS (SELECT d, (r % $PqSubspaces) * $sub + r // $PqSubspaces + 1 AS p FROM rk_o),
     pm2 AS (SELECT d, r + 1 AS p FROM rk_o),
     pm3 AS (SELECT d, (r % $PqSubspaces) * $sub + r // $PqSubspaces + 1 AS p FROM rk_a),
+    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
     vp1 AS (SELECT v.vec_id, list(v.v[pm.d] ORDER BY pm.p) AS v
             FROM v CROSS JOIN pm1 pm GROUP BY v.vec_id),
     vp2 AS (SELECT v.vec_id, list(v.v[pm.d] ORDER BY pm.p) AS v
             FROM v CROSS JOIN pm2 pm GROUP BY v.vec_id),
-    vp3 AS (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
+    vp3 AS MATERIALIZED (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
             FROM w_a${concStr.length} w CROSS JOIN pm3 pm GROUP BY w.vec_id),
+    $altCtes
     vpall AS MATERIALIZED (
       SELECT 0 AS cidx, vec_id, v FROM v
       UNION ALL SELECT 1, vec_id, v FROM vp1
       UNION ALL SELECT 2, vec_id, v FROM vp2
       UNION ALL SELECT 3, vec_id, v FROM vp3
-      UNION ALL SELECT 4, vec_id, v FROM w_b${balStr.length}),
+      UNION ALL SELECT 4, vec_id, v FROM w_b${balStr.length}
+      UNION ALL SELECT 5, vec_id, v FROM vq2
+      UNION ALL SELECT 6, vec_id, v FROM w_u23),
     nall AS (SELECT cidx, vec_id, v,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
              FROM vpall),
-    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
     cball AS MATERIALIZED (SELECT w.cidx, w.vec_id AS c, ms.m,
                list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
              FROM nall w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),
@@ -1686,7 +1926,7 @@ object Ann {
             FROM q0 q JOIN n0 n ON n.vec_id != q.qid)
           WHERE rank <= $K),
     hits AS (SELECT c.cidx, COUNT(tr.qid) AS h
-           FROM (SELECT unnest(generate_series(0, 4)) AS cidx) c
+           FROM (SELECT unnest(generate_series(0, 6)) AS cidx) c
            LEFT JOIN topall t ON t.cidx = c.cidx
            LEFT JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
            GROUP BY c.cidx),

@@ -188,6 +188,52 @@ class AnnSpec extends SparkSpec {
       s"planted skew: OPQ recall $rOpqP must be >= PQ's $rPqP")
   }
 
+  test("opqTopK: Ge alternation sweeps lower PQ distortion below both butterfly inits") {
+    // Σ‖rep − decode(rep)‖² under the chain's seed codebooks — the
+    // alternation's own training objective. Candidates 5/6 alternate
+    // codebook-decode ↔ closed-form per-pair Givens relearn on top of
+    // candidates 3/4; each must end at-or-below its init's distortion
+    // (the sweeps can only be accepted as "Ge alternation proper" if
+    // they measurably minimize what Ge's alternation minimizes). The
+    // recall TOURNAMENT still gates the served transform, so a
+    // lower-distortion candidate that loses on recall@10 — the
+    // seeded-16-centroid regime measurably decouples the two — can
+    // never regress the op.
+    def distortion(rep: org.apache.spark.sql.DataFrame): Double = {
+      val spk = spark
+      import spk.implicits._
+      val seeds = rep.where(col("vec_id") < Ann.PqCentroids)
+        .select(col("vec_id").cast("long"), col("embedding"))
+        .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
+      val dim = seeds.head.length
+      val sub = dim / Ann.PqSubspaces
+      rep.select(col("embedding")).as[Array[Float]].collect().map { v =>
+        (0 until Ann.PqSubspaces).map { m =>
+          (0 until Ann.PqCentroids).map { c =>
+            (0 until sub).map { i =>
+              val d = v(m * sub + i).toDouble - seeds(c)(m * sub + i).toDouble
+              d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val ts = Ann.opqTransforms(emb)
+    assert(ts.length === 7)
+    val d = ts.map(t => distortion(Ann.applyOpq(emb, t)))
+    info(f"distortion (id, rr, ct, conc, bal, altA, altB): ${d.map(x => f"$x%.2f").mkString(", ")}")
+    assert(d(5) <= d(3),
+      f"alternation on conc must not raise distortion: ${d(5)}%.2f vs ${d(3)}%.2f")
+    assert(d(6) <= d(4),
+      f"alternation on bal must not raise distortion: ${d(6)}%.2f vs ${d(4)}%.2f")
+    // and the alternation layers stay genuine rotations: each learned
+    // (c, s) is a unit pair at the 9-dp snap
+    ts(5).layers.foreach { case (_, cs) =>
+      cs.grouped(2).foreach { p =>
+        assert(math.abs(p(0) * p(0) + p(1) * p(1) - 1.0) < 1e-6) }
+    }
+  }
+
   test("opqTopK: learned balance rotation beats EVERY permutation on a dominant-dim corpus") {
     // one dim carries 100x the variance of the rest. A permutation can
     // MOVE that dim but its subspace's 16 codes still quantize it

@@ -672,6 +672,11 @@ class GraphSpec extends SparkSpec {
     val dist = GraphOps.coreness(edges, maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist === expect)
+    // the retained bucket-peel is the independent algorithmic
+    // cross-check for the h-index fixpoint
+    val peel = GraphOps.corenessPeel(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(peel === expect)
     // star graph: the hub (degree 5 > k=1) loses ALL its edges when the
     // leaves peel — the prune-isolation case the bucket-peel used to
     // silently drop. Every vertex has coreness 1, hub included.
@@ -697,9 +702,15 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === wantG2)
     assert(GraphOps.coreness(g2, maxLocalEdges = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === wantG2)
-    // gate graph: coreness is consistent with the k-core memberships
+    // gate graph: h-index fixpoint ≡ bucket-peel ≡ the served local
+    // twin, and coreness is consistent with the k-core memberships
     val cg = graph.GraphQueries.graphCoreness(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nEdges = DerivedGraphs.nationEdges(spark, sfDir)
+    assert(GraphOps.coreness(nEdges, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === cg)
+    assert(GraphOps.corenessPeel(nEdges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === cg)
     val k3 = GraphOps.kCore(DerivedGraphs.nationEdges(spark, sfDir), 3)
       .collect().map(_.getLong(0)).toSet
     assert(cg.nonEmpty)

@@ -321,6 +321,49 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_basket: multi-word mask path on a planted 150-brand alphabet") {
+    val spk = spark
+    import spk.implicits._
+    // 150 brands spanning three 64-bit words; baskets drawn by a
+    // deterministic hash so word-0/word-1/word-2 bits co-occur —
+    // pairs crossing word boundaries are exactly what the widened
+    // path must count correctly
+    val brands = (0 until 150).map(i => f"BR#$i%03d").toArray
+    // 30 repeating basket patterns {h, h+1, h+50, h+100}: each pattern
+    // recurs ~13 times over 400 orders, so its pairs clear the support
+    // floor, and the h/h+100 pairs always span words 0 and 2
+    val obPairs = for {
+      o <- 0 until 400
+      i <- Seq(o % 30, o % 30 + 1, o % 30 + 50, o % 30 + 100)
+    } yield (o.toLong, brands(i))
+    val ob = obPairs.distinct.toDF("o", "b")
+    val out = operators.Relational
+      .basketRulesFromPairs(spark, ob, brands.sorted, minSupport = 5L)
+      .collect()
+    assert(out.nonEmpty)
+    val baskets = obPairs.distinct.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    val n = baskets.size.toDouble
+    val brandN = baskets.flatten.groupBy(identity).map { case (b, xs) => b -> xs.size }
+    // exhaustive expected pair counts (150 brands → bounded local work)
+    val expectPairs = baskets.toSeq.flatMap(s =>
+      s.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .filter(_._2 >= 5L)
+    assert(out.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      === expectPairs)
+    // at least one surviving pair must CROSS a 64-bit word boundary
+    val idx = brands.sorted.zipWithIndex.toMap
+    assert(out.exists(r => idx(r.getString(0)) / 64 != idx(r.getString(1)) / 64),
+      "planted corpus produced no cross-word pair — widen the draw")
+    out.foreach { r =>
+      val (b1, b2, both) = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(math.abs(r.getDouble(3) - both / n) < 1e-5)
+      assert(math.abs(r.getDouble(4) - both.toDouble / brandN(b1)) < 1e-5)
+      assert(math.abs(r.getDouble(5) -
+        both * n / (brandN(b1).toDouble * brandN(b2))) < 1e-4)
+    }
+  }
+
   test("q_gini: matches a locally recomputed rank-formula Gini and quintile share") {
     val out = operators.Relational.qGini(spark, sfDir).collect()
     assert(out.nonEmpty)

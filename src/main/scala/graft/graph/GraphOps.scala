@@ -44,6 +44,38 @@ object GraphOps {
     if (b != null) b += ev
   }
 
+  /** Inline checkpoint hygiene for LINEAR iterative loops (each round
+    * derives only from the previous round's checkpoints): localCheckpoint
+    * through [[ckpt]], call [[endRound]] once per round, and the
+    * PREVIOUS round's checkpoint blocks are unpersisted as soon as the
+    * current round has materialized — peak checkpoint storage drops
+    * from O(rounds · |E|) to O(|E|), and the superseded 59M-row sets
+    * stop queueing on the ASYNC ContextCleaner (whose reclamation wave
+    * was measured landing on whatever ops run next — the r18
+    * dfs-family attribution, PROBES_r18.json). Only safe where no
+    * frame from two rounds back is ever read again: connected
+    * components' star rounds, the h-index estimate chain, rank
+    * iterations — NOT the peel loops that union their per-round
+    * emissions at the end. New persistent RDD ids are discovered by
+    * diffing getPersistentRDDs around the eager checkpoint; the loops
+    * are single-threaded per op, so the diff is exactly the
+    * checkpoint's blocks.
+    */
+  private final class RoundCheckpoints(sc: org.apache.spark.SparkContext) {
+    private var prev: Set[Int] = Set.empty
+    private var cur: Set[Int] = Set.empty
+    def ckpt(df: DataFrame): DataFrame = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      cur = cur ++ (sc.getPersistentRDDs.keySet diff before)
+      out
+    }
+    def endRound(): Unit = {
+      prev.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prev = cur; cur = Set.empty
+    }
+  }
+
   /** Edge count below which iterative traversals run on the driver —
     * the same adaptive call AQE makes when it converts a shuffle join
     * to a local broadcast: 4M edge pairs ≈ 64 MB, matching the
@@ -398,6 +430,10 @@ object GraphOps {
       (r.getLong(0), r.getLong(1))
     }
     var sig = checksum(e)
+    // inline hygiene: the star rounds are LINEAR (round N reads only
+    // round N-1's frames), so the previous round's three checkpoints
+    // free as soon as this round's materialize
+    val hy = new RoundCheckpoints(spark.sparkContext)
     while (!converged && rounds < 64) {
       rounds += 1
       // Each star half consumes its bidirected edge frame TWICE on the
@@ -409,9 +445,9 @@ object GraphOps {
       // rounds' network cost one edge exchange per half, the geometry
       // that survives a web-scale edge set.
       // large-star: every neighbor larger than u links to u's min
-      val bi = e.select(col("u").as("s"), col("v").as("d"))
+      val bi = hy.ckpt(e.select(col("u").as("s"), col("v").as("d"))
         .unionAll(e.select(col("v").as("s"), col("u").as("d")))
-        .repartition(col("s")).localCheckpoint()
+        .repartition(col("s")))
       val mins = bi.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
       // filter before the join (mins still sees every neighbor); keep
@@ -423,21 +459,22 @@ object GraphOps {
       // small-star: every neighbor ≤ s (and s itself) links to the min
       val bi2 = ls.select(col("u").as("s"), col("v").as("d"))
         .unionAll(ls.select(col("v").as("s"), col("u").as("d")))
-      val low = bi2.where(col("d") <= col("s"))
-        .repartition(col("s")).localCheckpoint()
+      val low = hy.ckpt(bi2.where(col("d") <= col("s"))
+        .repartition(col("s")))
       val mins2 = low.groupBy("s").agg(min("d").as("mn"))
         .select(col("s"), least(col("s"), col("mn")).as("m"))
-      val ss = low.join(mins2, "s").select(col("d").as("x"), col("m"))
+      val ss = hy.ckpt(low.join(mins2, "s").select(col("d").as("x"), col("m"))
         .unionAll(mins2.select(col("s").as("x"), col("m")))
         .where(col("x") =!= col("m"))
         .select(col("m").as("u"), col("x").as("v"))
-        .distinct().localCheckpoint()
+        .distinct())
       val nsig = checksum(ss)
       if (sys.env.contains("GRAFT_GRAPH_TRACE"))
         System.err.println(s"GRAFT_CC round=$rounds edges=${nsig._1}")
       converged = nsig == sig
       sig = nsig
       e = ss
+      hy.endRound()
       // adaptive drop-to-local: every star round preserves the
       // component partition (Kiveris et al. §3), so once the
       // SHRINKING edge set fits the driver threshold, a union-find
@@ -747,16 +784,19 @@ object GraphOps {
     if (n <= maxLocalEdges) return localKCore(edges.sparkSession, e, k)
     var prev = -1L
     var rounds = 0
+    // linear prune chain: round N reads only round N-1's edge frame,
+    // so superseded edge checkpoints free inline (RoundCheckpoints)
+    val hy = new RoundCheckpoints(edges.sparkSession.sparkContext)
     while (n != prev && n > 0 && rounds < maxRounds) {
       rounds += 1
       prev = n
       val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
         .groupBy("x").agg(count(lit(1)).as("d"))
       val keep = deg.where(col("d") >= k).select("x")
-      e = e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+      e = hy.ckpt(e.join(keep.select(col("x").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("x").as("v")), Seq("v"), "left_semi"))
       n = e.count()
+      hy.endRound()
     }
     e.select(col("u").as("vertex")).unionAll(e.select(col("v").as("vertex")))
       .groupBy("vertex").agg(count(lit(1)).as("core_deg"))
@@ -836,6 +876,9 @@ object GraphOps {
     var dirty = est.select("v")
     var nDirty = est.count()
     var rounds = 0
+    // linear chain: round N reads only round N-1's merged frame, so
+    // the superseded estimate checkpoints free inline (RoundCheckpoints)
+    val hy = new RoundCheckpoints(e.sparkSession.sparkContext)
     while (nDirty > 0) {
       rounds += 1
       require(rounds <= (1 << 20), "coreness: h-index round guard tripped")
@@ -853,14 +896,14 @@ object GraphOps {
         .groupBy("v").agg(max(least(col("ew"), col("rn"))).as("h"))
       // monotone clamp (the operator is provably non-increasing from
       // est_0 = degree; the clamp also makes termination unconditional)
-      val merged = est.join(newEst, Seq("v"), "left")
+      val merged = hy.ckpt(est.join(newEst, Seq("v"), "left")
         .select(col("v"),
           least(coalesce(col("h"), col("est")), col("est")).as("est2"),
-          (coalesce(col("h"), col("est")) < col("est")).as("chg"))
-        .localCheckpoint()
+          (coalesce(col("h"), col("est")) < col("est")).as("chg")))
       dirty = merged.where(col("chg")).select("v")
       nDirty = dirty.count()
       est = merged.select(col("v"), col("est2").as("est"))
+      hy.endRound()
     }
     lastCorenessRounds = rounds
     adjV.unpersist(); adjW.unpersist()

@@ -86,11 +86,23 @@ object Bench {
 
     def runSuite(): Seq[(String, Double)] = runOps(queries)
 
-    val runs: Seq[Seq[(String, Double)]] = (1 to repeats).map { i =>
+    // Scaled-rung protocol (r19, verdict #3): SPARK_GRAFT_DROP_FIRST=1
+    // runs one EXTRA suite first and excludes it from every statistic
+    // (it still appears in run_totals, first, for the record). At the
+    // x30/x100 rungs the first run is reliably cache-cold and
+    // contention-prone (r17 sf1/sf3 and r18 sf10 both committed
+    // medians-of-3 where one contended first run moved the headline);
+    // dropping it keeps median-of-N inside the steady-state band
+    // without paying 5 full repeats at 600 s per run.
+    val dropFirst = sys.env.get("SPARK_GRAFT_DROP_FIRST").exists(_ == "1")
+    val totalRuns = repeats + (if (dropFirst) 1 else 0)
+    val allRuns: Seq[Seq[(String, Double)]] = (1 to totalRuns).map { i =>
       val r = runSuite()
-      System.err.println(s"BENCH run $i/$repeats: total ${f2(r.map(_._2).sum)} s")
+      val tag = if (dropFirst && i == 1) " (warmup, dropped)" else ""
+      System.err.println(s"BENCH run $i/$totalRuns: total ${f2(r.map(_._2).sum)} s$tag")
       r
     }
+    val runs = if (dropFirst) allRuns.tail else allRuns
     val byName: Map[String, Seq[Double]] =
       runs.flatten.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val med = queries.map { case (name, _) => name -> median(byName(name)) }
@@ -140,18 +152,24 @@ object Bench {
       (if (coldFailed.isEmpty) "" else s", FAILED: ${coldFailed.mkString(",")}"))
     val deriveFailed = scala.collection.mutable.LinkedHashSet.empty[String]
     Materialized.setDiskLayer(false)
+    // per-ARTIFACT derive budget (verdict r18 #7): the catalog logs
+    // each entry's build seconds during this pass, so a training-cost
+    // regression is attributable to its key (e.g. "ann:opq-model") in
+    // the committed artifact, not hidden inside cold_derive_total
+    Materialized.resetDeriveLog()
     val coldDerive =
       try runOps(catalogOps,
         beforeEach = () => { Materialized.evict(spark); System.gc() },
         sink = deriveFailed)
       finally Materialized.setDiskLayer(true)
+    val deriveByKey = Materialized.deriveSeconds.toSeq.sortBy { case (_, s) => -s }
     val coldDeriveTotal = coldDerive.map(_._2).sum
     System.err.println(s"BENCH cold-derive pass: total ${f2(coldDeriveTotal)} s" +
       (if (deriveFailed.isEmpty) "" else s", FAILED: ${deriveFailed.mkString(",")}"))
 
     def qmap(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
-    val runTotals = runs.map(r => f2(r.map(_._2).sum)).mkString("[", ",", "]")
+    val runTotals = allRuns.map(r => f2(r.map(_._2).sum)).mkString("[", ",", "]")
     val fs =
       (if (failed.isEmpty) ""
        else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")) +
@@ -160,7 +178,7 @@ object Bench {
       (if (deriveFailed.isEmpty) ""
        else deriveFailed.map("\"" + _ + "\"").mkString(""","failed_cold_derive":[""", ",", "]"))
     val full =
-      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)},"queries_cold_catalog":${qmap(cold)},"queries_cold_derive":${qmap(coldDerive)}$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)},"queries_cold_catalog":${qmap(cold)},"queries_cold_derive":${qmap(coldDerive)},"derive_by_key":${qmap(deriveByKey)}$fs,"sf":"$sfDir"}"""
     // Full detail goes ONLY to the file: printing it to stdout risks a
     // truncated half-JSON line in the bounded tail capture.
     try {

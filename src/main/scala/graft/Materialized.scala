@@ -94,9 +94,28 @@ object Materialized {
         }
       })
     }
+    val t0 = System.nanoTime()
     val built = build
+    deriveLog.merge(name, (System.nanoTime() - t0) / 1e9,
+      (a: java.lang.Double, b: java.lang.Double) => java.lang.Double.valueOf(a + b))
     val prior = catalog.putIfAbsent(key, built)
     if (prior != null) prior.asInstanceOf[A] else built
+  }
+
+  /** Per-entry derive-seconds log (r19, verdict #7): every catalog
+    * build records its wall against its entry name, summed across
+    * re-derives, so a training-cost regression (r18's ann_opq
+    * tripling) is visible per ARTIFACT in the committed bench JSON,
+    * not just as an opaque cold-derive total. With the disk layer
+    * disabled (the bench's cold_derive pass) this is pure derivation
+    * cost; disk-warm it includes read-back.
+    */
+  private val deriveLog =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private[graft] def resetDeriveLog(): Unit = deriveLog.clear()
+  private[graft] def deriveSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    deriveLog.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
   }
 
   // ---------------------------------------------------------------------

@@ -67,13 +67,47 @@ object GraphOps {
     def ckpt(df: DataFrame): DataFrame = {
       val before = sc.getPersistentRDDs.keySet
       val out = df.localCheckpoint()
-      cur = cur ++ (sc.getPersistentRDDs.keySet diff before)
+      // r19: capture the checkpoint's OWN RDD id from the returned
+      // plan's LogicalRDD leaf — exact under concurrency (a foreign
+      // persist landing in the window can no longer be captured and
+      // later fatally unpersisted; localCheckpoint lineage is
+      // non-recomputable). The keyset diff stays only as the fallback
+      // if the leaf shape ever changes, and the spec pins the primary
+      // path so a silent fallback cannot go unnoticed.
+      cur = cur ++ (RoundCheckpoints.ownRddId(out) match {
+        case Some(id) => Set(id)
+        case None     => sc.getPersistentRDDs.keySet diff before
+      })
       out
     }
     def endRound(): Unit = {
       prev.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prev = cur; cur = Set.empty
     }
+  }
+
+  /** Spec tap for [[RoundCheckpoints.ownRddId]] — pins the exact-id
+    * capture path (the concurrency guard) against Spark shape drift.
+    */
+  private[graft] def ownCheckpointRddId(df: DataFrame): Option[Int] =
+    RoundCheckpoints.ownRddId(df)
+
+  private object RoundCheckpoints {
+    /** The persisted RDD id behind a just-localCheckpoint'd frame: its
+      * analyzed plan is a single LogicalRDD leaf whose `rdd` IS the
+      * checkpointed (persisted) RDD. Reflection keeps us off the
+      * private[sql] type; any shape drift returns None.
+      */
+    private[graft] def ownRddId(out: DataFrame): Option[Int] =
+      out.queryExecution.analyzed.collectLeaves() match {
+        case scala.collection.Seq(leaf) =>
+          try {
+            val m = leaf.getClass.getMethod("rdd")
+            m.setAccessible(true)
+            Some(m.invoke(leaf).asInstanceOf[org.apache.spark.rdd.RDD[_]].id)
+          } catch { case _: ReflectiveOperationException => None }
+        case _ => None
+      }
   }
 
   /** Edge count below which iterative traversals run on the driver —
@@ -849,13 +883,25 @@ object GraphOps {
     * checkpointed `(u, v)` frame. Estimates start at the degree; each
     * round recomputes ONLY vertices adjacent to a vertex whose
     * estimate changed last round (round 1: everyone), takes the
-    * h-index of the neighbors' current estimates via a per-vertex
-    * descending row_number window (h = max over sorted neighbors of
-    * min(est_i, i)), and clamps monotonically. Terminates when no
-    * estimate moves. The two adjacency orientations are each persisted
-    * pre-partitioned (by recompute key and by neighbor key) so every
-    * per-round join is exchange-free on the 2m-row side; everything
-    * shuffled per round is proportional to the dirty frontier.
+    * h-index of the neighbors' current estimates, and clamps
+    * monotonically. Terminates when no estimate moves. The two
+    * adjacency orientations are each persisted pre-partitioned (by
+    * recompute key and by neighbor key) so every per-round join is
+    * exchange-free on the 2m-row side; everything shuffled per round
+    * is proportional to the dirty frontier.
+    *
+    * r19: the h-index is computed from the COUNT HISTOGRAM, not a
+    * per-vertex sort — h = max over distinct clipped estimate values c
+    * of min(c, |neighbors with est ≥ c|). One map-side-combined hash
+    * aggregation collapses the gathered rows to (v, est, count), the
+    * values clip at the vertex's own estimate (the monotone clamp
+    * bound, so a hub's whole high tail merges into one bucket), and
+    * the cumulative count runs over the per-vertex DISTINCT-value
+    * histogram. r18's row_number window sorted every gathered neighbor
+    * row per key — on a 10M-degree hub that per-key sort is a
+    * straggler; the histogram form is skew-immune and provably
+    * output-identical (clipping at est(v) commutes with the final
+    * least(h, est) clamp).
     */
   private[graft] def corenessHIndex(e: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -871,14 +917,15 @@ object GraphOps {
       .repartition(col("v")).persist(StorageLevel.DISK_ONLY)
     val adjW = adjV.repartition(col("w"))
       .persist(StorageLevel.DISK_ONLY)
+    // linear chain: round N reads only round N-1's merged frame, so
+    // the superseded estimate checkpoints free inline (RoundCheckpoints)
+    // — est_0 included (it feeds only round 1's merge)
+    val hy = new RoundCheckpoints(e.sparkSession.sparkContext)
     // est_0 = degree — exchange-free on the pre-partitioned adjacency
-    var est = adjV.groupBy("v").agg(count(lit(1)).as("est")).localCheckpoint()
+    var est = hy.ckpt(adjV.groupBy("v").agg(count(lit(1)).as("est")))
     var dirty = est.select("v")
     var nDirty = est.count()
     var rounds = 0
-    // linear chain: round N reads only round N-1's merged frame, so
-    // the superseded estimate checkpoints free inline (RoundCheckpoints)
-    val hy = new RoundCheckpoints(e.sparkSession.sparkContext)
     while (nDirty > 0) {
       rounds += 1
       require(rounds <= (1 << 20), "coreness: h-index round guard tripped")
@@ -888,12 +935,23 @@ object GraphOps {
         if (rounds == 1) dirty
         else adjW.join(dirty.select(col("v").as("w")), Seq("w"), "left_semi")
           .select("v").distinct()
-      val nb = adjV.join(recompute, Seq("v"), "left_semi")
+      // neighbor-estimate histogram: one map-side-combined hash agg
+      // (no per-key sort anywhere), then clip each value at the
+      // vertex's own estimate — h can never exceed it (the clamp
+      // below), so a hub's whole high tail merges into one bucket
+      val hist = adjV.join(recompute, Seq("v"), "left_semi")
         .join(est.select(col("v").as("w"), col("est").as("ew")), Seq("w"))
-        .select(col("v"), col("ew"))
-      val win = Window.partitionBy("v").orderBy(col("ew").desc)
-      val newEst = nb.withColumn("rn", row_number().over(win))
-        .groupBy("v").agg(max(least(col("ew"), col("rn"))).as("h"))
+        .groupBy(col("v"), col("ew")).agg(count(lit(1)).as("cnt"))
+        .join(est.select(col("v"), col("est").as("cap")), Seq("v"))
+        .select(col("v"), least(col("ew"), col("cap")).as("cw"), col("cnt"))
+        .groupBy(col("v"), col("cw")).agg(sum(col("cnt")).as("cnt"))
+      // h = max over distinct clipped values c of min(c, |est ≥ c|) —
+      // the h-index from cumulative counts; the window orders the
+      // per-vertex DISTINCT-value histogram, not raw neighbor rows
+      val win = Window.partitionBy("v").orderBy(col("cw").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val newEst = hist.withColumn("cum", sum(col("cnt")).over(win))
+        .groupBy("v").agg(max(least(col("cw"), col("cum"))).as("h"))
       // monotone clamp (the operator is provably non-increasing from
       // est_0 = degree; the clamp also makes termination unconditional)
       val merged = hy.ckpt(est.join(newEst, Seq("v"), "left")
@@ -906,8 +964,13 @@ object GraphOps {
       hy.endRound()
     }
     lastCorenessRounds = rounds
+    // re-materialize the caller-facing result, then free the final
+    // round's merged checkpoint too — nothing of the loop's 2x|V|-row
+    // block sets outlives the function except the result itself
+    val out = hy.ckpt(est.select(col("v").as("vertex"), col("est").as("coreness")))
+    hy.endRound()
     adjV.unpersist(); adjW.unpersist()
-    est.select(col("v").as("vertex"), col("est").as("coreness"))
+    out
   }
 
   /** The previous distributed shape — the degeneracy-serialized

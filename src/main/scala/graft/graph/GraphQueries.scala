@@ -156,13 +156,48 @@ object GraphQueries {
        |WHERE v NOT IN (SELECT src FROM se) ORDER BY vertex""".stripMargin
 
   /** Reference op 3 (ordering parity): lexicographic DFS preorder,
-    * driver-side on a small graph. rows-only in the driver gate.
+    * driver-side on a small graph. Oracle-backed since r19 (below);
+    * rows-only from r2-r18.
     */
   def graphDfsPreorder(spark: SparkSession, dir: String): DataFrame = {
     val e = DerivedGraphs.hashEdges(spark, dir, 512)
     val src = e.agg(min(col("src"))).head().getLong(0)
     GraphOps.dfsPreorder(e, src).orderBy("pos")
   }
+
+  /** DFS preorder oracle (r19): DFS is a sequential stack machine, so
+    * the CTE replays it AS ONE — a single-row recursive state
+    * `(ord, stk)` advancing one DFS step per iteration: pop the head,
+    * skip if visited, else append to the order and push the unvisited
+    * neighbors in ascending order (head = explored first — exactly
+    * [[GraphOps.dfsPreorder]]'s reversed-push loop). Terminates when
+    * the stack empties; V + pushed-duplicates iterations (~1.5k at
+    * m=512), each O(state). This sidesteps both the exponential
+    * simple-path enumeration and the keyed-fixpoint recursion DuckDB
+    * 1.0 lacks.
+    */
+  val graphDfsPreorderSql: String =
+    s"""WITH RECURSIVE ${DerivedGraphs.hashEdgesSql(512)},
+       |adj AS (SELECT src, list(dst ORDER BY dst) AS ns FROM he GROUP BY src),
+       |s0 AS (SELECT MIN(src) AS v FROM he),
+       |dfs(ord, stk) AS (
+       |  SELECT [s0.v], COALESCE(a.ns, []) FROM s0 LEFT JOIN adj a ON a.src = s0.v
+       |  UNION ALL
+       |  SELECT
+       |    CASE WHEN visited THEN ord ELSE list_append(ord, v) END,
+       |    CASE WHEN visited THEN stk[2:]
+       |         ELSE list_concat(list_filter(nsv, x -> NOT list_contains(ord, x) AND x != v), stk[2:]) END
+       |  FROM (
+       |    SELECT d.ord, d.stk, d.stk[1] AS v, list_contains(d.ord, d.stk[1]) AS visited,
+       |           COALESCE(a.ns, []) AS nsv
+       |    FROM dfs d LEFT JOIN adj a ON a.src = d.stk[1]
+       |    WHERE len(d.stk) > 0
+       |  )
+       |),
+       |fin AS (SELECT ord FROM dfs WHERE len(stk) = 0),
+       |ux AS (SELECT unnest(ord) AS vertex, generate_subscripts(ord, 1) AS i FROM fin)
+       |SELECT CAST(i - 1 AS BIGINT) AS pos, CAST(vertex AS BIGINT) AS vertex
+       |FROM ux ORDER BY pos""".stripMargin
 
   /** Served from the shared supply-degree catalog entry
     * ([[DerivedGraphs.supplyDegrees]]), which tags each directed edge
@@ -1103,7 +1138,7 @@ object GraphQueries {
     Op("graph_bfs_deep", graphBfsDeep, Some(graphBfsDeepSql)),
     Op("graph_dfs_reach", graphDfsReach, Some(graphDfsReachSql)),
     Op("graph_dfs_leaves", graphDfsLeaves, Some(graphDfsLeavesSql)),
-    Op("graph_dfs_preorder", graphDfsPreorder, None),
+    Op("graph_dfs_preorder", graphDfsPreorder, Some(graphDfsPreorderSql)),
     Op("graph_degrees", graphDegrees, Some(graphDegreesSql)),
     Op("graph_cc", graphCc, Some(graphCcSql)),
     Op("graph_cc_large", graphCcLarge, Some(graphCcLargeSql)),

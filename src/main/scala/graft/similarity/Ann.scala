@@ -912,9 +912,12 @@ object Ann {
       probedCells: Option[(Array[Array[Double]], Map[Long, Set[Int]])] = None,
       rerank: Int = PqRerank,
       rerankOn: Option[DataFrame] = None,
-      byResidual: Boolean = false): DataFrame = {
+      byResidual: Boolean = false,
+      codebookOverride: Option[OpqTrain.Codebook] = None): DataFrame = {
     require(!byResidual || probedCells.isDefined,
       "byResidual needs coarse cells to take residuals against")
+    require(codebookOverride.isEmpty || (!byResidual && probedCells.isEmpty),
+      "a trained codebook composes with the plain PQ chain only")
     val spark = emb.sparkSession
     import spark.implicits._
     val queries = collectQueries(emb)
@@ -941,26 +944,32 @@ object Ann {
       }
       src
     }
-    // codebooks[m][c] = subvector m of seed vector c (raw, or the
+    // codebooks[m][c] = trained subspace centroids (ascending cluster
+    // id — ties resolve to the lower id because the scan is in-order)
+    // when overridden, else subvector m of seed vector c (raw, or the
     // seed's residual against ITS primary cell when byResidual)
-    val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1)
-    // Fail loudly on a sparse/1-based vec_id corpus: the ADC tables
-    // below index codebooks(m)(c) for c < PqCentroids, so fewer seeds
-    // than centroids would be a silent ArrayIndexOutOfBounds later.
-    require(seeds.length == PqCentroids,
-      s"PQ seeding needs vec_ids 0..${PqCentroids - 1} present; found ${seeds.length}")
-    val seedSrc: Array[Array[Double]] = seeds.map { case (_, v, n) =>
-      encodeSource(v, if (byResidual) closureMaskAndPrim(cents, v, n)._2 else 0)
-    }
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqSubspaces) { m =>
-      seedSrc.map(v => Array.tabulate(sub)(i => v(m * sub + i)))
+    val codebooks: Array[Array[Array[Double]]] = codebookOverride match {
+      case Some(cb) => cb.map(_.map(_._2))
+      case None =>
+        val seeds = queries.filter(_._1 < PqCentroids).sortBy(_._1)
+        // Fail loudly on a sparse/1-based vec_id corpus: the ADC tables
+        // below index codebooks(m)(c) for c < PqCentroids, so fewer seeds
+        // than centroids would be a silent ArrayIndexOutOfBounds later.
+        require(seeds.length == PqCentroids,
+          s"PQ seeding needs vec_ids 0..${PqCentroids - 1} present; found ${seeds.length}")
+        val seedSrc: Array[Array[Double]] = seeds.map { case (_, v, n) =>
+          encodeSource(v, if (byResidual) closureMaskAndPrim(cents, v, n)._2 else 0)
+        }
+        Array.tabulate(PqSubspaces) { m =>
+          seedSrc.map(v => Array.tabulate(sub)(i => v(m * sub + i)))
+        }
     }
     // per-query ADC tables: adc[q](m)(c) = dot(q_m, codebook[m][c]) —
     // the query stays RAW in both modes (residual ADC estimates
     // dot(q, c_p) + dot(q, v − c_p))
     val adcTables: Map[Long, Array[Array[Double]]] = queries.map { case (qid, qv, _) =>
       qid -> Array.tabulate(PqSubspaces) { m =>
-        Array.tabulate(PqCentroids) { c =>
+        Array.tabulate(codebooks(m).length) { c =>
           var s = 0.0; var i = 0
           while (i < sub) { s += qv(m * sub + i).toDouble * codebooks(m)(c)(i); i += 1 }
           s
@@ -1068,38 +1077,25 @@ object Ann {
   def annPq(spark: SparkSession, dir: String): DataFrame =
     pqTopK(Tables.embeddings(spark, dir))
 
-  /** OPQ training (Ge et al., CVPR 2013): learn an ORTHOGONAL
-    * transform that minimizes PQ quantization damage, restricted to a
-    * structured family whose training is exactly SQL-replayable — two
-    * learned BUTTERFLY rotations (layers of disjoint 2×2 Givens
-    * rotations over cross-subspace dim pairs, each angle a closed-form
-    * symmetric-Schur solve on the pair's exact-decimal covariance:
-    * only +,−,×,÷,√, all IEEE-correctly-rounded, so both engines
-    * produce bit-equal angles) alongside r16's three variance-ranked
-    * permutation layouts. The butterfly branches optimize the two
-    * opposite OPQ regimes:
-    *
-    *  - CONCENTRATE (strides D/2→D/4→D/8, then round-robin
-    *    re-allocation of the rotated dims by variance rank): greedy
-    *    Jacobi diagonalization toward the PCA basis + eigenvalue
-    *    allocation — wins when cross-dim correlation hides structure
-    *    no permutation can reach.
-    *  - BALANCE (strides D/8→D/4→D/2, each pair's Schur angle
-    *    advanced 45°): decorrelate the pair, then SPLIT its energy
-    *    equally — the variance-spreading effect of FAISS's random
-    *    rotation, learned deterministically. Wins when one dominant
-    *    dim monopolizes its subspace's 16 codes: a permutation can
-    *    move that dim, never split it, while spreading lets every
-    *    subspace's independent codebook quantize a share (errors
-    *    average down across subspaces).
-    *
-    * SELECTION is by measured recall@[[K]] of the end-to-end PQ chain
-    * on the [[NumQueries]] query sample against exact brute-force
-    * truth — argmax of INTEGER hit count, tie → lower candidate index
-    * (the FAISS-autotune objective, trivially engine-exact). Identity
-    * is candidate 0, so OPQ can never lose to plain PQ on its own
-    * training metric; AnnSpec pins the ≥ and plants corpora where
-    * each learned branch is the outright winner.
+  /** OPQ (Ge et al., CVPR 2013): learn an ORTHOGONAL transform that
+    * minimizes PQ quantization damage. r19: TRAINING lives in
+    * [[OpqTrain]] — a deterministic bounded sample (the md5-salted
+    * q_train_split draw, one distributed TakeOrdered pass) collected
+    * once, then every angle / Lloyd-codebook / tournament step runs on
+    * the driver in oracle-exact decimal arithmetic over that
+    * model-sized matrix (the FAISS production shape: OPQ/PQ train on
+    * 10⁵-10⁶ sampled vectors, never the corpus). Only the SERVE path
+    * below is corpus-sized and stays fully distributed: the rotation
+    * layers replay as codegen'd array rebuilds, the permutation as one
+    * projection, and the encode/ADC scan is [[pqTopK]] with the
+    * trained subspace codebook broadcast. Selection is by measured
+    * recall@[[K]] of the end-to-end chain on the [[NumQueries]] query
+    * rows against exact brute-force truth over the sample — argmax of
+    * INTEGER hit count, tie → lower candidate index (the
+    * FAISS-autotune objective, trivially engine-exact); plain
+    * seed-codebook PQ is candidate 0, so OPQ can never lose to
+    * [[pqTopK]] on its own training metric whenever the sample covers
+    * the corpus (always true at gate scale).
     */
   case class OpqTransform(layers: Seq[(Int, Array[Double])], perm: Array[Int]) {
     def isIdentity: Boolean =
@@ -1111,121 +1107,16 @@ object Ann {
   private[graft] def opqStridesBal(dim: Int): Seq[Int] =
     Seq(dim / 8, dim / 4, dim / 2)
 
-  private def round9d(x: Double): Double =
-    java.math.BigDecimal.valueOf(x).setScale(9, RoundingMode.HALF_UP).doubleValue()
-
-  /** DuckDB-exact decimal→double bridge: DuckDB's
-    * `CAST(DECIMAL(·,18) AS DOUBLE)` evaluates as
-    * double(unscaled_hugeint) / 1e18 — verified bit-exact on 20k
-    * samples, and 1 ULP away from the correctly-rounded
-    * `BigDecimal.toDouble` on ~25% of 18-scale values. The butterfly
-    * angle inputs must cross this bridge IDENTICALLY on both engines,
-    * so the engine mirrors DuckDB rather than using toDouble.
-    */
-  private def duckToDouble18(x: BigDecimal): Double =
-    x.underlying.setScale(18).unscaledValue.doubleValue / 1.0e18
-
   private def embeddingDim(emb: DataFrame): Int =
     emb.select(col("embedding")).head().getSeq[Float](0).length
-
-  /** Exact per-dim variance key n·Σround9(x²) − (Σround9(x))² as
-    * BigDecimal — decimal sums are order-free, so the rank order is
-    * exact on both engines (the q_entropy pattern).
-    */
-  private[graft] def opqVarianceKey(emb: DataFrame): Array[BigDecimal] = {
-    val dim = embeddingDim(emb)
-    require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
-    val moments = emb
-      .select(posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("d"), col("x").cast("double").as("x"))
-      .groupBy("d")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x"), 9).cast("decimal(28,9)")).as("s1"),
-        sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).as("s2"))
-      .collect()
-      .map(r => r.getInt(0) -> ((r.getLong(1),
-        r.getDecimal(2): BigDecimal, r.getDecimal(3): BigDecimal)))
-      .toMap
-    Array.tabulate(dim) { d =>
-      val (n, s1, s2) = moments(d)
-      s2 * BigDecimal(n) - s1 * s1
-    }
-  }
-
-  private def rankedDims(key: Array[BigDecimal]): Seq[Int] =
-    (0 until key.length).sortBy(d => (key(d).unary_-, d))
-
-  /** Round-robin layout: variance rank r lands at position
-    * (r % M)·sub + r / M — one dim per variance tier per subspace.
-    */
-  private def opqRrPerm(ranked: Seq[Int], dim: Int): Array[Int] = {
-    val sub = dim / PqSubspaces
-    val p = new Array[Int](dim)
-    ranked.zipWithIndex.foreach { case (d, r) =>
-      p((r % PqSubspaces) * sub + r / PqSubspaces) = d
-    }
-    p
-  }
-
-  private def opqCtPerm(ranked: Seq[Int]): Array[Int] = ranked.toArray
-
-  /** One butterfly layer's learned angles: for each disjoint pair
-    * (lo, lo+stride), the closed-form symmetric-Schur 2×2 rotation of
-    * the pair's covariance (Golub & Van Loan §8.4 `sym.schur2`),
-    * computed from exact DECIMAL(28,9) moment sums cast to double
-    * once; in balance mode the angle is then advanced 45° so the two
-    * output variances equalize. Returns [c0,s0,c1,s1,…] in
-    * ascending-lo order, each rounded to 9 dp.
-    */
-  private[graft] def opqLayerAngles(emb: DataFrame, stride: Int,
-      balance: Boolean): Array[Double] = {
-    val dim = embeddingDim(emb)
-    require(stride >= 1 && dim % (2 * stride) == 0,
-      s"butterfly stride $stride incompatible with dim $dim")
-    val pairs = (0 until dim).filter(lo => (lo / stride) % 2 == 0)
-      .map(lo => (lo, lo + stride))
-    def x(d: Int) = col("embedding")(d).cast(DoubleType)
-    def d9(c: org.apache.spark.sql.Column) = round(c, 9).cast("decimal(28,9)")
-    val aggs = pairs.flatMap { case (lo, hi) => Seq(
-      sum(d9(x(lo))).as(s"s1l_$lo"), sum(d9(x(lo) * x(lo))).as(s"s2l_$lo"),
-      sum(d9(x(hi))).as(s"s1h_$lo"), sum(d9(x(hi) * x(hi))).as(s"s2h_$lo"),
-      sum(d9(x(lo) * x(hi))).as(s"s11_$lo")) } :+ count(lit(1)).as("n")
-    val row = emb.agg(aggs.head, aggs.tail: _*).head()
-    val n = BigDecimal(row.getAs[Long]("n"))
-    val cs = new Array[Double](pairs.length * 2)
-    pairs.zipWithIndex.foreach { case ((lo, _), p) =>
-      def dec(pre: String): BigDecimal =
-        BigDecimal(row.getAs[java.math.BigDecimal](s"${pre}_$lo"))
-      val a = duckToDouble18(n * dec("s2l") - dec("s1l") * dec("s1l"))
-      val b = duckToDouble18(n * dec("s11") - dec("s1l") * dec("s1h"))
-      val cc = duckToDouble18(n * dec("s2h") - dec("s1h") * dec("s1h"))
-      val (c0, s0) =
-        if (b == 0.0) (1.0, 0.0)
-        else {
-          val tau = (cc - a) / (2.0 * b)
-          val t =
-            if (tau == 0.0) 1.0
-            else (if (tau > 0.0) 1.0 else -1.0) /
-              (math.abs(tau) + math.sqrt(1.0 + tau * tau))
-          (1.0 / math.sqrt(1.0 + t * t), t / math.sqrt(1.0 + t * t))
-        }
-      val (c1, s1) =
-        if (balance) ((c0 - s0) / math.sqrt(2.0), (c0 + s0) / math.sqrt(2.0))
-        else (c0, s0)
-      cs(2 * p) = round9d(c1); cs(2 * p + 1) = round9d(s1)
-    }
-    cs
-  }
 
   /** Apply one butterfly layer as a codegen'd array rebuild: output
     * lo' = round9(c·v[lo] + s·v[hi]), hi' = round9(c·v[hi] − s·v[lo]),
     * snapped to FLOAT — both engines quantize each layer identically,
     * so the replay is float-exact layer by layer. No shuffle, no UDF.
-    * `inverse` applies the transpose (x = c·a − s·b, y = s·a + c·b),
-    * the alternation's target pull-back, with the SAME per-step snap.
     */
   private def rotateArrayCol(dim: Int, stride: Int, cs: Array[Double],
-      arr: Column, inverse: Boolean = false): Column = {
+      arr: Column): Column = {
     val loIdx = (0 until dim).filter(lo => (lo / stride) % 2 == 0)
       .zipWithIndex.toMap
     val out = (0 until dim).map { d =>
@@ -1235,9 +1126,7 @@ object Ann {
       val c = lit(cs(2 * p)); val s = lit(cs(2 * p + 1))
       val vlo = arr(lo).cast(DoubleType)
       val vhi = arr(lo + stride).cast(DoubleType)
-      val e =
-        if (inverse) { if (isLo) c * vlo - s * vhi else s * vlo + c * vhi }
-        else { if (isLo) c * vlo + s * vhi else c * vhi - s * vlo }
+      val e = if (isLo) c * vlo + s * vhi else c * vhi - s * vlo
       round(e, 9).cast(FloatType)
     }
     array(out: _*)
@@ -1258,224 +1147,67 @@ object Ann {
       array(t.perm.toSeq.map(i => col("embedding")(i)): _*))
   }
 
-  /** Train one butterfly branch: layers learned SEQUENTIALLY — each
-    * stride's angles come from the covariance of the previous layers'
-    * rotated (and float-snapped) corpus.
+  /** Blob codec for the Materialized catalog: one
+    * Seq[(Int, Array[Double])] row stream (the catalog's exact-class
+    * allowlist) — the permutation row (marker Int.MinValue), the
+    * rotation layers in application order (marker = stride ≥ 1), and
+    * the trained subspace codebook's centroids (marker
+    * −2 − (m·[[PqCentroids]] + clusterId); absent for the
+    * seed-codebook candidate 0, which [[pqTopK]] re-derives from the
+    * corpus itself).
     */
-  private def opqTrainButterfly(emb: DataFrame, strides: Seq[Int],
-      balance: Boolean): (Seq[(Int, Array[Double])], DataFrame) = {
-    var cur = emb
-    val layers = strides.map { s =>
-      val cs = opqLayerAngles(cur, s, balance)
-      cur = opqRotateLayer(cur, s, cs)
-      (s, cs)
-    }
-    (layers, cur)
-  }
-
-  /** Alternation sweeps for tournament candidate 5 (Ge et al. 2013). */
-  private[graft] val OpqAltIters = 2
-
-  /** Fixed-codes rotation step of the Ge alternation, restricted to
-    * one butterfly layer's disjoint (lo, lo+stride) pairs: the Givens
-    * angle minimizing Σᵢ ‖G·xᵢ − tᵢ‖² over the pair has the CLOSED
-    * form (c, s) ∝ (α, β) with α = Σ t_lo·x_lo + t_hi·x_hi and
-    * β = Σ t_lo·x_hi − t_hi·x_lo — no SVD needed inside the butterfly
-    * family (maximizing Σ⟨t, G·x⟩ = c·α + s·β over the unit circle).
-    * Sums are round9 + DECIMAL(28,18) (order-free, engine-exact); the
-    * ratios cross the verified decimal→double bridge; the unit pair
-    * snaps to 9 dp like every other learned angle.
-    */
-  private def opqAltLayerAngles(xy: DataFrame, stride: Int, dim: Int): Array[Double] = {
-    val pairs = (0 until dim).filter(lo => (lo / stride) % 2 == 0)
-      .map(lo => (lo, lo + stride))
-    def x(d: Int) = col("x")(d).cast(DoubleType)
-    def t(d: Int) = col("t")(d).cast(DoubleType)
-    def d18(c: Column) = round(c, 9).cast("decimal(28,18)")
-    val aggs = pairs.flatMap { case (lo, hi) => Seq(
-      sum(d18(t(lo) * x(lo) + t(hi) * x(hi))).as(s"al_$lo"),
-      sum(d18(t(lo) * x(hi) - t(hi) * x(lo))).as(s"be_$lo")) }
-    val row = xy.agg(aggs.head, aggs.tail: _*).head()
-    val cs = new Array[Double](pairs.length * 2)
-    pairs.zipWithIndex.foreach { case ((lo, _), p) =>
-      def dec(pre: String): BigDecimal = {
-        val v = row.getAs[java.math.BigDecimal](s"${pre}_$lo")
-        if (v == null) BigDecimal(0) else BigDecimal(v)
+  private[graft] def opqToBlob(model: OpqTrain.OpqModel): Seq[(Int, Array[Double])] = {
+    val head = (Int.MinValue, model.transform.perm.map(_.toDouble)) +:
+      model.transform.layers.toList
+    val cbRows = model.codebook.toSeq.flatMap { cb =>
+      cb.zipWithIndex.flatMap { case (cents, m) =>
+        cents.toSeq.map { case (id, cv) => (-2 - (m * PqCentroids + id), cv) }
       }
-      val a = duckToDouble18(dec("al"))
-      val b = duckToDouble18(dec("be"))
-      val h = math.sqrt(a * a + b * b)
-      val (c0, s0) = if (h == 0.0) (1.0, 0.0) else (a / h, b / h)
-      cs(2 * p) = round9d(c0); cs(2 * p + 1) = round9d(s0)
     }
-    cs
+    head ++ cbRows
   }
 
-  /** Decoded-PQ reconstruction of the current rep — the fixed-CODEBOOK
-    * half of the alternation: per subspace the nearest of the
-    * first-[[PqCentroids]] seed subvectors (the chain's deterministic
-    * seeding; sequential-index d², tie → lower id), re-concatenated,
-    * then inverse-permuted back to the pre-perm rotated space where
-    * the layers live. One broadcast-codebook pass, no shuffle.
-    */
-  private def opqAltTargets(rep: DataFrame, perm: Array[Int]): DataFrame = {
-    val spark = rep.sparkSession
-    import spark.implicits._
-    val dim = perm.length
-    val sub = dim / PqSubspaces
-    val seeds = rep.where(col("vec_id") < PqCentroids)
-      .select(col("vec_id").cast(LongType), col("embedding"))
-      .as[(Long, Array[Float])].collect().sortBy(_._1)
-    require(seeds.length == PqCentroids,
-      s"OPQ alternation needs vec_ids 0..${PqCentroids - 1}; found ${seeds.length}")
-    val cb: Array[Array[Array[Float]]] = Array.tabulate(PqSubspaces) { m =>
-      seeds.map { case (_, v) => Array.tabulate(sub)(i => v(m * sub + i)) }
+  private[graft] def opqFromBlob(b: Seq[(Int, Array[Double])]): OpqTrain.OpqModel = {
+    val perm = b.find(_._1 == Int.MinValue).get._2.map(_.toInt)
+    val layers = b.filter(_._1 >= 1)
+    val cbRows = b.collect {
+      case (marker, cv) if marker <= -2 && marker != Int.MinValue =>
+        (-2 - marker, cv)
     }
-    val bcb = spark.sparkContext.broadcast(cb)
-    val bperm = spark.sparkContext.broadcast(perm)
-    rep.select(col("vec_id").cast(LongType), col("embedding"))
-      .as[(Long, Array[Float])]
-      .map { case (id, v) =>
-        val cbs = bcb.value; val pm = bperm.value
-        val yRep = new Array[Float](v.length)
-        var m = 0
-        while (m < PqSubspaces) {
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < PqCentroids) {
-            var d2 = 0.0; var i = 0
-            while (i < sub) {
-              val diff = v(m * sub + i).toDouble - cbs(m)(c)(i).toDouble
-              d2 += diff * diff; i += 1
-            }
-            if (d2 < bestD) { bestD = d2; best = c }
-            c += 1
-          }
-          var i = 0
-          while (i < sub) { yRep(m * sub + i) = cbs(m)(best)(i); i += 1 }
-          m += 1
-        }
-        // rep[j] = rot[perm(j)] ⇒ the rotated-space target at dim
-        // perm(j) is the decoded rep value at position j
-        val yRot = new Array[Float](v.length)
-        var j = 0
-        while (j < v.length) { yRot(pm(j)) = yRep(j); j += 1 }
-        (id, yRot)
-      }.toDF("vec_id", "t")
-  }
-
-  /** Ge et al. 2013 PROPER alternation on top of the concentrate
-    * butterfly init: each sweep re-derives the codebook/codes from the
-    * current rep (seed subvectors → nearest-centroid decode), pulls
-    * the decoded target back through the inverses of the LATER layers,
-    * and relearns every layer's angles in application order against
-    * the fixed targets (closed-form per-pair Givens — the butterfly
-    * restriction of Ge's SVD step). Two sweeps; strides and the
-    * rep-space permutation stay those of the butterfly init, so the
-    * result drops into the same OpqTransform/blob/oracle machinery.
-    */
-  private def opqTrainAlternating(emb: DataFrame,
-      layers0: Seq[(Int, Array[Double])], perm: Array[Int])
-      : Seq[(Int, Array[Double])] = {
-    val dim = perm.length
-    var layers = layers0
-    for (_ <- 1 to OpqAltIters) {
-      val rep = applyOpq(emb, OpqTransform(layers, perm))
-      val targets = opqAltTargets(rep, perm)
-      val xy0 = emb.select(col("vec_id"), col("embedding"))
-        .join(targets, "vec_id").localCheckpoint()
-      val newLayers = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Double])]
-      var x: Column = col("embedding")
-      for (k <- layers.indices) {
-        var t: Column = col("t")
-        for (j <- (layers.length - 1) to (k + 1) by -1)
-          t = rotateArrayCol(dim, layers(j)._1, layers(j)._2, t, inverse = true)
-        val cs = opqAltLayerAngles(
-          xy0.select(x.as("x"), t.as("t")), layers(k)._1, dim)
-        newLayers += ((layers(k)._1, cs))
-        x = rotateArrayCol(dim, layers(k)._1, cs, x)
-      }
-      layers = newLayers.toSeq
-    }
-    layers
-  }
-
-  /** The seven transform candidates, in tournament (tie-break) order. */
-  private[graft] def opqTransforms(emb: DataFrame): Seq[OpqTransform] = {
-    val dim = embeddingDim(emb)
-    require(dim % PqSubspaces == 0, s"dim $dim not divisible by $PqSubspaces")
-    val idPerm = (0 until dim).toArray
-    val ranked = rankedDims(opqVarianceKey(emb))
-    val (layersA, rotA) = opqTrainButterfly(emb, opqStridesConc(dim), balance = false)
-    val rankedA = rankedDims(opqVarianceKey(rotA))
-    val permA = opqRrPerm(rankedA, dim)
-    val (layersB, _) = opqTrainButterfly(emb, opqStridesBal(dim), balance = true)
-    val layersAltA = opqTrainAlternating(emb, layersA, permA)
-    val layersAltB = opqTrainAlternating(emb, layersB, idPerm)
-    Seq(
-      OpqTransform(Nil, idPerm),                      // 0: plain PQ
-      OpqTransform(Nil, opqRrPerm(ranked, dim)),      // 1: balanced layout
-      OpqTransform(Nil, opqCtPerm(ranked)),           // 2: contiguous by rank
-      OpqTransform(layersA, permA),                   // 3: concentrate + rr
-      OpqTransform(layersB, idPerm),                  // 4: balance
-      OpqTransform(layersAltA, permA),                // 5: alternation on 3
-      OpqTransform(layersAltB, idPerm))               // 6: alternation on 4
-  }
-
-  /** Recall hits of the end-to-end PQ chain under transform `t`:
-    * |top-k ∩ exact top-k| summed over the query sample — the integer
-    * tournament metric.
-    */
-  private[graft] def opqRecallHits(emb: DataFrame, truth: DataFrame,
-      t: OpqTransform): Long =
-    pqTopK(applyOpq(emb, t), rerankOn = Some(emb))
-      .join(truth, Seq("qid", "vec_id"), "left_semi").count()
-
-  private[graft] def opqSelect(emb: DataFrame): OpqTransform = {
-    val truth = bruteForceTopK(emb).select("qid", "vec_id").localCheckpoint()
-    val ts = opqTransforms(emb)
-    val hits = ts.map(t => opqRecallHits(emb, truth, t))
-    ts(hits.zipWithIndex.maxBy { case (h, i) => (h, -i) }._2)
-  }
-
-  /** Blob codec for the Materialized catalog: the permutation row
-    * (marker stride Int.MinValue) followed by the rotation layers in
-    * application order — Seq[(Int, Array[Double])], inside the
-    * catalog's exact-class allowlist.
-    */
-  private[graft] def opqToBlob(t: OpqTransform): Seq[(Int, Array[Double])] =
-    (Int.MinValue, t.perm.map(_.toDouble)) +: t.layers.toList
-  private[graft] def opqFromBlob(b: Seq[(Int, Array[Double])]): OpqTransform = {
-    val (permRows, layerRows) = b.partition(_._1 == Int.MinValue)
-    OpqTransform(layerRows, permRows.head._2.map(_.toInt))
+    val cb =
+      if (cbRows.isEmpty) None
+      else Some(Array.tabulate(PqSubspaces) { m =>
+        cbRows.collect {
+          case (idx, cv) if idx / PqCentroids == m => (idx % PqCentroids, cv)
+        }.sortBy(_._1).toArray
+      })
+    OpqTrain.OpqModel(OpqTransform(layers, perm), cb)
   }
 
   /** OPQ top-k: apply the trained transform (rotation layers as
     * codegen'd array rebuilds + one permutation projection — no
-    * shuffle, no UDF), then the unchanged PQ encode/ADC chain in the
-    * transformed space, reranking the ADC survivors against the
-    * ORIGINAL vectors — returned scores are true original-space
-    * cosines whatever the transform did.
+    * shuffle, no UDF), then the PQ encode/ADC chain in the transformed
+    * space against the model's trained codebook, reranking the ADC
+    * survivors against the ORIGINAL vectors — returned scores are true
+    * original-space cosines whatever the transform did.
     */
-  def opqTopK(emb: DataFrame, k: Int = K,
-      transform: Option[OpqTransform] = None): DataFrame = {
-    val t = transform.getOrElse(opqSelect(emb))
-    pqTopK(applyOpq(emb, t), k, rerankOn = Some(emb))
-  }
+  def opqTopK(emb: DataFrame, model: OpqTrain.OpqModel, k: Int = K): DataFrame =
+    pqTopK(applyOpq(emb, model.transform), k, rerankOn = Some(emb),
+      codebookOverride = model.codebook)
 
-  /** Gate op: OPQ over the corpus embeddings, the transform trained
-    * once per (session, dir, corpus-version) and served from the
+  /** Gate op: OPQ over the corpus embeddings — the transform AND its
+    * subspace codebook trained once per (session, dir, corpus-version)
+    * on the bounded sample ([[OpqTrain.train]]) and served from the
     * Materialized catalog like the IVF centroids (a production index
-    * trains its rotation once and serves every query against it).
+    * trains once and serves every query against it).
     */
   def annOpq(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val blob = graft.Materialized.ofBlob(spark, dir, "ann:opq-rot") {
-      opqToBlob(opqSelect(emb))
+    val blob = graft.Materialized.ofBlob(spark, dir, "ann:opq-model") {
+      opqToBlob(OpqTrain.train(emb))
     }
-    opqTopK(emb, transform = Some(opqFromBlob(blob)))
+    opqTopK(emb, opqFromBlob(blob))
   }
-
   /** IVF-PQ (Jégou et al., TPAMI 2011 §V — the FAISS production
     * shape): IVF coarse routing bounds WHICH vectors a query scores
     * (its `nprobe` nearest cells), PQ/ADC bounds the per-candidate
@@ -1672,26 +1404,36 @@ object Ann {
   }
 
   /** Oracle for [[annOpq]]: recompute the TRAINING in SQL (the
-    * data-derived-state pattern of [[annPqSql]]'s codebooks) — the
-    * variance key from the same round9 + DECIMAL(28,9) sums the engine
-    * aggregates (exact, order-free, so rank order is exact with zero
-    * FP), both butterfly branches layer by layer (pair moments →
-    * closed-form Schur angles through the DuckDB-exact decimal→double
-    * bridge → rotated FLOAT-snapped rep), the two Ge-alternation
-    * sweeps on top of the concentrate branch (seed-codebook decode →
-    * inverse-perm + inverse-layer pull-back → closed-form per-pair
-    * Givens relearn, all replayed CTE by CTE), the six candidate
-    * frames, each candidate's full encode/ADC/rerank/top-k chain, exact
-    * brute-force truth, the INTEGER recall tournament (argmax hits,
-    * tie → lower candidate index), then the winner's top-k with
-    * original-space scores.
+    * data-derived-state pattern of [[annPqSql]]'s codebooks), r19
+    * shape — first the deterministic bounded SAMPLE (vec_id <
+    * [[NumQueries]] plus the [[OpqTrain.TrainSample]]-lowest rows in
+    * `(md5('opq:'||vec_id), vec_id)` order, the engine's TakeOrdered
+    * draw), then every training step over that sample: the variance
+    * key from round9 + DECIMAL(28,9) sums (exact, order-free), both
+    * butterfly branches layer by layer (pair moments → closed-form
+    * Schur angles through the DuckDB-exact decimal→double bridge →
+    * FLOAT-snapped rep), per-subspace LLOYD codebooks
+    * ([[OpqTrain.LloydIters]] exact-decimal rounds seeded from the
+    * vec_id<16 subvectors), the two Ge-alternation sweeps per branch
+    * (Lloyd-codebook decode → inverse-perm + inverse-layer pull-back →
+    * closed-form per-pair Givens relearn), the eight candidate frames,
+    * each candidate's encode/ADC/rerank/top-k chain over the sample,
+    * exact brute-force truth over the sample, and the INTEGER recall
+    * tournament (argmax hits, tie → lower candidate index). The WINNER
+    * then serves the FULL corpus: its angle/perm tables re-apply to
+    * every vector and its sample-trained codebook drives the final
+    * encode/ADC/exact-rerank top-k — exactly the engine's
+    * train-on-sample / serve-corpus split.
     */
   val annOpqSql: String = {
     val sub = OracleDim / PqSubspaces
-    // one replayed butterfly layer over the previous rep `src`
+    val li = OpqTrain.LloydIters
+    // ---- training-side builders (all over sample-derived sources) ----
+    // butterfly layer: exact-decimal pair moments over `src`, Schur
+    // angles (balance mode advances 45°), rotated FLOAT-snapped rep
     def layer(tag: String, src: String, stride: Int, balance: Boolean): String = {
-      val (cSel, sSel) =
-        if (balance) ("(c0 - s0)/sqrt(2)", "(c0 + s0)/sqrt(2)") else ("c0", "s0")
+      val cSel = if (balance) "(c0 - s0)/sqrt(2.0)" else "c0"
+      val sSel = if (balance) "(c0 + s0)/sqrt(2.0)" else "s0"
       s"""
     pr_$tag AS (SELECT lo, lo + $stride AS hi
                 FROM (SELECT unnest(generate_series(0, ${OracleDim - 1})) AS lo)
@@ -1739,15 +1481,21 @@ object Ann {
              SUM(CAST(ROUND(w.v[dims.i] * w.v[dims.i], 9) AS DECIMAL(28,9))) AS s2
            FROM $src w CROSS JOIN dims GROUP BY dims.i)),
     rk_$tag AS (SELECT d, ROW_NUMBER() OVER (ORDER BY vr DESC, d) - 1 AS r FROM sv_$tag),"""
-    val concStr = opqStridesConc(OracleDim)
-    val balStr = opqStridesBal(OracleDim)
-    val layersA = concStr.zipWithIndex.map { case (st, i) =>
-      layer(s"a${i + 1}", if (i == 0) "v" else s"w_a$i", st, balance = false)
-    }.mkString
-    val layersB = balStr.zipWithIndex.map { case (st, i) =>
-      layer(s"b${i + 1}", if (i == 0) "v" else s"w_b$i", st, balance = true)
-    }.mkString
-    // ---- candidate 5: Ge alternation replay (OpqAltIters sweeps) ----
+    // apply a permutation table (d → position p) to a source frame
+    def permApply(outTag: String, src: String, pmTag: String): String = s"""
+    $outTag AS MATERIALIZED (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
+                FROM $src w CROSS JOIN $pmTag pm GROUP BY w.vec_id),"""
+    // re-apply trained angles forward to any source (training rep
+    // updates AND the full-corpus serve): round9 → FLOAT per value
+    def fwdLayer(outTag: String, src: String, angleTag: String): String = s"""
+    drf_$outTag AS (SELECT lo AS d, lo, hi, c, s, TRUE AS is_lo FROM an_$angleTag
+                UNION ALL SELECT hi, lo, hi, c, s, FALSE FROM an_$angleTag),
+    $outTag AS MATERIALIZED (SELECT w.vec_id,
+          list(CAST(CAST(ROUND(CASE WHEN dr.is_lo
+                 THEN dr.c*w.v[dr.lo+1] + dr.s*w.v[dr.hi+1]
+                 ELSE dr.c*w.v[dr.hi+1] - dr.s*w.v[dr.lo+1] END, 9)
+               AS FLOAT) AS DOUBLE) ORDER BY dr.d) AS v
+        FROM $src w CROSS JOIN drf_$outTag dr GROUP BY w.vec_id),"""
     // inverse butterfly layer (target pull-back): x = c·a − s·b,
     // y = s·a + c·b, same round9→FLOAT snap as the forward replay
     def invLayer(outTag: String, src: String, angleTag: String): String = s"""
@@ -1779,164 +1527,286 @@ object Ann {
         FROM (SELECT lo, hi, a, b, sqrt(a*a + b*b) AS h
               FROM (SELECT lo, hi, CAST(al AS DOUBLE) AS a,
                            CAST(be AS DOUBLE) AS b FROM mo_$tag))),"""
-    def fwdLayer(outTag: String, src: String, angleTag: String): String = s"""
-    drf_$outTag AS (SELECT lo AS d, lo, hi, c, s, TRUE AS is_lo FROM an_$angleTag
-                UNION ALL SELECT hi, lo, hi, c, s, FALSE FROM an_$angleTag),
-    $outTag AS MATERIALIZED (SELECT w.vec_id,
-          list(CAST(CAST(ROUND(CASE WHEN dr.is_lo
-                 THEN dr.c*w.v[dr.lo+1] + dr.s*w.v[dr.hi+1]
-                 ELSE dr.c*w.v[dr.hi+1] - dr.s*w.v[dr.lo+1] END, 9)
-               AS FLOAT) AS DOUBLE) ORDER BY dr.d) AS v
-        FROM $src w CROSS JOIN drf_$outTag dr GROUP BY w.vec_id),"""
-    def permApply(outTag: String, src: String): String = s"""
-    $outTag AS MATERIALIZED (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
-                FROM $src w CROSS JOIN pm3 pm GROUP BY w.vec_id),"""
-    // decode the current rep's PQ reconstruction (seed codebooks,
-    // sequential-index d², tie → lower id) — the fixed-codebook half
-    // of the sweep; `usePerm` maps it back to the pre-perm rotated
-    // space (the identity-perm balance branch skips the mapping)
-    def decode(q: String, repSrc: String, usePerm: Boolean): String = s"""
-    cb_$q AS MATERIALIZED (SELECT ms.m, w.vec_id AS c,
-                list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
-              FROM $repSrc w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),
+    // per-subspace Lloyd codebook over `src`: init = vec_id<C
+    // subvectors (cluster id = vec_id), then `li` exact-decimal
+    // assign/update rounds (d² tie → lower id; DECIMAL(27,10) sums →
+    // double bridge → /count → round 6); empty clusters vanish
+    def lloyd(tag: String, src: String): String = {
+      val init = s"""
+    lc0_$tag AS (SELECT ms.m, CAST(w.vec_id AS INTEGER) AS c,
+          list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        FROM $src w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),"""
+      val rounds = (1 to li).map { t => s"""
+    la${t}_$tag AS (SELECT vec_id, m, c FROM (
+          SELECT w.vec_id, cb.m, cb.c,
+            ROW_NUMBER() OVER (PARTITION BY w.vec_id, cb.m ORDER BY
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> (w.v[cb.m * $sub + i] - cb.cv[i])
+                   * (w.v[cb.m * $sub + i] - cb.cv[i]))), cb.c) AS rn
+          FROM $src w CROSS JOIN lc${t - 1}_$tag cb) WHERE rn = 1),
+    lc${t}_$tag AS (SELECT m, c, list(mv ORDER BY j) AS cv FROM (
+          SELECT a.m, a.c, sj.j,
+            ROUND(CAST(SUM(CAST(w.v[a.m * $sub + sj.j] AS DECIMAL(27,10))) AS DOUBLE)
+                  / COUNT(*), 6) AS mv
+          FROM la${t}_$tag a JOIN $src w USING (vec_id) CROSS JOIN sj
+          GROUP BY a.m, a.c, sj.j) GROUP BY m, c),"""
+      }.mkString
+      init + rounds
+    }
+    // decode the current rep's PQ reconstruction against its LLOYD
+    // codebook — the fixed-codebook half of the sweep; `usePerm` maps
+    // it back to the pre-perm rotated space (the identity-perm balance
+    // branch skips the mapping)
+    def decode(q: String, repSrc: String, usePerm: Boolean): String =
+      lloyd(q, repSrc) + s"""
     en_${q}0 AS (SELECT w.vec_id, cb.m, cb.c,
           list_sum(list_transform(generate_series(1, $sub),
             i -> (w.v[cb.m * $sub + i] - cb.cv[i])
                * (w.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
-        FROM $repSrc w CROSS JOIN cb_$q cb),
+        FROM $repSrc w CROSS JOIN lc${li}_$q cb),
     en_$q AS MATERIALIZED (SELECT vec_id, m, c FROM (
           SELECT vec_id, m, c,
             ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
           FROM en_${q}0) WHERE rn = 1),
     yrep_$q AS MATERIALIZED (SELECT e.vec_id, flatten(list(cb.cv ORDER BY e.m)) AS v
-          FROM en_$q e JOIN cb_$q cb ON cb.m = e.m AND cb.c = e.c
+          FROM en_$q e JOIN lc${li}_$q cb ON cb.m = e.m AND cb.c = e.c
           GROUP BY e.vec_id),""" +
-      (if (usePerm) s"""
+        (if (usePerm) s"""
     yrot_$q AS MATERIALIZED (SELECT y.vec_id, list(y.v[pm.p] ORDER BY pm.d) AS v
           FROM yrep_$q y CROSS JOIN pm3 pm GROUP BY y.vec_id),"""
-      else s"""
+        else s"""
     yrot_$q AS (SELECT vec_id, v FROM yrep_$q),""")
-    // one sweep: decode targets off `repSrc`, pull back through the
-    // later OLD layers (`olds` = current angle tags of layers 2, 3),
-    // relearn the three layers forward; new angle/rep CTEs carry the
-    // `lp` layer-tag prefix
+    // one sweep: Lloyd-decode targets off `repSrc`, pull back through
+    // the later OLD layers (`olds` = current angle tags of layers 2,
+    // 3), relearn the three layers forward; new angle/rep CTEs carry
+    // the `lp` layer-tag prefix
     def sweep(lp: String, q: String, repSrc: String, olds: (String, String),
         strides: Seq[Int], usePerm: Boolean): String = {
       val Seq(s1, s2, s3) = strides
       decode(q, repSrc, usePerm) +
         invLayer(s"yb_${lp}2", s"yrot_$q", olds._2) +
         invLayer(s"yb_${lp}1", s"yb_${lp}2", olds._1) +
-        altAngles(s"${lp}1", "v", s"yb_${lp}1", s1) +
-        fwdLayer(s"w_${lp}1", "v", s"${lp}1") +
+        altAngles(s"${lp}1", "vs", s"yb_${lp}1", s1) +
+        fwdLayer(s"w_${lp}1", "vs", s"${lp}1") +
         altAngles(s"${lp}2", s"w_${lp}1", s"yb_${lp}2", s2) +
         fwdLayer(s"w_${lp}2", s"w_${lp}1", s"${lp}2") +
         altAngles(s"${lp}3", s"w_${lp}2", s"yrot_$q", s3) +
         fwdLayer(s"w_${lp}3", s"w_${lp}2", s"${lp}3")
     }
+    val concStr = opqStridesConc(OracleDim)
+    val balStr = opqStridesBal(OracleDim)
+    val layersA = concStr.zipWithIndex.map { case (st, i) =>
+      layer(s"a${i + 1}", if (i == 0) "vs" else s"w_a$i", st, balance = false)
+    }.mkString
+    val layersB = balStr.zipWithIndex.map { case (st, i) =>
+      layer(s"b${i + 1}", if (i == 0) "vs" else s"w_b$i", st, balance = true)
+    }.mkString
     val altCtes =
-      sweep("t1", "qa1", "vp3", ("a2", "a3"), concStr, usePerm = true) +
-        permApply("vq1", "w_t13") +
+      sweep("t1", "qa1", "vps3", ("a2", "a3"), concStr, usePerm = true) +
+        permApply("vq1", "w_t13", "pm3") +
         sweep("t2", "qa2", "vq1", ("t12", "t13"), concStr, usePerm = true) +
-        permApply("vq2", "w_t23") +
+        permApply("vq2", "w_t23", "pm3") +
         sweep("u1", "qb1", s"w_b${balStr.length}", ("b2", "b3"), balStr,
           usePerm = false) +
         sweep("u2", "qb2", "w_u13", ("u12", "u13"), balStr, usePerm = false)
+    // grouped per-candidate Lloyd over the 8 sample reps (cidx 0 keeps
+    // its seed init — candidate 0 IS plain seed-codebook PQ)
+    val groupedLloyd = {
+      val init = s"""
+    gc0 AS (SELECT w.cidx, ms.m, CAST(w.vec_id AS INTEGER) AS c,
+          list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
+        FROM vpall_s w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),"""
+      val rounds = (1 to li).map { t => s"""
+    ga$t AS (SELECT cidx, vec_id, m, c FROM (
+          SELECT w.cidx, w.vec_id, cb.m, cb.c,
+            ROW_NUMBER() OVER (PARTITION BY w.cidx, w.vec_id, cb.m ORDER BY
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> (w.v[cb.m * $sub + i] - cb.cv[i])
+                   * (w.v[cb.m * $sub + i] - cb.cv[i]))), cb.c) AS rn
+          FROM vpall_s w JOIN gc${t - 1} cb ON cb.cidx = w.cidx AND cb.cidx >= 1)
+          WHERE rn = 1),
+    gc$t AS (SELECT cidx, m, c, list(mv ORDER BY j) AS cv FROM (
+          SELECT a.cidx, a.m, a.c, sj.j,
+            ROUND(CAST(SUM(CAST(w.v[a.m * $sub + sj.j] AS DECIMAL(27,10))) AS DOUBLE)
+                  / COUNT(*), 6) AS mv
+          FROM ga$t a JOIN vpall_s w ON w.cidx = a.cidx AND w.vec_id = a.vec_id
+          CROSS JOIN sj
+          GROUP BY a.cidx, a.m, a.c, sj.j) GROUP BY cidx, m, c),"""
+      }.mkString
+      init + rounds
+    }
     s"""
     WITH $oracleVCte,
     dims AS (SELECT unnest(generate_series(1, $OracleDim)) AS i),
-    ${rank("o", "v")}
+    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
+    sj AS (SELECT unnest(generate_series(1, $sub)) AS j),
+    vs AS MATERIALIZED (
+      SELECT vec_id, v FROM v WHERE vec_id < $NumQueries
+      UNION ALL
+      SELECT vec_id, v FROM (
+        SELECT vec_id, v,
+          ROW_NUMBER() OVER (ORDER BY md5('opq:' || CAST(vec_id AS VARCHAR)),
+                             vec_id) AS rn
+        FROM v WHERE vec_id >= $NumQueries) WHERE rn <= ${OpqTrain.TrainSample}),
+    ${rank("o", "vs")}
     $layersA
-    $layersB
     ${rank("a", s"w_a${concStr.length}")}
     pm1 AS (SELECT d, (r % $PqSubspaces) * $sub + r // $PqSubspaces + 1 AS p FROM rk_o),
     pm2 AS (SELECT d, r + 1 AS p FROM rk_o),
     pm3 AS (SELECT d, (r % $PqSubspaces) * $sub + r // $PqSubspaces + 1 AS p FROM rk_a),
-    ms AS (SELECT unnest(generate_series(0, ${PqSubspaces - 1})) AS m),
-    vp1 AS (SELECT v.vec_id, list(v.v[pm.d] ORDER BY pm.p) AS v
-            FROM v CROSS JOIN pm1 pm GROUP BY v.vec_id),
-    vp2 AS (SELECT v.vec_id, list(v.v[pm.d] ORDER BY pm.p) AS v
-            FROM v CROSS JOIN pm2 pm GROUP BY v.vec_id),
-    vp3 AS MATERIALIZED (SELECT w.vec_id, list(w.v[pm.d] ORDER BY pm.p) AS v
-            FROM w_a${concStr.length} w CROSS JOIN pm3 pm GROUP BY w.vec_id),
+    ${permApply("vps3", s"w_a${concStr.length}", "pm3")}
+    $layersB
     $altCtes
-    vpall AS MATERIALIZED (
-      SELECT 0 AS cidx, vec_id, v FROM v
-      UNION ALL SELECT 1, vec_id, v FROM vp1
-      UNION ALL SELECT 2, vec_id, v FROM vp2
-      UNION ALL SELECT 3, vec_id, v FROM vp3
-      UNION ALL SELECT 4, vec_id, v FROM w_b${balStr.length}
-      UNION ALL SELECT 5, vec_id, v FROM vq2
-      UNION ALL SELECT 6, vec_id, v FROM w_u23),
-    nall AS (SELECT cidx, vec_id, v,
+    ${permApply("vps1", "vs", "pm1")}
+    ${permApply("vps2", "vs", "pm2")}
+    vpall_s AS MATERIALIZED (
+      SELECT 0 AS cidx, vec_id, v FROM vs
+      UNION ALL SELECT 1, vec_id, v FROM vs
+      UNION ALL SELECT 2, vec_id, v FROM vps1
+      UNION ALL SELECT 3, vec_id, v FROM vps2
+      UNION ALL SELECT 4, vec_id, v FROM vps3
+      UNION ALL SELECT 5, vec_id, v FROM w_b${balStr.length}
+      UNION ALL SELECT 6, vec_id, v FROM vq2
+      UNION ALL SELECT 7, vec_id, v FROM w_u23),
+    $groupedLloyd
+    cb_s AS MATERIALIZED (
+      SELECT cidx, m, c, cv FROM gc0 WHERE cidx = 0
+      UNION ALL SELECT cidx, m, c, cv FROM gc$li WHERE cidx >= 1),
+    nall_s AS (SELECT cidx, vec_id, v,
                sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-             FROM vpall),
-    cball AS MATERIALIZED (SELECT w.cidx, w.vec_id AS c, ms.m,
-               list_slice(w.v, ms.m * $sub + 1, ms.m * $sub + $sub) AS cv
-             FROM nall w CROSS JOIN ms WHERE w.vec_id < $PqCentroids),
-    enc0 AS (SELECT w.cidx, w.vec_id, cb.m, cb.c,
+             FROM vpall_s),
+    enc0_s AS (SELECT w.cidx, w.vec_id, cb.m, cb.c,
                list_sum(list_transform(generate_series(1, $sub),
                  i -> (w.v[cb.m * $sub + i] - cb.cv[i]) * (w.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
-             FROM nall w JOIN cball cb ON cb.cidx = w.cidx),
-    enc AS (SELECT cidx, vec_id, m, c AS code FROM (
+             FROM nall_s w JOIN cb_s cb ON cb.cidx = w.cidx),
+    enc_s AS (SELECT cidx, vec_id, m, c AS code FROM (
               SELECT cidx, vec_id, m, c,
                 ROW_NUMBER() OVER (PARTITION BY cidx, vec_id, m ORDER BY d2, c) AS rn
-              FROM enc0)
+              FROM enc0_s)
             WHERE rn = 1),
-    qall AS (SELECT cidx, vec_id AS qid, qv, qn FROM (
-               SELECT cidx, vec_id, v AS qv, nrm AS qn FROM nall)
+    qall_s AS (SELECT cidx, vec_id AS qid, v AS qv, nrm AS qn FROM nall_s
              WHERE vec_id < $NumQueries),
-    adc AS (SELECT q.cidx, q.qid, cb.m, cb.c,
+    adc_s AS (SELECT q.cidx, q.qid, cb.m, cb.c,
               list_sum(list_transform(generate_series(1, $sub),
                 i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
-            FROM qall q JOIN cball cb ON cb.cidx = q.cidx),
-    apx AS (SELECT q.cidx, q.qid, e.vec_id,
+            FROM qall_s q JOIN cb_s cb ON cb.cidx = q.cidx),
+    apx_s AS (SELECT q.cidx, q.qid, e.vec_id,
                  ROUND(list_sum(list(adc.t ORDER BY adc.m))
                    / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
-               FROM qall q
-               JOIN enc e ON e.cidx = q.cidx AND e.vec_id != q.qid
-               JOIN adc ON adc.cidx = q.cidx AND adc.qid = q.qid
+               FROM qall_s q
+               JOIN enc_s e ON e.cidx = q.cidx AND e.vec_id != q.qid
+               JOIN adc_s adc ON adc.cidx = q.cidx AND adc.qid = q.qid
                  AND adc.m = e.m AND adc.c = e.code
-               JOIN nall n ON n.cidx = q.cidx AND n.vec_id = e.vec_id
+               JOIN nall_s n ON n.cidx = q.cidx AND n.vec_id = e.vec_id
                GROUP BY q.cidx, q.qid, e.vec_id),
-    cand AS (SELECT cidx, qid, vec_id FROM (
+    cand_s AS (SELECT cidx, qid, vec_id FROM (
                SELECT cidx, qid, vec_id,
                  ROW_NUMBER() OVER (PARTITION BY cidx, qid
                    ORDER BY approx DESC, vec_id) AS arn
-               FROM apx) WHERE arn <= $PqRerank),
-    n0 AS (SELECT vec_id, v,
+               FROM apx_s) WHERE arn <= $PqRerank),
+    n0s AS (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-           FROM v),
-    q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0
+           FROM vs),
+    q0s AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0s
            WHERE vec_id < $NumQueries),
-    sall AS (SELECT c.cidx, c.qid, c.vec_id,
+    sall_s AS (SELECT c.cidx, c.qid, c.vec_id,
             ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
               i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
-          FROM cand c JOIN q0 q ON q.qid = c.qid JOIN n0 n ON n.vec_id = c.vec_id),
-    topall AS MATERIALIZED (SELECT cidx, qid, vec_id, score, rank FROM (
-              SELECT cidx, qid, vec_id, score,
+          FROM cand_s c JOIN q0s q ON q.qid = c.qid JOIN n0s n ON n.vec_id = c.vec_id),
+    topall_s AS MATERIALIZED (SELECT cidx, qid, vec_id FROM (
+              SELECT cidx, qid, vec_id,
                 ROW_NUMBER() OVER (PARTITION BY cidx, qid
                   ORDER BY score DESC, vec_id) AS rank
-              FROM sall) WHERE rank <= $K),
-    truth AS (SELECT qid, vec_id FROM (
+              FROM sall_s) WHERE rank <= $K),
+    truth_s AS (SELECT qid, vec_id FROM (
             SELECT q.qid, n.vec_id,
               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
                 ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
                   i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 DESC,
                 n.vec_id) AS rank
-            FROM q0 q JOIN n0 n ON n.vec_id != q.qid)
+            FROM q0s q JOIN n0s n ON n.vec_id != q.qid)
           WHERE rank <= $K),
     hits AS (SELECT c.cidx, COUNT(tr.qid) AS h
-           FROM (SELECT unnest(generate_series(0, 6)) AS cidx) c
-           LEFT JOIN topall t ON t.cidx = c.cidx
-           LEFT JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
+           FROM (SELECT unnest(generate_series(0, 7)) AS cidx) c
+           LEFT JOIN topall_s t ON t.cidx = c.cidx
+           LEFT JOIN truth_s tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
            GROUP BY c.cidx),
     bestc AS (SELECT cidx FROM hits a WHERE NOT EXISTS (
                 SELECT 1 FROM hits b
-                WHERE b.h > a.h OR (b.h = a.h AND b.cidx < a.cidx)))
+                WHERE b.h > a.h OR (b.h = a.h AND b.cidx < a.cidx))),
+    ${fwdLayer("wf_a1", "v", "a1")}
+    ${fwdLayer("wf_a2", "wf_a1", "a2")}
+    ${fwdLayer("wf_a3", "wf_a2", "a3")}
+    ${permApply("vpf4", "wf_a3", "pm3")}
+    ${fwdLayer("wf_b1", "v", "b1")}
+    ${fwdLayer("wf_b2", "wf_b1", "b2")}
+    ${fwdLayer("wf_b3", "wf_b2", "b3")}
+    ${fwdLayer("wf_t1", "v", "t21")}
+    ${fwdLayer("wf_t2", "wf_t1", "t22")}
+    ${fwdLayer("wf_t3", "wf_t2", "t23")}
+    ${permApply("vpf6", "wf_t3", "pm3")}
+    ${fwdLayer("wf_u1", "v", "u21")}
+    ${fwdLayer("wf_u2", "wf_u1", "u22")}
+    ${fwdLayer("wf_u3", "wf_u2", "u23")}
+    ${permApply("vpf2", "v", "pm1")}
+    ${permApply("vpf3", "v", "pm2")}
+    vpall_f AS (
+      SELECT 0 AS cidx, vec_id, v FROM v
+      UNION ALL SELECT 1, vec_id, v FROM v
+      UNION ALL SELECT 2, vec_id, v FROM vpf2
+      UNION ALL SELECT 3, vec_id, v FROM vpf3
+      UNION ALL SELECT 4, vec_id, v FROM vpf4
+      UNION ALL SELECT 5, vec_id, v FROM wf_b3
+      UNION ALL SELECT 6, vec_id, v FROM vpf6
+      UNION ALL SELECT 7, vec_id, v FROM wf_u3),
+    vwin AS MATERIALIZED (SELECT vec_id, v FROM vpall_f
+      WHERE cidx = (SELECT cidx FROM bestc)),
+    cbwin AS MATERIALIZED (SELECT m, c, cv FROM cb_s
+      WHERE cidx = (SELECT cidx FROM bestc)),
+    nwin AS (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+             FROM vwin),
+    encf0 AS (SELECT w.vec_id, cb.m, cb.c,
+               list_sum(list_transform(generate_series(1, $sub),
+                 i -> (w.v[cb.m * $sub + i] - cb.cv[i]) * (w.v[cb.m * $sub + i] - cb.cv[i]))) AS d2
+             FROM nwin w CROSS JOIN cbwin cb),
+    encf AS (SELECT vec_id, m, c AS code FROM (
+              SELECT vec_id, m, c,
+                ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+              FROM encf0) WHERE rn = 1),
+    qf AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM nwin
+           WHERE vec_id < $NumQueries),
+    adcf AS (SELECT q.qid, cb.m, cb.c,
+              list_sum(list_transform(generate_series(1, $sub),
+                i -> q.qv[cb.m * $sub + i] * cb.cv[i])) AS t
+            FROM qf q CROSS JOIN cbwin cb),
+    apxf AS (SELECT q.qid, e.vec_id,
+                 ROUND(list_sum(list(adc.t ORDER BY adc.m))
+                   / (ANY_VALUE(q.qn) * ANY_VALUE(n.nrm)), 6) + 0.0 AS approx
+               FROM qf q
+               JOIN encf e ON e.vec_id != q.qid
+               JOIN adcf adc ON adc.qid = q.qid AND adc.m = e.m AND adc.c = e.code
+               JOIN nwin n ON n.vec_id = e.vec_id
+               GROUP BY q.qid, e.vec_id),
+    candf AS (SELECT qid, vec_id FROM (
+               SELECT qid, vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY approx DESC, vec_id) AS arn
+               FROM apxf) WHERE arn <= $PqRerank),
+    n0 AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+           FROM v),
+    q0 AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n0
+           WHERE vec_id < $NumQueries),
+    sfin AS (SELECT c.qid, c.vec_id,
+            ROUND(list_sum(list_transform(generate_series(1, $OracleDim),
+              i -> q.qv[i] * n.v[i])) / (q.qn * n.nrm), 6) + 0.0 AS score
+          FROM candf c JOIN q0 q ON q.qid = c.qid JOIN n0 n ON n.vec_id = c.vec_id),
+    rfin AS (SELECT qid, vec_id, score,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM sfin)
     SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id, score
-    FROM topall WHERE cidx = (SELECT cidx FROM bestc) ORDER BY qid, rank"""
+    FROM rfin WHERE rank <= $K ORDER BY qid, rank"""
   }
-
   /** SQ: 8-bit codes per dimension; exact rerank budget per query. */
   val SqLevels = 255
   val SqRerank = 64

@@ -202,6 +202,24 @@ object Streaming {
     }
   }
 
+  /** The staged-events file stream, with an optional microbatch split
+    * (r19, verdict #6): SPARK_GRAFT_STREAM_MAXFILES caps files per
+    * trigger so a many-part scaled corpus drains as several pipelined
+    * microbatches instead of one bulk batch — the sf10 first-batch
+    * experiment's knob. Unset = one batch (the measured-fastest
+    * default at every rung: splitting the bulk batch re-pays the
+    * per-batch state-commit cost per split, PROBES_r19). Final outputs
+    * are split-invariant (the watermark is monotone and every drain
+    * runs to quiescence); the stream ≡ batch specs pin that.
+    */
+  private def eventStream(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, inDir: String): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    sys.env.get("SPARK_GRAFT_STREAM_MAXFILES").map(_.toInt)
+      .foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(inDir)
+  }
+
   private def stageEvents(dir: String, prefix: String): String = {
     val inDir = stagingDir(prefix)
     val src = Paths.get(s"$dir/events.parquet")
@@ -297,7 +315,7 @@ object Streaming {
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-win")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
     val agg = src
       .withColumn("ts_sec", tsSecExpr(schema))
       .groupBy(expr(s"(ts_sec div ${Events.WindowSec}) * ${Events.WindowSec}").as("window_start"),
@@ -331,7 +349,7 @@ object Streaming {
 
     val inDir = stageEvents(dir, "graft-stream-in")
 
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
@@ -395,7 +413,7 @@ object Streaming {
   def streamWindowAppend(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-append")
-    val agg = spark.readStream.schema(schema).parquet(inDir)
+    val agg = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
@@ -437,7 +455,7 @@ object Streaming {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-join")
     def side(tpe: String, prefix: String) =
-      spark.readStream.schema(schema).parquet(inDir)
+      eventStream(spark, schema, inDir)
         .withColumn("ts_sec", tsSecExpr(schema))
         .where(col("event_type") === tpe)
         .select(col("event_id").as(s"${prefix}_id"),
@@ -478,7 +496,7 @@ object Streaming {
   def streamDedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedup")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val name = "graft_stream_dedup"
@@ -503,7 +521,7 @@ object Streaming {
     withStatePartitions(spark, stateShards(spark, dir), store = "rocksdb") {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-dedupwm")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "60 days")
@@ -537,7 +555,7 @@ object Streaming {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-funnel")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
@@ -613,7 +631,7 @@ object Streaming {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-latest")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
@@ -680,7 +698,7 @@ object Streaming {
   def streamTopk(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark, stateShards(spark, dir)) {
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-topk")
-    val agg = spark.readStream.schema(schema).parquet(inDir)
+    val agg = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("ts_ev", timestamp_seconds(col("ts_sec")))
       .withWatermark("ts_ev", "0 seconds")
@@ -748,7 +766,7 @@ object Streaming {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-anom")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
       .select(col("user_id").cast(LongType).as("user_id"), col("event_id"),
@@ -841,7 +859,7 @@ object Streaming {
     import spark.implicits._
     val schema = Tables.events(spark, dir).schema
     val inDir = stageEvents(dir, "graft-stream-ewma")
-    val src = spark.readStream.schema(schema).parquet(inDir)
+    val src = eventStream(spark, schema, inDir)
       .withColumn("ts_sec", tsSecExpr(schema))
       .withColumn("cents", round(col("value") * 100.0, 0).cast(LongType))
       .select(col("user_id").cast(LongType).as("user_id"), col("event_id"),

@@ -17,7 +17,7 @@ import graft._
   */
 object CorenessScale {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("target/sf10")
+    val dir = args.filterNot(_.startsWith("--")).headOption.getOrElse("target/sf10")
     val checkPeel = args.contains("--check-peel")
     val spark = GraftSession.local(32, "coreness-scale")
     val e = graph.DerivedGraphs.supplyEdges(spark, dir)

@@ -1,6 +1,6 @@
 package graft
 
-import graft.similarity.Ann
+import graft.similarity.{Ann, OpqTrain}
 import org.apache.spark.sql.functions.col
 
 /** ANN guarantees: IVF with full probing degenerates to exact brute
@@ -134,17 +134,19 @@ class AnnSpec extends SparkSpec {
 
   test("opqTopK: recall-tournament transform, recall >= plain PQ, scores exact") {
     val bf = neighborSets(Ann.bruteForceTopK(emb))
-    val t = Ann.opqSelect(emb)
+    val model = OpqTrain.train(emb)
+    val t = model.transform
     // whatever won, the permutation part must be a true permutation
     assert(t.perm.sorted.toSeq === t.perm.indices.toSeq)
-    val opqDf = Ann.opqTopK(emb, transform = Some(t))
+    val opqDf = Ann.opqTopK(emb, model)
     val rOpq = annRecall(bf, neighborSets(opqDf))
     val rPq = annRecall(bf, neighborSets(Ann.pqTopK(emb)))
-    info(f"gate corpus: OPQ recall $rOpq%.3f vs PQ $rPq%.3f (transform: ${if (t.isIdentity) "identity" else s"layers ${t.layers.map(_._1).mkString("/")}"})")
-    // identity is candidate 0 of the recall tournament, so OPQ can
-    // never lose to plain PQ on its own training metric
+    info(f"gate corpus: OPQ recall $rOpq%.3f vs PQ $rPq%.3f (transform: ${if (t.isIdentity) "identity" else s"layers ${t.layers.map(_._1).mkString("/")}"}, codebook: ${if (model.codebook.isDefined) "lloyd" else "seed"})")
+    // plain seed-codebook PQ is candidate 0 of the recall tournament,
+    // and at gate scale the training sample covers the corpus, so OPQ
+    // can never lose to plain PQ on its own training metric
     assert(rOpq >= rPq,
-      s"OPQ recall $rOpq must be >= plain PQ's $rPq (identity is a candidate)")
+      s"OPQ recall $rOpq must be >= plain PQ's $rPq (plain PQ is candidate 0)")
     // every OPQ hit carries the true rounded cosine of the ORIGINAL
     // vectors: the rerank joins the original frame whatever the
     // transform did (rotation included — not just permutations)
@@ -154,18 +156,29 @@ class AnnSpec extends SparkSpec {
       assert(bfScores((r.getLong(0), r.getLong(2))) === r.getDouble(3))
     }
     // deterministic: two runs identical (catalog-served or not)
-    assert(rowsOf(Ann.opqTopK(emb, transform = Some(t))) === rowsOf(opqDf))
-    // the Materialized blob codec round-trips the transform exactly
-    val rt = Ann.opqFromBlob(Ann.opqToBlob(t))
-    assert(rt.perm.toSeq === t.perm.toSeq)
-    assert(rt.layers.map(_._1) === t.layers.map(_._1))
-    assert(rt.layers.zip(t.layers).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    assert(rowsOf(Ann.opqTopK(emb, model)) === rowsOf(opqDf))
+    // the Materialized blob codec round-trips transform AND codebook
+    val rt = Ann.opqFromBlob(Ann.opqToBlob(model))
+    assert(rt.transform.perm.toSeq === t.perm.toSeq)
+    assert(rt.transform.layers.map(_._1) === t.layers.map(_._1))
+    assert(rt.transform.layers.zip(t.layers).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    assert(rt.codebook.isDefined === model.codebook.isDefined)
+    (rt.codebook, model.codebook) match {
+      case (Some(a), Some(b)) =>
+        assert(a.length === b.length)
+        a.zip(b).foreach { case (am, bm) =>
+          assert(am.map(_._1).toSeq === bm.map(_._1).toSeq)
+          am.zip(bm).foreach { case ((_, av), (_, bv)) => assert(av.toSeq === bv.toSeq) }
+        }
+      case _ =>
+    }
 
     // planted variance-skewed corpus: dims 0-1 carry ~all the energy
     // (and the neighbor signal), the rest is low-amplitude noise.
     // Contiguous slicing buries both hot dims in ONE 16-code subspace;
-    // a balanced layout splits them — the tournament must select a
-    // NON-identity transform and beat plain PQ's recall with it
+    // the tournament must select a trained candidate (layout, rotation
+    // or Lloyd codebook — anything but the plain-PQ floor) and not
+    // lose to plain PQ's recall with it
     val s = spark
     import s.implicits._
     val planted = (0 until 400).map { i =>
@@ -177,59 +190,78 @@ class AnnSpec extends SparkSpec {
       }
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding").localCheckpoint()
-    val tP = Ann.opqSelect(planted)
-    assert(!tP.isIdentity,
-      "variance-skewed corpus must select a non-identity transform")
+    val mP = OpqTrain.train(planted)
+    assert(!mP.transform.isIdentity || mP.codebook.isDefined,
+      "variance-skewed corpus must select a trained candidate, not the plain-PQ floor")
     val bfP = neighborSets(Ann.bruteForceTopK(planted))
-    val rOpqP = annRecall(bfP, neighborSets(Ann.opqTopK(planted, transform = Some(tP))))
+    val rOpqP = annRecall(bfP, neighborSets(Ann.opqTopK(planted, mP)))
     val rPqP = annRecall(bfP, neighborSets(Ann.pqTopK(planted)))
     info(f"planted skew: OPQ recall $rOpqP%.3f vs PQ $rPqP%.3f")
     assert(rOpqP >= rPqP,
       s"planted skew: OPQ recall $rOpqP must be >= PQ's $rPqP")
   }
 
-  test("opqTopK: Ge alternation sweeps lower PQ distortion below both butterfly inits") {
-    // Σ‖rep − decode(rep)‖² under the chain's seed codebooks — the
-    // alternation's own training objective. Candidates 5/6 alternate
-    // codebook-decode ↔ closed-form per-pair Givens relearn on top of
-    // candidates 3/4; each must end at-or-below its init's distortion
-    // (the sweeps can only be accepted as "Ge alternation proper" if
-    // they measurably minimize what Ge's alternation minimizes). The
-    // recall TOURNAMENT still gates the served transform, so a
-    // lower-distortion candidate that loses on recall@10 — the
-    // seeded-16-centroid regime measurably decouples the two — can
-    // never regress the op.
-    def distortion(rep: org.apache.spark.sql.DataFrame): Double = {
-      val spk = spark
-      import spk.implicits._
-      val seeds = rep.where(col("vec_id") < Ann.PqCentroids)
-        .select(col("vec_id").cast("long"), col("embedding"))
-        .as[(Long, Array[Float])].collect().sortBy(_._1).map(_._2)
-      val dim = seeds.head.length
-      val sub = dim / Ann.PqSubspaces
-      rep.select(col("embedding")).as[Array[Float]].collect().map { v =>
-        (0 until Ann.PqSubspaces).map { m =>
-          (0 until Ann.PqCentroids).map { c =>
-            (0 until sub).map { i =>
-              val d = v(m * sub + i).toDouble - seeds(c)(m * sub + i).toDouble
-              d * d
-            }.sum
-          }.min
-        }.sum
-      }.sum
+  test("OpqTrain: bounded sample is exactly the md5-lowest draw, training is sample-pure") {
+    // corpus bigger than the sample bound → sampling is ACTIVE. Pin
+    // the engine's TakeOrdered draw against an independent md5
+    // implementation, and pin that training is a pure function of the
+    // sample: training on the explicitly-reconstructed sample corpus
+    // yields the identical model.
+    val s = spark
+    import s.implicits._
+    val n = 64
+    val big = (0 until 300).map { i =>
+      (i.toLong, Array.tabulate(16)(d => splitmixF(i.toLong, d)).toSeq)
+    }.toDF("vec_id", "embedding").localCheckpoint()
+    val (ids, _) = OpqTrain.collectSample(big, n)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(id: Long): String =
+      md.digest(s"opq:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expect = (0L until 16L) ++
+      (16L until 300L).sortBy(id => (hex(id), id)).take(n)
+    assert(ids.toSeq === expect.sorted)
+    // sample-purity: training on the reconstructed sample corpus (all
+    // rows in the sample, nothing else) gives the identical model
+    val sampleDf = big.where(col("vec_id").isin(expect: _*)).localCheckpoint()
+    val m1 = OpqTrain.train(big, n)
+    val m2 = OpqTrain.train(sampleDf, n)
+    assert(m1.transform.perm.toSeq === m2.transform.perm.toSeq)
+    assert(m1.transform.layers.map(_._1) === m2.transform.layers.map(_._1))
+    assert(m1.transform.layers.zip(m2.transform.layers)
+      .forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq })
+    assert(m1.codebook.isDefined === m2.codebook.isDefined)
+  }
+
+  test("opqTopK: Ge alternation lowers JOINT distortion below its butterfly init") {
+    // Σ‖rep − decode(rep)‖² under each candidate's OWN Lloyd codebook —
+    // the joint rotation+codebook objective Ge's alternation descends.
+    // Candidates 6/7 alternate Lloyd-codebook decode ↔ closed-form
+    // per-pair Givens relearn on top of candidates 4/5; each must end
+    // at-or-below its init's joint distortion. The 1e-6 slack absorbs
+    // the round9/float snaps and the sequential-Givens restriction,
+    // which break STRICT monotonicity (the descent argument holds for
+    // the exact alternation, not its snapped butterfly projection).
+    val (ids, vecs) = OpqTrain.collectSample(emb, OpqTrain.TrainSample)
+    val cs = OpqTrain.candidates(ids, vecs)
+    assert(cs.length === 8)
+    val d = cs.map { case (t, lloyd) =>
+      OpqTrain.jointDistortion(ids, OpqTrain.applyTransform(vecs, t),
+        if (lloyd) OpqTrain.LloydIters else 0)
     }
-    val ts = Ann.opqTransforms(emb)
-    assert(ts.length === 7)
-    val d = ts.map(t => distortion(Ann.applyOpq(emb, t)))
-    info(f"distortion (id, rr, ct, conc, bal, altA, altB): ${d.map(x => f"$x%.2f").mkString(", ")}")
-    assert(d(5) <= d(3),
-      f"alternation on conc must not raise distortion: ${d(5)}%.2f vs ${d(3)}%.2f")
-    assert(d(6) <= d(4),
-      f"alternation on bal must not raise distortion: ${d(6)}%.2f vs ${d(4)}%.2f")
+    info(f"joint distortion (pq, id, rr, ct, conc, bal, altA, altB): ${d.map(x => f"$x%.2f").mkString(", ")}")
+    assert(d(6) <= d(4) * (1 + 1e-6),
+      f"alternation on conc must not raise joint distortion: ${d(6)}%.2f vs ${d(4)}%.2f")
+    assert(d(7) <= d(5) * (1 + 1e-6),
+      f"alternation on bal must not raise joint distortion: ${d(7)}%.2f vs ${d(5)}%.2f")
+    // the Lloyd codebook itself descends the same objective from the
+    // seed init (candidate 1 vs candidate 0: identical rep, trained
+    // vs seed codebook)
+    assert(d(1) <= d(0) * (1 + 1e-6),
+      f"Lloyd codebook must not raise distortion over seeds: ${d(1)}%.2f vs ${d(0)}%.2f")
     // and the alternation layers stay genuine rotations: each learned
     // (c, s) is a unit pair at the 9-dp snap
-    ts(5).layers.foreach { case (_, cs) =>
-      cs.grouped(2).foreach { p =>
+    cs(6)._1.layers.foreach { case (_, csv) =>
+      csv.grouped(2).foreach { p =>
         assert(math.abs(p(0) * p(0) + p(1) * p(1) - 1.0) < 1e-6) }
     }
   }
@@ -237,10 +269,11 @@ class AnnSpec extends SparkSpec {
   test("opqTopK: learned balance rotation beats EVERY permutation on a dominant-dim corpus") {
     // one dim carries 100x the variance of the rest. A permutation can
     // MOVE that dim but its subspace's 16 codes still quantize it
-    // alone (4-ish effective levels next to its pair dim); only a
-    // ROTATION can SPLIT it, letting several subspaces' independent
-    // codebooks each quantize a share so ADC errors average down —
-    // the regime where no permutation can win but the rotation does.
+    // alongside its pair dims; only a ROTATION can SPLIT it, letting
+    // several subspaces' independent codebooks each quantize a share
+    // so ADC errors average down — the regime where no permutation can
+    // win but the rotation does. 1600 rows > the 1040-row sample
+    // bound, so this corpus also exercises the SAMPLED training path.
     val s = spark
     import s.implicits._
     val dom = (0 until 1600).map { i =>
@@ -248,19 +281,21 @@ class AnnSpec extends SparkSpec {
         (if (d == 0) 20.0f else 2.0f) * splitmixF(i.toLong, d))
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding").localCheckpoint()
-    val truth = Ann.bruteForceTopK(dom).select("qid", "vec_id").localCheckpoint()
-    val ts = Ann.opqTransforms(dom)
-    val hits = ts.map(t => Ann.opqRecallHits(dom, truth, t))
-    info(s"dominant-dim tournament hits (id, rr, ct, conc, bal): ${hits.mkString(", ")}")
-    // candidates 0-2 are the permutation layouts, 4 the balance
-    // rotation: the rotation must beat ALL permutations outright
-    assert(hits(4) > hits.take(3).max,
-      s"balance rotation ${hits(4)} must beat every permutation ${hits.take(3).mkString(",")}")
-    val tD = Ann.opqSelect(dom)
-    assert(tD.layers.nonEmpty, "selection must pick a rotation here")
+    val (ids, vecs) = OpqTrain.collectSample(dom, OpqTrain.TrainSample)
+    assert(ids.length === 16 + OpqTrain.TrainSample,
+      "the dominant-dim corpus must exercise bounded sampling")
+    val cs = OpqTrain.candidates(ids, vecs)
+    val hits = OpqTrain.tournamentHits(ids, vecs, cs)
+    info(s"dominant-dim tournament hits (pq, id, rr, ct, conc, bal, altA, altB): ${hits.mkString(", ")}")
+    // candidates 0-3 are the codebook/permutation layouts, 5 the
+    // balance rotation: the rotation must beat ALL of them outright
+    assert(hits(5) > hits.take(4).max,
+      s"balance rotation ${hits(5)} must beat every permutation ${hits.take(4).mkString(",")}")
+    val mD = OpqTrain.train(dom)
+    assert(mD.transform.layers.nonEmpty, "selection must pick a rotation here")
     // and end to end the op must strictly beat plain PQ's recall
     val bfD = neighborSets(Ann.bruteForceTopK(dom))
-    val rOpqD = annRecall(bfD, neighborSets(Ann.opqTopK(dom, transform = Some(tD))))
+    val rOpqD = annRecall(bfD, neighborSets(Ann.opqTopK(dom, mD)))
     val rPqD = annRecall(bfD, neighborSets(Ann.pqTopK(dom)))
     info(f"dominant-dim: OPQ recall $rOpqD%.3f vs PQ $rPqD%.3f")
     assert(rOpqD > rPqD,

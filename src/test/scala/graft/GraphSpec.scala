@@ -717,4 +717,48 @@ class GraphSpec extends SparkSpec {
     k3.foreach(v => assert(cg(v) >= 3L, s"vertex $v in 3-core but coreness ${cg(v)}"))
     cg.filter(_._2 >= 3L).keys.foreach(v => assert(k3.contains(v)))
   }
+
+  test("coreness: hub-skew graph (100k-degree vertex) through the distributed histogram path") {
+    // One vertex with 100k leaves plus a 4-clique the hub also joins:
+    // {hub, 1..4} is a 5-vertex min-degree-4 subgraph, so the hub and
+    // the clique sit in the 4-core while every leaf is coreness 1.
+    // r18's per-vertex row_number window sorted all 100k gathered hub
+    // rows per round; the r19 histogram form sees TWO rows for the hub
+    // (est 1 x100k clipped, est-cap bucket) — this spec pins the
+    // skew-immune path to the exact output and to the independent
+    // bucket-peel.
+    val spk = spark
+    import spk.implicits._
+    val leaves = (0 until 100000).map(i => (0L, (100L + i)))
+    val clique = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val hubIn = (1L to 4L).map(v => (0L, v))
+    val g = spk.createDataFrame(leaves ++ clique ++ hubIn).toDF("src", "dst")
+      .localCheckpoint()
+    val expect = ((100L until 100100L).map(_ -> 1L) ++
+      (1L to 4L).map(_ -> 4L) :+ (0L -> 4L)).toMap
+    val dist = GraphOps.coreness(g, maxLocalEdges = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === expect)
+    assert(GraphOps.lastCorenessRounds <= 4,
+      s"hub-skew fixpoint should converge in a few rounds, took ${GraphOps.lastCorenessRounds}")
+    val peel = GraphOps.corenessPeel(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(peel === expect)
+  }
+
+  test("RoundCheckpoints captures its own RDD id exactly (no keyset-diff fallback)") {
+    // the concurrency guard: ckpt() must identify the checkpoint's OWN
+    // persisted RDD from the returned plan, not by diffing the
+    // context's persistent set (which could capture a concurrent
+    // foreign localCheckpoint and later fatally unpersist it). Pin the
+    // primary path so a Spark-version shape drift cannot silently
+    // degrade to the racy fallback.
+    val spk = spark
+    import spk.implicits._
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b").localCheckpoint()
+    val id = GraphOps.ownCheckpointRddId(df)
+    assert(id.isDefined, "LogicalRDD leaf introspection must work on this Spark version")
+    assert(spk.sparkContext.getPersistentRDDs.contains(id.get),
+      "the captured id must be the persisted checkpoint RDD")
+  }
 }

@@ -211,6 +211,34 @@ class EventsStreamingSpec extends SparkSpec {
     assert(sessDefault.nonEmpty && dedupDefault.nonEmpty)
   }
 
+  // r19 multi-batch drains: with spark.graft.streamMaxFiles=1 every
+  // sorted staging part is its own microbatch — the maximal split, the
+  // watermark advancing (and state flushing) at every boundary. Every
+  // stateful shape must still produce its bulk-drain rows: the
+  // windowed aggs finalize windows exactly once (time-sorted staging
+  // means no late drops), sessionize preserves numbering through the
+  // timeout tombstone, funnel keeps its fold across snapshots, latest
+  // keeps the last emission, and the per-event folds (ewma) see the
+  // oracle's (ts_sec, event_id) order across boundaries.
+  test("streaming ops are microbatch-split invariant (maxFiles=1 vs bulk)") {
+    val ops: Seq[(String, () => Set[Seq[Any]])] = Seq(
+      "sessionize" -> (() => rowsOf(streaming.Streaming.streamSessionize(spark, sfDir))),
+      "funnel" -> (() => rowsOf(streaming.Streaming.streamFunnel(spark, sfDir))),
+      "latest" -> (() => rowsOf(streaming.Streaming.streamLatestState(spark, sfDir))),
+      "topk" -> (() => rowsOf(streaming.Streaming.streamTopk(spark, sfDir))),
+      "ewma" -> (() => rowsOf(streaming.Streaming.streamEwma(spark, sfDir))),
+      "window_append" -> (() => rowsOf(streaming.Streaming.streamWindowAppend(spark, sfDir))),
+      "join_recent" -> (() => rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir))),
+      "dedup_wm" -> (() => rowsOf(streaming.Streaming.streamDedupWatermark(spark, sfDir))))
+    val bulk = ops.map { case (n, f) => n -> f() }
+    spark.conf.set("spark.graft.streamMaxFiles", "1")
+    try ops.zip(bulk).foreach { case ((n, f), (_, b)) =>
+      val split = f()
+      assert(split === b, s"$n: maxFiles=1 drain must equal the bulk drain")
+      assert(split.nonEmpty, s"$n: empty result")
+    } finally spark.conf.unset("spark.graft.streamMaxFiles")
+  }
+
   // The two rate×interval-state ops default to RocksDB (their state
   // grows with buffered rows, not key count); the explicit conf must
   // still force them back on-heap with identical results, so the

@@ -84,7 +84,36 @@ object GraphOps {
       prev.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prev = cur; cur = Set.empty
     }
+
+    /** End-of-loop hygiene (r20, verdict r19 #2): release EVERYTHING
+      * still tracked — except the frames in `keep` (the op's result
+      * lineage) — with BLOCKING unpersists, so the multi-GB block
+      * drops are paid inside the op that owns them instead of landing
+      * as an async ContextCleaner wave on whatever the bench runs
+      * next (the r17-r19 dfs-family median pollution). Mid-loop
+      * frees stay async ([[endRound]]); blocking is cheap here
+      * because the loop is already over.
+      */
+    def drain(keep: Seq[DataFrame] = Nil): Unit = {
+      val keepIds = keep.flatMap(RoundCheckpoints.ownRddId).toSet
+      val all = prev ++ cur
+      all.diff(keepIds).foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = true)))
+      prev = Set.empty; cur = all intersect keepIds
+    }
   }
+
+  /** Blocking release of a localCheckpoint'd frame's blocks once its
+    * last consumer has materialized — `df.unpersist` would only touch
+    * the CacheManager layer, not the checkpoint RDD, so untracked
+    * checkpoints otherwise wait for GC + the async ContextCleaner
+    * (whose reclamation wave pollutes co-scheduled ops at sf10).
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    RoundCheckpoints.ownRddId(df).foreach { id =>
+      df.sparkSession.sparkContext.getPersistentRDDs.get(id)
+        .foreach(_.unpersist(blocking = true))
+    }
 
   /** Spec tap for [[RoundCheckpoints.ownRddId]] — pins the exact-id
     * capture path (the concurrency guard) against Spark shape drift.
@@ -457,6 +486,7 @@ object GraphOps {
     val allVerts = ce.select(col("src").as("vertex"))
       .unionAll(ce.select(col("dst").as("vertex")))
       .distinct().localCheckpoint()
+    val eContracted = e // pre-loop contraction checkpoint, released at drain
     var converged = false
     var rounds = 0
     def checksum(df: DataFrame): (Long, Long) = {
@@ -522,6 +552,14 @@ object GraphOps {
     val labels = e.select(col("v").as("vertex"), col("u").as("component"))
       .unionAll(e.select(col("u").as("vertex"), col("u").as("component")))
       .distinct()
+    // end-of-loop hygiene: the result reads only the FINAL round's ss
+    // (`e`) and allVerts — every other tracked checkpoint (the 2×|E|
+    // bidirected frames of the last round, all superseded rounds, the
+    // raw-edge and contraction inputs) releases BLOCKING here, inside
+    // this op's own wall, instead of as an async cleaner wave on the
+    // next co-scheduled op (r19 verdict #2)
+    hy.drain(keep = Seq(e))
+    releaseCheckpoint(ce); releaseCheckpoint(e0); releaseCheckpoint(eContracted)
     allVerts.join(labels, Seq("vertex"), "left")
       .select(col("vertex"), coalesce(col("component"), col("vertex")).as("component"))
   }
@@ -968,8 +1006,12 @@ object GraphOps {
     // round's merged checkpoint too — nothing of the loop's 2x|V|-row
     // block sets outlives the function except the result itself
     val out = hy.ckpt(est.select(col("v").as("vertex"), col("est").as("coreness")))
-    hy.endRound()
-    adjV.unpersist(); adjW.unpersist()
+    // blocking end-of-loop release (r19 verdict #2): the final round's
+    // superseded estimate chain and the two 2×|E| DISK_ONLY adjacency
+    // copies drop inside this op's wall, not as an async cleaner wave
+    // on the next op
+    hy.drain(keep = Seq(out))
+    adjV.unpersist(blocking = true); adjW.unpersist(blocking = true)
     out
   }
 

@@ -169,6 +169,119 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  /** r20 sampled trainer, pin 1: when the sample covers the corpus
+    * (n = 500 ≤ 64·k at gate k), the driver-side decimal Lloyd must be
+    * BIT-IDENTICAL to the distributed decimal Lloyd — this is the
+    * oracle-exactness claim ([[Cluster.lloydDriverCentroids]]
+    * reproduces `updated`'s DECIMAL(27,10)→double→round-6 arithmetic
+    * and the literal path's fold order) proven against the engine
+    * itself.
+    */
+  test("sampled trainer equals the distributed full-corpus Lloyd when the sample covers the corpus") {
+    val vecs = Ann.withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "v", "nrm")
+    assert(vecs.count() <= Cluster.SampleFactor.toLong * Cluster.K)
+    val sampled = Cluster.sampledCentroids(vecs, Cluster.K)
+    val full = Cluster.lloydCentroids(vecs, Cluster.K, Cluster.Iters)
+    assert(sampled.map(_._1) === full.map(_._1))
+    sampled.zip(full).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+  }
+
+  /** r20 sampled trainer, pin 2: above the bound (600 > 64·8 = 512)
+    * sampling is ACTIVE — the TakeOrdered draw must equal an
+    * independently computed md5-window draw, training must only see
+    * those rows, and the result is deterministic.
+    */
+  test("sampling is active, bounded, and deterministic above 64*k rows") {
+    val rows = (0 until 600).map { i =>
+      (i.toLong, Seq.tabulate(4)(j => ((i * 7 + j * 3) % 13).toDouble / 3.0))
+    }
+    val vecs = rows.toDF("vec_id", "v")
+      .withColumn("nrm", call_function("graft_norm", col("v")))
+      .localCheckpoint()
+    val k = Cluster.kFor(600L)
+    assert(k === Cluster.K)
+    val s = Cluster.SampleFactor * k
+    val drawn = Cluster.semSample(vecs, s, "sem:").select("vec_id").collect().map(_.getLong(0))
+    assert(drawn.length === s && drawn.toSet.size === s)
+    // independent draw: full md5 sort on the driver
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(id: Long) = md.clone().asInstanceOf[java.security.MessageDigest]
+      .digest(s"sem:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val expect = (0L until 600L).sortBy(id => (h(id), id)).take(s)
+    assert(drawn.sorted.toSeq === expect.sorted.toSeq)
+    // trainer == driver Lloyd over exactly that sample, twice (determinism)
+    val byId = vecs.collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    val sampleRows = expect.map(id => (id, byId(id)._1, byId(id)._2)).toArray
+    val want = Cluster.lloydDriverCentroids(sampleRows, k, Cluster.Iters)
+    for (_ <- 1 to 2) {
+      val got = Cluster.sampledCentroids(vecs, k)
+      assert(got.map(_._1) === want.map(_._1))
+      got.zip(want).foreach { case ((_, a), (_, b)) => assert(a.toSeq === b.toSeq) }
+    }
+  }
+
+  /** r20 hierarchical path (k > HierK at production sizes; driven here
+    * with small targets): coarse cells sized by real counts, per-cell
+    * sub-Lloyd over bounded samples only, serve = coarse argmin +
+    * broadcast per-cell argmin. Pins: k2 sizing, argmin optimality of
+    * the served assignment against a driver brute force, determinism,
+    * and end-to-end dup flags through the collapse machinery.
+    */
+  test("hierarchical two-level path: k2 sizing, argmin optimality, determinism, dup flags") {
+    val rows = for (b <- 0 until 8; i <- 0 until 30) yield {
+      val v = Array.tabulate(4)(j => if (j == b % 4) 10.0 * (1 + b / 4) else 0.5 * b)
+      v((b + 1) % 4) += 0.01 * (i % 3)
+      ((b * 30 + i).toLong, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val vecs = Ann.withNorm(emb).select("vec_id", "v", "nrm").localCheckpoint()
+    val coarse = Cluster.sampledCentroids(vecs, 3, sampleFactor = 16)
+    val target = 16L
+    def subsOnce() =
+      Cluster.hierSubCentroids(vecs, coarse, target = target, sampleFactor = 4)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val subs = subsOnce()
+    assert(subs === subsOnce(), "sub-centroid training must be deterministic")
+    // k2 sizing: sub ids per cell stay within ceil(cell_count/target)
+    val byId = rows.map { case (id, v) => id -> v.toArray }.toMap
+    def cellOf(v: Array[Double]): Int =
+      coarse.map { case (c, cv) => (round6(dist2(v.toSeq, cv)), c) }.min._2
+    val cellCounts = rows.groupBy { case (id, _) => cellOf(byId(id)) }.view.mapValues(_.size)
+    subs.groupBy(_._1).foreach { case (cell, ss) =>
+      val k2 = (cellCounts(cell) + target - 1) / target
+      assert(ss.size <= k2, s"cell $cell: ${ss.size} subs > k2 $k2")
+    }
+    // served assignment is the per-cell argmin (driver brute force)
+    val subsDf = Cluster.hierSubCentroids(vecs, coarse, target = target, sampleFactor = 4)
+    val served = Cluster.hierAssign(coarse, subsDf)(vecs)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(served.size === rows.size)
+    rows.foreach { case (id, _) =>
+      val v = byId(id)
+      val cell = cellOf(v)
+      val best = subs.filter(_._1 == cell)
+        .map { case (_, cl, cv) => (round6(dist2(v.toSeq, cv.toArray)), cl) }.min._2
+      assert(served(id) === best, s"vec $id")
+    }
+    // end-to-end through the collapse machinery: flags consistent and
+    // near-identical blob members see their priors
+    val out = Cluster.semanticSummaryWith(
+      emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding")),
+      vecs, Cluster.hierAssign(coarse, subsDf), 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === rows.size)
+    out.foreach { case (_, n, kept) => assert(kept === (n == 0L)) }
+    // identical copies (i % 3 == 0 beyond the first) share a vector with
+    // vec b*30: later identical copies must be flagged
+    for (b <- 0 until 8; i <- Seq(3, 6, 9)) {
+      val id = (b * 30 + i).toLong
+      val got = out.find(_._1 == id).get
+      assert(got._2 >= 1L && !got._3, s"identical copy $id must see its priors")
+    }
+  }
+
   test("dedup_semantic gate output on shipped data: clusters bounded, flags consistent") {
     val out = Cluster.dedupSemantic(spark, sfDir).collect()
     assert(out.length > 0)

@@ -136,9 +136,12 @@ object DerivedGraphs {
     * (triangles, non-trivial components) and small enough for
     * transitive-closure oracles.
     */
-  def nationEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nation") {
+  def nationEdges(spark: SparkSession, dir: String): DataFrame =
+    // no catalog key of its own (r20, verdict r19 #3): a projection of
+    // the checkpointed nationw frame is free, and a second key made
+    // the cold-derive pass pay (and attribute) the 4-table warehouse
+    // join twice — once per key — in every eviction epoch
     nationWeightedEdges(spark, dir).select("src", "dst")
-  }
 
   /** Tolled nation trade graph: the SAME edge set as [[nationEdges]]
     * plus a deterministic integer toll per surviving edge,
@@ -151,16 +154,25 @@ object DerivedGraphs {
     * catalog instead of run once per graph flavor.
     */
   def nationWeightedEdges(spark: SparkSession, dir: String): DataFrame = materialized(spark, dir, "nationw") {
-    val w = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    // minimal fact streams BEFORE the fact-fact join (r20, verdict r19
+    // #3): lineitem partial-aggregates to (l_orderkey, l_suppkey, cnt)
+    // — the per-pair multiplicity, so Σcnt ≡ the raw count(*) and the
+    // oracle SQL is untouched — and orders⋈customer projects to the
+    // 2-column (o_orderkey, c_nationkey) before the join, so the
+    // orderkey exchange carries the narrowest possible rows. The
+    // supplier side is a broadcast nationkey lookup.
+    val lc = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .groupBy("l_orderkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+    val oc = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
-      .join(Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+      .select("o_orderkey", "c_nationkey")
+    val w = lc.join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
         col("s_suppkey") === col("l_suppkey"))
       .where(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("w"))
+      .agg(sum(col("cnt")).cast("long").as("w"))
       // nation-pair-sized (≤ 625 rows) after the aggregation, but fed
       // to two consumers (the mean and the filter) — checkpoint so the
       // 4-table warehouse join above can never execute twice

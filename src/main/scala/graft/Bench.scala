@@ -178,7 +178,7 @@ object Bench {
       (if (deriveFailed.isEmpty) ""
        else deriveFailed.map("\"" + _ + "\"").mkString(""","failed_cold_derive":[""", ",", "]"))
     val full =
-      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)},"queries_cold_catalog":${qmap(cold)},"queries_cold_derive":${qmap(coldDerive)},"derive_by_key":${qmap(deriveByKey)}$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total_detail","value":${f2(total)},"unit":"sec","agg":"median","repeats":$repeats,"warmup_dropped":$dropFirst,"runs_recorded":$totalRuns,"run_totals":$runTotals,"queries":${qmap(med)},"queries_min":${qmap(mins)},"queries_cold_catalog":${qmap(cold)},"queries_cold_derive":${qmap(coldDerive)},"derive_by_key":${qmap(deriveByKey)}$fs,"sf":"$sfDir"}"""
     // Full detail goes ONLY to the file: printing it to stdout risks a
     // truncated half-JSON line in the bounded tail capture.
     try {

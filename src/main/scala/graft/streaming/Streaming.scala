@@ -299,9 +299,20 @@ object Streaming {
         }
         try Files.move(tmp, base, StandardCopyOption.ATOMIC_MOVE)
         catch {
-          case _: java.io.IOException => // lost a cross-JVM race: reuse winner
-            parts.foreach(Files.deleteIfExists)
-            Files.deleteIfExists(tmp)
+          case e: java.io.IOException =>
+            // lost a cross-JVM race: the winner's tree serves. Drop OUR
+            // tmp tree recursively — Spark also writes _SUCCESS/.crc
+            // siblings, so deleting only *.parquet left the dir
+            // non-empty and the cleanup meant to make the race benign
+            // threw DirectoryNotEmptyException. And if base still isn't
+            // there, the move failed for a non-race reason — rethrow
+            // the original instead of returning a path that later fails
+            // with a confusing 'no sorted parts'.
+            val walk = Files.walk(tmp)
+            try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+            finally walk.close()
+            if (!Files.isDirectory(base)) throw e
         }
         base
       }

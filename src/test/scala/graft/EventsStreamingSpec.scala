@@ -229,7 +229,13 @@ class EventsStreamingSpec extends SparkSpec {
       "ewma" -> (() => rowsOf(streaming.Streaming.streamEwma(spark, sfDir))),
       "window_append" -> (() => rowsOf(streaming.Streaming.streamWindowAppend(spark, sfDir))),
       "join_recent" -> (() => rowsOf(streaming.Streaming.streamJoinRecent(spark, sfDir))),
-      "dedup_wm" -> (() => rowsOf(streaming.Streaming.streamDedupWatermark(spark, sfDir))))
+      "dedup_wm" -> (() => rowsOf(streaming.Streaming.streamDedupWatermark(spark, sfDir))),
+      // r20 (ADVICE): the remaining stateful shapes — anomaly is the
+      // other per-event (ts_sec, event_id)-ordered fold whose output
+      // depends on batch boundaries honoring the sorted staging
+      "anomaly" -> (() => rowsOf(streaming.Streaming.streamAnomaly(spark, sfDir))),
+      "window_agg" -> (() => rowsOf(streaming.Streaming.streamWindowAgg(spark, sfDir))),
+      "dedup" -> (() => rowsOf(streaming.Streaming.streamDedup(spark, sfDir))))
     val bulk = ops.map { case (n, f) => n -> f() }
     spark.conf.set("spark.graft.streamMaxFiles", "1")
     try ops.zip(bulk).foreach { case ((n, f), (_, b)) =>

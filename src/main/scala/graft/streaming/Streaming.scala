@@ -267,14 +267,20 @@ object Streaming {
     val p0 = Paths.get(srcPath)
     val mtime =
       if (Files.exists(p0)) Files.getLastModifiedTime(p0).toMillis else 0L
-    val key = s"$srcPath#${tableBytes(srcPath)}#$mtime"
+    // target part size: ~2 MB default (probe-swept 2/8/32 MB at sf10 in
+    // r20 — see PROBES_r20; the knob exists for the sweep and for a
+    // corpus whose drain profile prefers fewer, larger batches). Folded
+    // into the cache key so a sweep inside one JVM re-sorts per size.
+    val partMB = spark.conf.getOption("spark.graft.stagingPartMB")
+      .map(_.toInt).getOrElse(2).max(1)
+    val key = s"$srcPath#${tableBytes(srcPath)}#$mtime#$partMB"
     sortedCache.computeIfAbsent(key, { _ =>
       val hash = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
       val base = Paths.get(sys.props("java.io.tmpdir"), s"graft-events-sorted-$hash")
       if (Files.isDirectory(base)) base
       else {
         val nParts = math.max(4, math.min(128,
-          math.ceil(tableBytes(srcPath) / (2 << 20).toDouble).toInt))
+          math.ceil(tableBytes(srcPath) / (partMB << 20).toDouble).toInt))
         val tmp = Files.createTempDirectory("graft-events-sorted-build")
         // range keys at SECOND granularity (the ops' event-time column)
         // + event_id: batch boundaries then respect exactly the

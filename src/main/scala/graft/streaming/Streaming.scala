@@ -267,12 +267,16 @@ object Streaming {
     val p0 = Paths.get(srcPath)
     val mtime =
       if (Files.exists(p0)) Files.getLastModifiedTime(p0).toMillis else 0L
-    // target part size: ~2 MB default (probe-swept 2/8/32 MB at sf10 in
-    // r20 — see PROBES_r20; the knob exists for the sweep and for a
-    // corpus whose drain profile prefers fewer, larger batches). Folded
-    // into the cache key so a sweep inside one JVM re-sorts per size.
+    // target part size: 32 MB default — the r20 2/8/32 MB sweep winner
+    // at sf10 (PROBES_r20: sessionize 30.98→27.79, ewma 30.97→22.71 at
+    // their mins; the listing/scheduling cost of 128×2MB parts was the
+    // bulk drains' overhead, and stateful throughput is shard-bound,
+    // not scan-task-bound). stream_topk's opt-in split read best at
+    // 2 MB (26.3 vs 30.1) but within its noise band; one shared sorted
+    // tree beats two. Folded into the cache key so a sweep inside one
+    // JVM re-sorts per size.
     val partMB = spark.conf.getOption("spark.graft.stagingPartMB")
-      .map(_.toInt).getOrElse(2).max(1)
+      .map(_.toInt).getOrElse(32).max(1)
     val key = s"$srcPath#${tableBytes(srcPath)}#$mtime#$partMB"
     sortedCache.computeIfAbsent(key, { _ =>
       val hash = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))

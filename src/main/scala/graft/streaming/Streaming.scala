@@ -267,14 +267,17 @@ object Streaming {
     val p0 = Paths.get(srcPath)
     val mtime =
       if (Files.exists(p0)) Files.getLastModifiedTime(p0).toMillis else 0L
-    // target part size: 32 MB default — the r20 2/8/32 MB sweep winner
-    // at sf10 (PROBES_r20: sessionize 30.98→27.79, ewma 30.97→22.71 at
-    // their mins; the listing/scheduling cost of 128×2MB parts was the
-    // bulk drains' overhead, and stateful throughput is shard-bound,
-    // not scan-task-bound). stream_topk's opt-in split read best at
-    // 2 MB (26.3 vs 30.1) but within its noise band; one shared sorted
-    // tree beats two. Folded into the cache key so a sweep inside one
-    // JVM re-sorts per size.
+    // part-size CAP, default 32 MB (spark.graft.stagingPartMB; folded
+    // into the cache key so a sweep inside one JVM re-sorts per size).
+    // The r20 2/8/32 MB sweep at sf10 read the 128×2MB listing/
+    // scheduling overhead as the bulk drains' cost (sessionize
+    // 30.98→27.79, ewma 30.97→22.71 at their mins, monotone in part
+    // size) — but a fixed 32 MB collapses mid-size corpora to the
+    // 4-part floor and STARVES the drain (sf3 streaming mins +20-35%
+    // measured). So the sizing below targets a ~16-part COUNT: 2 MB
+    // parts until 16 files, then parts grow toward the cap — small
+    // corpora keep their few files, mid corpora keep enough scan
+    // parallelism, and at true scale the cap bounds per-batch bytes.
     val partMB = spark.conf.getOption("spark.graft.stagingPartMB")
       .map(_.toInt).getOrElse(32).max(1)
     val key = s"$srcPath#${tableBytes(srcPath)}#$mtime#$partMB"
@@ -283,8 +286,10 @@ object Streaming {
       val base = Paths.get(sys.props("java.io.tmpdir"), s"graft-events-sorted-$hash")
       if (Files.isDirectory(base)) base
       else {
-        val nParts = math.max(4, math.min(128,
-          math.ceil(tableBytes(srcPath) / (partMB << 20).toDouble).toInt))
+        val bytes = tableBytes(srcPath)
+        val nParts = math.max(
+          math.min(16, math.max(4, math.ceil(bytes / (2 << 20).toDouble).toInt)),
+          math.ceil(bytes / (partMB.toLong << 20).toDouble).toInt)
         val tmp = Files.createTempDirectory("graft-events-sorted-build")
         // range keys at SECOND granularity (the ops' event-time column)
         // + event_id: batch boundaries then respect exactly the

@@ -161,7 +161,15 @@ object DerivedGraphs {
     // 2-column (o_orderkey, c_nationkey) before the join, so the
     // orderkey exchange carries the narrowest possible rows. The
     // supplier side is a broadcast nationkey lookup.
+    // repartition by l_orderkey FIRST: HashPartitioning(l_orderkey)
+    // satisfies the (l_orderkey, l_suppkey) clustering, so the
+    // aggregation runs exchange-free on it AND its output partitioning
+    // feeds the o_orderkey join without a second fact-sized shuffle —
+    // one lineitem exchange total (a plain groupBy on both keys
+    // partitioned on both, forcing the join to re-shuffle 60M rows;
+    // measured +30% per cold epoch at sf10)
     val lc = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
     val oc = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
       .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),

@@ -522,6 +522,21 @@ object Dedup {
     * one block, so candidates come from 4 bucket equi-joins, never
     * all-pairs. Shared by [[simhashPairs]] and the multimodal
     * perceptual-hash pairing. Input: (doc_id, <sigCol>).
+    *
+    * Exactly-once emission (r20, guide §2.4): a pair is emitted ONLY
+    * at its LOWEST matching block — the join output carries a codegen
+    * filter requiring every earlier block to differ
+    * (`((sig_a ^ sig_b) >> 16k') & 0xFFFF != 0` for all k' < k). The
+    * first cut emitted a pair once per matching block (up to 4×) and
+    * removed the duplicates with `.distinct()` — a full extra
+    * Exchange + hash-aggregate over the CANDIDATE set, which on a
+    * duplicate-heavy corpus is the largest frame in the query
+    * (identical signatures match on all 4 blocks; at the ×100 rung
+    * that distinct shuffled ~4× the true pair count). Same pair set
+    * by the pigeonhole argument: every surviving pair has ≥ 1
+    * matching block, hence exactly one lowest. DedupSpec pins the
+    * equivalence on a planted corpus; the mm_phash/dedup_simhash
+    * oracles stay hash-green (brute-force Hamming in SQL).
     */
   private[graft] def hammingBlockPairs(sigs: DataFrame, sigCol: String,
       maxHamming: Int): DataFrame = {
@@ -532,15 +547,23 @@ object Dedup {
     }
     val blocks = packed.select(col("doc_id"), col("sig"), explode(array(blockCols: _*)).as("blk"))
       .select(col("doc_id"), col("sig"), col("blk.k").as("k"), col("blk.bv").as("bv"))
+    val xorSig = col("sig_a").bitwiseXOR(col("sig_b"))
+    // true ⇔ no block below k also matches (k' ≥ k terms are vacuous)
+    val lowestBlock = (0 until 3).map { kp =>
+      col("k") <= lit(kp) ||
+        shiftright(xorSig, kp * 16).bitwiseAND(lit(0xFFFFL)) =!= lit(0L)
+    }.reduce(_ && _)
     blocks.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("k"), col("bv"))
       .join(blocks.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("k"), col("bv")),
         Seq("k", "bv"))
-      .where(col("doc_a") < col("doc_b"))
+      .where(col("doc_a") < col("doc_b") && lowestBlock)
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").cast(LongType).as("hamming"))
-      .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy("doc_a", "doc_b")
+    // no orderBy here (r20): every consumer either re-sorts after its
+    // own expansion (simhash rep-pairs) or aggregates (phash n_near) —
+    // the inner global sort was a pure extra range Exchange; the
+    // pair-level op's ordering contract lives at its call site
   }
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {

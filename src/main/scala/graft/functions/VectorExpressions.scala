@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo, GenericInternalRow, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -344,6 +344,176 @@ case class CentroidArgMin(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Nearest-centroid argmin against a PER-ROW candidate array:
+  * `graft_argmin_cell(cs, v, nrm)` where `cs` is
+  * `ARRAY<STRUCT<cluster: INT, cv: ARRAY<DOUBLE>, c2: DOUBLE>>` —
+  * the hierarchical k-means serve's broadcast-joined cell column
+  * ([[graft.similarity.Cluster]]). Returns `STRUCT<d: DOUBLE, c: INT>`
+  * exactly like [[CentroidArgMin]].
+  *
+  * [[CentroidArgMin]] requires its matrix to be FOLDABLE (one packed
+  * literal per stage) — right for trained-centroid assignment, useless
+  * for the hierarchical serve where each row's candidate set is its
+  * coarse cell's sub-centroids, delivered per row by a broadcast hash
+  * join. The `array_min(transform(...))` formulation this replaces is
+  * a higher-order function: Catalyst evaluates the lambda INTERPRETED
+  * per element (and boxes a struct per candidate), dropping the whole
+  * projection out of whole-stage codegen — measured 1.7× on warm
+  * dedup_semantic at sf10 (the r20 BASELINE follow-up). Here the
+  * per-row work is the same primitive two-pass loop as
+  * [[CentroidArgMin.evalRow]], reading candidate vectors straight out
+  * of the broadcast relation's ArrayData with zero boxing.
+  *
+  * Equivalence contract (spec-pinned bit-identical to the
+  * `array_min(transform(...))` it replaces): distance =
+  * `round6((nrm·nrm − 2.0·dot) + c2)` with dot folding in index order
+  * (= `graft_dot`); argmin under Spark SQL double ordering; ties to
+  * the LOWER cluster id — the candidates arrive cluster-sorted
+  * (`array_sort(collect_list(struct(cluster, ...)))`), and a
+  * cluster-descending round-tie is still resolved by id, not array
+  * position, so sortedness is not load-bearing for correctness.
+  */
+case class CellArgMin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("c", IntegerType, nullable = false)))
+  override def prettyName: String = "graft_argmin_cell"
+
+  /** Spark's `round(x, 6)` on DOUBLE, exactly. */
+  private def round6(d: Double): Double =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) d
+    else java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Spark SQL double ordering `a < b` (NaN greatest, NaN = NaN). */
+  private def less(a: Double, b: Double): Boolean =
+    if (a < b) true
+    else if (a > b || a == b) false
+    else !java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b)
+
+  /** Per-row distance scratch, grown to the largest cell seen by this
+    * thread (cells are √k-sized; the array is tiny either way).
+    */
+  @transient private lazy val scratch: ThreadLocal[Array[Double]] =
+    new ThreadLocal[Array[Double]] {
+      override def initialValue(): Array[Double] = new Array[Double](16)
+    }
+
+  /** Same two-pass shape as [[CentroidArgMin.evalRow]]: raw distances
+    * + raw min first (pure flops), then round-and-compare only the
+    * candidates within one rounding bucket of the raw min — except the
+    * tie-break compares CLUSTER IDS (they are per-row data here, not
+    * a pre-sorted constant matrix).
+    */
+  def evalRow(csAny: Any, vAny: Any, nrm: Double): InternalRow = {
+    val cs = csAny.asInstanceOf[ArrayData]
+    val v = vAny.asInstanceOf[ArrayData]
+    val k = cs.numElements()
+    var buf = scratch.get()
+    if (buf.length < k) { buf = new Array[Double](k); scratch.set(buf) }
+    var m = 0.0
+    var j = 0
+    while (j < k) {
+      val cand = cs.getStruct(j, 3)
+      val cv = cand.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * cv.getDouble(i); i += 1 }
+      val d2 = (nrm * nrm - 2.0 * dot) + cand.getDouble(2)
+      buf(j) = d2
+      if (j == 0 || less(d2, m)) m = d2
+      j += 1
+    }
+    val cut = m + 1e-5 + 1e-9 * math.abs(m)
+    var bestD = 0.0
+    var bestC = 0
+    var first0 = true
+    j = 0
+    while (j < k) {
+      if (!(buf(j) > cut)) {
+        val d2 = round6(buf(j))
+        val cid = cs.getStruct(j, 3).getInt(0)
+        // Spark double ordering ties: == for numbers, NaN = NaN
+        val tie = d2 == bestD ||
+          (java.lang.Double.isNaN(d2) && java.lang.Double.isNaN(bestD))
+        if (first0 || less(d2, bestD) || (tie && cid < bestC)) {
+          bestD = d2; bestC = cid; first0 = false
+        }
+      }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override def nullSafeEval(cs: Any, v: Any, n: Any): Any =
+    evalRow(cs, v, n.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCellArgMin", this, classOf[CellArgMin].getName)
+    nullSafeCodeGen(ctx, ev, (cs, v, n) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.evalRow($cs, $v, $n);")
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): CellArgMin =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** 64-bit perceptual hash (aHash shape) of a binary payload —
+  * `graft_phash(payload)`: the payload splits into 64 byte blocks and
+  * bit j is whether block j's mean exceeds the global mean, compared
+  * by integer cross-multiplication (`sums(j)·n > tot·cnts(j)`) so
+  * there is no float anywhere. Bit-identical to the typed-Dataset
+  * closure it replaces in [[graft.multimodal.Multimodal]] (spec-pinned
+  * there) and to the mm_phash DuckDB oracle's integer SQL.
+  *
+  * Why an expression (guide §4.1): the closure formulation
+  * (`as[(Long, Array[Byte])].flatMap`) forces a codegen break —
+  * `DeserializeToObject` materializes every payload as a Scala tuple,
+  * the loop runs on the object, and `SerializeFromObject` re-enters
+  * Tungsten. The hash is pure integer arithmetic over the bytes, so it
+  * belongs inside the scan's WholeStageCodegen projection. Total
+  * function: callers filter `length(payload) >= 64` themselves (the
+  * under-64-byte convention lives at the operator layer; on shorter
+  * inputs the expression still returns a well-defined value).
+  */
+case class PHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_phash"
+
+  def hash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val b = ((i.toLong * 64L) / n).toInt
+      val v = bytes(i) & 0xff
+      sums(b) += v; cnts(b) += 1; tot += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) { if (sums(j) * n > tot * cnts(j)) h |= (1L << j); j += 1 }
+    h
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    hash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPhash", this, classOf[PHash64].getName)
+    nullSafeCodeGen(ctx, ev, x => s"${ev.value} = $ref.hash($x);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PHash64 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Register `graft_dot` / `graft_norm` — injected through
     * `SparkSessionExtensions` (the public extension API) by
@@ -375,6 +545,15 @@ object VectorExpressions {
         Cast(children(0), ArrayType(ArrayType(DoubleType))),
         Cast(children(1), ArrayType(IntegerType)),
         asDoubles(children(2)), Cast(children(3), DoubleType))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_phash"),
+      new ExpressionInfo(classOf[PHash64].getName, "graft_phash"),
+      (children: Seq[Expression]) => PHash64(Cast(children.head, BinaryType))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_argmin_cell"),
+      new ExpressionInfo(classOf[CellArgMin].getName, "graft_argmin_cell"),
+      (children: Seq[Expression]) => CellArgMin(
+        children(0), asDoubles(children(1)), Cast(children(2), DoubleType))))
     ext.injectFunction((
       FunctionIdentifier("graft_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_might_contain"),

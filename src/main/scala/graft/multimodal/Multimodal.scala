@@ -247,37 +247,31 @@ object Multimodal {
     */
   def phashPairs(docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame =
     graft.dedup.Dedup.hammingBlockPairs(phashSigs(docs), "ph", maxHamming)
+      .orderBy("doc_a", "doc_b")
 
-  /** (doc_id, ph): the 64-bit signature per ≥64-byte payload. */
-  private def phashSigs(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    withPayload(docs).as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
-        val n = bytes.length
-        // payloads under 64 bytes have empty blocks — no signature
-        // (an all-zero hash would pair every tiny payload with every
-        // other), same convention as simhashPairs
-        if (n < 64) Iterator.empty
-        else {
-          val sums = new Array[Long](64)
-          val cnts = new Array[Long](64)
-          var tot = 0L
-          var i = 0
-          while (i < n) {
-            val b = ((i.toLong * 64L) / n).toInt
-            val v = bytes(i) & 0xff
-            sums(b) += v; cnts(b) += 1; tot += v
-            i += 1
-          }
-          var h = 0L
-          var j = 0
-          // block_mean > global_mean  ⇔  sums(j)·n > tot·cnts(j)
-          while (j < 64) { if (sums(j) * n > tot * cnts(j)) h |= (1L << j); j += 1 }
-          Iterator.single((id, h))
-        }
-      }.toDF("doc_id", "ph")
-  }
+  /** (doc_id, ph): the 64-bit signature per ≥64-byte payload.
+    *
+    * r20: the signature is the codegen'd [[graft.functions.PHash64]]
+    * expression (`graft_phash`) inside the scan projection — the
+    * original typed-Dataset `flatMap` deserialized every payload to a
+    * Scala tuple and back (a codegen break either side of a pure
+    * integer loop; guide §4.1), measured ~1.3 s of mm_phash's 9.9 s
+    * at sf10. Payloads under 64 bytes still produce no signature (an
+    * all-zero hash would pair every tiny payload with every other,
+    * same convention as simhashPairs) — the filter runs on
+    * `length(payload)` at the scan, before the hash. MultimodalSpec
+    * pins the expression bit-identical to a driver reimplementation
+    * of the closure on boundary/edge payloads.
+    */
+  private def phashSigs(docs: DataFrame): DataFrame =
+    withPayload(docs)
+      .where(length(col("payload")) >= 64)
+      .select(col("doc_id"), call_function("graft_phash", col("payload")).as("ph"))
+
+  /** Plan-evidence accessor ([[graft.tools.PlanDump]]'s `mm_phash.sigs`
+    * pseudo-query): the un-checkpointed signature pass.
+    */
+  private[graft] def phashSigsForPlan(docs: DataFrame): DataFrame = phashSigs(docs)
 
   /** Gate view of the perceptual hash: one row per (≥64-byte) payload
     * with its 64-bit signature and the count of Hamming-≤3 neighbors
@@ -288,8 +282,13 @@ object Multimodal {
   def phashSummary(docs: DataFrame, maxHamming: Int = PhashMaxHamming): DataFrame = {
     val sigs = phashSigs(docs).localCheckpoint()
     val pairs = graft.dedup.Dedup.hammingBlockPairs(sigs, "ph", maxHamming)
-    val near = pairs.select(col("doc_a").as("doc_id"))
-      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+    // one explode, not unionAll of two projections: the union's two
+    // branches each re-execute the ENTIRE un-checkpointed pair join
+    // (the plan carried the block join twice — guide §7.2's duplicated
+    // subtree); exploding [doc_a, doc_b] emits the same multiset from
+    // ONE execution of the join (r20; mm_phash sf10 min 7.3 → 5.4)
+    val near = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
     sigs.join(near, Seq("doc_id"), "left")
       .select(col("doc_id"), hex(col("ph")).as("phash_hex"),

@@ -406,13 +406,39 @@ object Cluster {
 
   /** Hierarchical serve: coarse argmin (≤√k codegen'd literals), then
     * the row's cell's sub-centroids via a BROADCAST hash join on the
-    * cell id and an `array_min(transform(...))` argmin over that
+    * cell id and a [[graft.functions.CellArgMin]] argmin over that
     * cell's ≈√k candidates — round-6 (d, cluster) lexicographic, the
     * literal path's exact contract. Per-row work and state are
     * O(√k·d); the k×d relation ships once per executor as a broadcast
     * relation, never as a plan literal.
+    *
+    * r20 perf: the first cut argmin'd with
+    * `array_min(transform(cs, ...))` — a higher-order function whose
+    * lambda Catalyst evaluates INTERPRETED per candidate (boxing a
+    * struct each), dropping the projection out of whole-stage codegen;
+    * it cost warm dedup_semantic 4.43 → 7.74 s at sf10.
+    * `graft_argmin_cell` runs the identical round-then-argmin contract
+    * as a primitive loop inside codegen (ClusterSpec pins the two
+    * formulations bit-identical, NaN rows included).
     */
   private[graft] def hierAssign(coarse: Seq[(Int, Array[Double])], subs: DataFrame)(
+      vecs: DataFrame): DataFrame = {
+    val cellArr = subs
+      .withColumn("c2", call_function("graft_dot", col("cv"), col("cv")))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("cluster"), col("cv"), col("c2")))).as("cs"))
+    assigned(vecs, coarse)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cluster").as("cell"))
+      .join(broadcast(cellArr), "cell")
+      .withColumn("asg", call_function("graft_argmin_cell", col("cs"), col("v"), col("nrm")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("asg.c").as("cluster"))
+  }
+
+  /** The r19-shape interpreted argmin, kept ONLY as the spec's
+    * equivalence baseline for [[hierAssign]] (ClusterSpec pins the
+    * codegen'd `graft_argmin_cell` serve bit-identical to this).
+    */
+  private[graft] def hierAssignInterpreted(coarse: Seq[(Int, Array[Double])], subs: DataFrame)(
       vecs: DataFrame): DataFrame = {
     val cellArr = subs
       .withColumn("c2", call_function("graft_dot", col("cv"), col("cv")))

@@ -282,6 +282,42 @@ class ClusterSpec extends SparkSpec {
     }
   }
 
+  /** r20 optimization pin: the codegen'd `graft_argmin_cell` serve
+    * ([[Cluster.hierAssign]]) must be BIT-IDENTICAL to the interpreted
+    * `array_min(transform(...))` formulation it replaced — including a
+    * NaN vector (all distances NaN: NaN = NaN ties → lowest cluster
+    * id), the zero vector, and exact sub-centroid ties (duplicate
+    * centroids inside one cell → lower id wins).
+    */
+  test("hierAssign codegen argmin is bit-identical to the interpreted formulation") {
+    val rows = Seq(
+      (1L, Seq(Double.NaN, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 0.0, 0.0)),
+    ) ++ (for (b <- 0 until 6; i <- 0 until 20) yield {
+      val v = Array.tabulate(4)(j => if (j == b % 4) 5.0 * (1 + b / 2) else 0.25 * b)
+      v((b + 2) % 4) += 0.02 * (i % 5)
+      ((100 + b * 20 + i).toLong, v.toSeq)
+    })
+    val vecs = Ann.withNorm(rows.toDF("vec_id", "embedding"))
+      .select("vec_id", "v", "nrm").localCheckpoint()
+    val coarse = Cluster.sampledCentroids(vecs, 3, sampleFactor = 8)
+    val subs0 = Cluster.hierSubCentroids(vecs, coarse, target = 8L, sampleFactor = 4)
+    // inject an exact duplicate sub-centroid with a HIGHER cluster id
+    // into every cell: the round-tie must resolve to the lower id in
+    // both formulations
+    val dup = subs0.groupBy("cell")
+      .agg(min(struct(col("cluster"), col("cv"))).as("m"))
+      .select(col("cell"), (col("m.cluster") + lit(10000)).as("cluster"), col("m.cv").as("cv"))
+    val subs = subs0.unionAll(dup).localCheckpoint()
+    def rowsOf(df: DataFrame) = df.select("vec_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val got = rowsOf(Cluster.hierAssign(coarse, subs)(vecs))
+    val want = rowsOf(Cluster.hierAssignInterpreted(coarse, subs)(vecs))
+    assert(got === want)
+    // and no injected duplicate ever won a tie
+    assert(got.forall(_._2 < 10000))
+  }
+
   test("dedup_semantic gate output on shipped data: clusters bounded, flags consistent") {
     val out = Cluster.dedupSemantic(spark, sfDir).collect()
     assert(out.length > 0)

@@ -58,6 +58,45 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 3L || b == 4L || a == 3L })
   }
 
+  /** r20 optimization pin: the exactly-once pigeonhole join (pairs
+    * emitted only at their lowest matching block — no post-join
+    * `.distinct()`) must equal a brute-force Hamming ≤ 3 self-join,
+    * as a MULTISET (one row per pair, so the old distinct's dedup
+    * role is covered), on a corpus dense in identical signatures
+    * (every block matches — the 4×-duplication worst case) plus
+    * 1/2/3/4-bit neighbors straddling block boundaries.
+    */
+  test("hammingBlockPairs emits each Hamming<=3 pair exactly once, equal to brute force") {
+    val s = spark
+    import s.implicits._
+    val sigBase = 0x0123456789ABCDEFL
+    val sigs = (
+      (0 until 6).map(i => (i.toLong, sigBase)) ++                   // identical: all 4 blocks match
+      Seq(
+        (10L, sigBase ^ 1L),                                         // 1 bit, block 0
+        (11L, sigBase ^ (1L << 17)),                                 // 1 bit, block 1
+        (12L, sigBase ^ 3L),                                         // 2 bits, block 0
+        (13L, sigBase ^ (1L << 15) ^ (1L << 16)),                    // 2 bits across blocks 0/1
+        (14L, sigBase ^ 7L),                                         // 3 bits, block 0
+        (15L, sigBase ^ (1L << 15) ^ (1L << 31) ^ (1L << 47)),       // 3 bits, blocks 0/1/2
+        (16L, sigBase ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) ^ (1L << 48)), // 4 bits: out of radius
+        (17L, -1L),                                                  // unrelated
+      )).toDF("doc_id", "ph")
+    val got = Dedup.hammingBlockPairs(sigs, "ph", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    assert(got.sortBy(t => (t._1, t._2)) === want)
+    assert(got.size === got.distinct.size, "a pair must be emitted exactly once")
+    // the 4-bit neighbor is out of radius vs the base (no block match
+    // either); it still pairs with the base's 1-bit neighbors at
+    // Hamming 3 — covered by the brute-force equality above
+    assert(!got.exists(t => (t._1, t._2) == (0L, 16L)))
+  }
+
   test("simhash near-dup pairs are a subset of jaccard near-dups on real data") {
     val docs = Tables.documents(spark, sfDir)
     val sim = Dedup.simhashPairs(docs).select("doc_a", "doc_b").collect()

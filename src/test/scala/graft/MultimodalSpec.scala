@@ -119,6 +119,47 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.size === 3) // doc 3 pairs with nothing (Hamming 32)
   }
 
+  /** r20 optimization pin: the codegen'd `graft_phash` expression must
+    * be bit-identical to the typed-Dataset closure it replaced —
+    * reimplemented here verbatim as the driver-side baseline — on
+    * boundary (63/64/65-byte), constant, high-contrast, and re-encoded
+    * payloads; and under-64-byte payloads must still yield no row.
+    */
+  test("graft_phash equals the closure aHash bit-for-bit; <64-byte payloads drop") {
+    def closureHash(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var tot = 0L
+      var i = 0
+      while (i < n) {
+        val b = ((i.toLong * 64L) / n).toInt
+        val v = bytes(i) & 0xff
+        sums(b) += v; cnts(b) += 1; tot += v
+        i += 1
+      }
+      var h = 0L
+      var j = 0
+      while (j < 64) { if (sums(j) * n > tot * cnts(j)) h |= (1L << j); j += 1 }
+      h
+    }
+    val payloads = Seq(
+      10L -> "x" * 63,                    // below the floor: no signature
+      11L -> "x" * 64,                    // exactly at the floor
+      12L -> "x" * 65,                    // one spare byte
+      13L -> ("a" * 64 + "z" * 64),       // strong block contrast
+      14L -> ("az" * 64),                 // every block mean == global mean
+      15L -> ("a" * 64 + "z" * 62 + "aa"),// one-block tweak
+      16L -> (0 until 1000).map(i => ('a' + i % 26).toChar).mkString)
+    val got = Multimodal.phashSummary(fakeDocs(payloads: _*))
+    val sigs = got.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!sigs.contains(10L), "sub-64-byte payload must produce no signature")
+    payloads.filter(_._2.length >= 64).foreach { case (id, s) =>
+      val want = closureHash(s.getBytes("UTF-8"))
+      assert(sigs(id) === f"$want%X", s"doc $id")
+    }
+  }
+
   test("aspectBucket: thresholds honored, batches are contiguous doc-order slices of ≤ 16") {
     val out = Multimodal.mmAspectBucket(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
